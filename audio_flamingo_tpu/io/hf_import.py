@@ -1,0 +1,134 @@
+"""HF checkpoint -> pytree parameter import (table-driven name mapping).
+
+Maps HuggingFace state-dict names (torch layout: Linear.weight is [out, in],
+Conv1d.weight is [out, in, k]) onto our scan-stacked pytrees. Used both by golden tests
+(state dict straight from a torch module) and by the safetensors checkpoint importer
+(io/safetensors.py) for the released "-hf" checkpoints (SURVEY.md §5 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import OPTConfig, Qwen2Config, WhisperEncoderConfig
+
+
+def _t(x) -> np.ndarray:  # torch Linear [out,in] -> ours [in,out]
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _stack(layer_dicts: list[dict]) -> dict:
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layer_dicts)
+
+
+def import_whisper_encoder(sd: dict, cfg: WhisperEncoderConfig, prefix: str = "") -> dict:
+    """sd: flat name->array dict of an [hf] WhisperEncoder. prefix e.g. 'audio_tower.'."""
+    g = lambda n: np.asarray(sd[prefix + n])
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        layers.append({
+            "ln1_w": g(p + "self_attn_layer_norm.weight"),
+            "ln1_b": g(p + "self_attn_layer_norm.bias"),
+            "q": {"w": _t(g(p + "self_attn.q_proj.weight")), "b": g(p + "self_attn.q_proj.bias")},
+            "k": {"w": _t(g(p + "self_attn.k_proj.weight"))},
+            "v": {"w": _t(g(p + "self_attn.v_proj.weight")), "b": g(p + "self_attn.v_proj.bias")},
+            "o": {"w": _t(g(p + "self_attn.out_proj.weight")), "b": g(p + "self_attn.out_proj.bias")},
+            "ln2_w": g(p + "final_layer_norm.weight"),
+            "ln2_b": g(p + "final_layer_norm.bias"),
+            "fc1": {"w": _t(g(p + "fc1.weight")), "b": g(p + "fc1.bias")},
+            "fc2": {"w": _t(g(p + "fc2.weight")), "b": g(p + "fc2.bias")},
+        })
+    return {
+        "conv1_w": np.asarray(g("conv1.weight")).transpose(2, 1, 0),  # [out,in,k]->[k,in,out]
+        "conv1_b": g("conv1.bias"),
+        "conv2_w": np.asarray(g("conv2.weight")).transpose(2, 1, 0),
+        "conv2_b": g("conv2.bias"),
+        "pos": g("embed_positions.weight"),
+        "layers": _stack(layers),
+        "ln_post_w": g("layer_norm.weight"),
+        "ln_post_b": g("layer_norm.bias"),
+    }
+
+
+def import_qwen2(sd: dict, cfg: Qwen2Config, prefix: str = "") -> dict:
+    """sd: flat dict of an [hf] Qwen2ForCausalLM (or Qwen2Model with prefix='model.')."""
+    g = lambda n: np.asarray(sd[prefix + n])
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        lay = {
+            "ln1_w": g(p + "input_layernorm.weight"),
+            "q": {"w": _t(g(p + "self_attn.q_proj.weight"))},
+            "k": {"w": _t(g(p + "self_attn.k_proj.weight"))},
+            "v": {"w": _t(g(p + "self_attn.v_proj.weight"))},
+            "o": {"w": _t(g(p + "self_attn.o_proj.weight"))},
+            "ln2_w": g(p + "post_attention_layernorm.weight"),
+            "mlp": {"gate": _t(g(p + "mlp.gate_proj.weight")),
+                    "up": _t(g(p + "mlp.up_proj.weight")),
+                    "down": _t(g(p + "mlp.down_proj.weight"))},
+        }
+        if cfg.attention_bias:
+            for name in ("q", "k", "v"):
+                lay[name]["b"] = g(p + f"self_attn.{name}_proj.bias")
+        layers.append(lay)
+    params = {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": _stack(layers),
+        "ln_f_w": g("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _t(g("lm_head.weight"))
+    return params
+
+
+def import_qwen2_audio(sd: dict, cfg) -> dict:
+    """[hf] Qwen2AudioForConditionalGeneration state dict -> AF3-style params pytree.
+
+    Layout: audio_tower.* -> encoder; multi_modal_projector.linear -> 1-layer adaptor;
+    language_model.* -> lm. This is the same nesting the NVIDIA '-hf' releases use for the
+    AF3 checkpoints (SURVEY.md §5 checkpoint row).
+    """
+    lm_sd = {k[len("language_model."):]: v for k, v in sd.items()
+             if k.startswith("language_model.")}
+    return {
+        "encoder": import_whisper_encoder(sd, cfg.encoder, prefix="audio_tower."),
+        "adaptor": {"fc1": {"w": _t(np.asarray(sd["multi_modal_projector.linear.weight"])),
+                            "b": np.asarray(sd["multi_modal_projector.linear.bias"])}},
+        "lm": import_qwen2(lm_sd, cfg.lm),
+    }
+
+
+def import_opt(sd: dict, cfg: OPTConfig, prefix: str = "") -> dict:
+    """sd: flat dict of an [hf] OPTForCausalLM. See models/opt.py for the pytree layout."""
+    g = lambda n: np.asarray(sd[prefix + n])
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.decoder.layers.{i}."
+        layers.append({
+            "ln1_w": g(p + "self_attn_layer_norm.weight"),
+            "ln1_b": g(p + "self_attn_layer_norm.bias"),
+            "q": {"w": _t(g(p + "self_attn.q_proj.weight")), "b": g(p + "self_attn.q_proj.bias")},
+            "k": {"w": _t(g(p + "self_attn.k_proj.weight")), "b": g(p + "self_attn.k_proj.bias")},
+            "v": {"w": _t(g(p + "self_attn.v_proj.weight")), "b": g(p + "self_attn.v_proj.bias")},
+            "o": {"w": _t(g(p + "self_attn.out_proj.weight")), "b": g(p + "self_attn.out_proj.bias")},
+            "ln2_w": g(p + "final_layer_norm.weight"),
+            "ln2_b": g(p + "final_layer_norm.bias"),
+            "fc1": {"w": _t(g(p + "fc1.weight")), "b": g(p + "fc1.bias")},
+            "fc2": {"w": _t(g(p + "fc2.weight")), "b": g(p + "fc2.bias")},
+        })
+    params = {
+        "embed": g("model.decoder.embed_tokens.weight"),
+        "pos_embed": g("model.decoder.embed_positions.weight"),
+        "layers": _stack(layers),
+    }
+    if "model.decoder.final_layer_norm.weight" in sd:
+        params["ln_f_w"] = g("model.decoder.final_layer_norm.weight")
+        params["ln_f_b"] = g("model.decoder.final_layer_norm.bias")
+    if "model.decoder.project_in.weight" in sd:
+        params["project_in"] = _t(g("model.decoder.project_in.weight"))
+        params["project_out"] = _t(g("model.decoder.project_out.weight"))
+    return params

@@ -1,0 +1,101 @@
+"""AF3 / Music Flamingo model: AF-Whisper tower -> MLP adaptor -> Qwen2.5 LM with
+LLaVA-style prefix tokens.
+
+Wiring reference (golden target): [hf] models/qwen2_audio/modeling_qwen2_audio.py:777-849 —
+audio embeds are scattered over `<sound>` placeholder positions in the input embedding
+sequence (masked_scatter at :834-837, token-count validation :827-833). The processor
+(runtime/processor.py) expands a single placeholder into out_len copies BEFORE tokenization
+([hf] models/qwen2_audio/processing_qwen2_audio.py:117-166), so prefill sees final length.
+
+TPU-first deltas: the scatter is a static-shape cumsum-gather (no boolean masked_scatter);
+encoder windows are an independent batch axis, shardable across the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import adaptor, qwen2, whisper_encoder
+
+
+def init(rng: jax.Array, cfg: AF3Config) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "encoder": whisper_encoder.init(k1, cfg.encoder),
+        "adaptor": adaptor.init(k2, cfg.encoder.d_model, cfg.lm.hidden_size),
+        "lm": qwen2.init(k3, cfg.lm),
+    }
+
+
+def tokens_per_window(cfg: AF3Config) -> int:
+    return cfg.encoder.max_source_positions // cfg.encoder.pool_stride
+
+
+def encode_audio(params: dict, cfg: AF3Config, mels: jnp.ndarray,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """[num_windows, 3000, n_mels] -> [num_windows, tokens_per_window, lm_hidden].
+
+    Each 30 s window encodes independently (window-parallel across batch/mesh), then is
+    pooled (AvgPool stride 2) and projected into LM embedding space.
+    """
+    h = whisper_encoder.apply(params["encoder"], cfg.encoder, mels, compute_dtype=compute_dtype)
+    return adaptor.apply(params["adaptor"], h)
+
+
+def scatter_audio_embeds(text_embeds: jnp.ndarray, token_ids: jnp.ndarray,
+                         audio_embeds: jnp.ndarray, audio_token_id: int) -> jnp.ndarray:
+    """Replace embeddings at placeholder positions with audio embeddings, in order.
+
+    text_embeds: [B, T, D]; token_ids: [B, T]; audio_embeds: [B, A, D] (flattened window
+    tokens per row; A >= number of placeholders in that row).
+    Equivalent to [hf] masked_scatter (modeling_qwen2_audio.py:834-837) but static-shape:
+    the j-th placeholder position (scan order) takes audio_embeds[:, j].
+    """
+    is_audio = token_ids == audio_token_id                        # [B, T]
+    # ordinal of each placeholder within its row
+    ordinal = jnp.cumsum(is_audio.astype(jnp.int32), axis=1) - 1  # [B, T]
+    ordinal = jnp.clip(ordinal, 0, audio_embeds.shape[1] - 1)
+    gathered = jnp.take_along_axis(audio_embeds, ordinal[..., None], axis=1)  # [B, T, D]
+    return jnp.where(is_audio[..., None], gathered.astype(text_embeds.dtype), text_embeds)
+
+
+def build_input_embeds(params: dict, cfg: AF3Config, token_ids: jnp.ndarray,
+                       mels: jnp.ndarray | None, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """token ids (+ optional mels [B, num_windows, 3000, n_mels]) -> LM input embeddings."""
+    embeds = qwen2.embed(params["lm"], token_ids, dtype=compute_dtype)
+    if mels is None:
+        return embeds
+    b, nw, frames, nmel = mels.shape
+    audio = encode_audio(params, cfg, mels.reshape(b * nw, frames, nmel), compute_dtype)
+    audio = audio.reshape(b, nw * audio.shape[1], -1)
+    return scatter_audio_embeds(embeds, token_ids, audio, cfg.audio_token_id)
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def logits(params: dict, cfg: AF3Config, token_ids: jnp.ndarray,
+           mels: jnp.ndarray | None = None, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Full-sequence forward (training/eval path): [B, T] (+mels) -> [B, T, vocab] fp32."""
+    b, t = token_ids.shape
+    x = build_input_embeds(params, cfg, token_ids, mels, compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    h, _ = qwen2.forward(params["lm"], cfg.lm, x, pos)
+    return qwen2.unembed(params["lm"], cfg.lm, h)
+
+
+def loss(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
+         mels: jnp.ndarray | None = None, compute_dtype=jnp.float32):
+    """Shifted CE over label positions >= 0 (prompt/audio positions are -100-masked),
+    matching [hf] modeling_qwen2_audio.py:853-866 semantics."""
+    lg = logits(params, cfg, token_ids, mels, compute_dtype)
+    shift_logits = lg[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels >= 0
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

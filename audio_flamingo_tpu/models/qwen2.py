@@ -1,0 +1,198 @@
+"""Qwen2 / Qwen2.5 decoder-only LM, TPU-first.
+
+Architecture reference (golden-tested): [hf] models/qwen2/modeling_qwen2.py
+(MLP :34-48, RoPE :50-83, attention :122-186 with q/k/v bias and bias-free o_proj
+:135-138, RMSNorm :187-205, layer :207-254, model :310-402, CausalLM :403-477).
+
+Design deltas (intentional, TPU-first):
+- pure pytree params, scan-stacked layers executed with jax.lax.scan;
+- a fixed-capacity StaticCache-style KV cache ([hf] cache_utils.py:1031 semantics) is the
+  ONLY cache: prefill and decode both write at a static-shape slice offset, so a single
+  compiled executable serves every step;
+- forward takes input embeddings (not ids) so audio prefix tokens scatter in upstream
+  ([hf] models/qwen2_audio/modeling_qwen2_audio.py:834-837 behavior lives in models/af3.py);
+- masks are boolean and computed from positions, no -inf additive mask materialization
+  until inside the attention op.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import Qwen2Config
+from audio_flamingo_tpu.ops import apply_rope, gqa_attention, rms_norm, rope_cos_sin, swiglu_mlp
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: slot s holds absolute position s (contiguous fill)."""
+
+    k: jnp.ndarray      # [num_layers, batch, capacity, num_kv_heads, head_dim]
+    v: jnp.ndarray      # same
+    index: jnp.ndarray  # scalar int32: number of filled slots
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: Qwen2Config, batch: int, capacity: int,
+               dtype: jnp.dtype = jnp.bfloat16) -> KVCache:
+    hd = cfg.resolved_head_dim()
+    shape = (cfg.num_layers, batch, capacity, cfg.num_kv_heads, hd)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   index=jnp.zeros((), jnp.int32))
+
+
+def _linear_init(rng, d_in, d_out, bias):
+    scale = d_in ** -0.5
+    p = {"w": jax.random.normal(rng, (d_in, d_out), jnp.float32) * scale * 0.5}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _layer_init(rng, cfg: Qwen2Config):
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hd = cfg.resolved_head_dim()
+    keys = jax.random.split(rng, 7)
+    return {
+        "ln1_w": jnp.ones((d,)),
+        "q": _linear_init(keys[0], d, cfg.num_heads * hd, cfg.attention_bias),
+        "k": _linear_init(keys[1], d, cfg.num_kv_heads * hd, cfg.attention_bias),
+        "v": _linear_init(keys[2], d, cfg.num_kv_heads * hd, cfg.attention_bias),
+        "o": _linear_init(keys[3], cfg.num_heads * hd, d, False),
+        "ln2_w": jnp.ones((d,)),
+        "mlp": {"gate": _linear_init(keys[4], d, f, False)["w"],
+                "up": _linear_init(keys[5], d, f, False)["w"],
+                "down": _linear_init(keys[6], f, d, False)["w"]},
+    }
+
+
+def init(rng: jax.Array, cfg: Qwen2Config) -> dict:
+    keys = jax.random.split(rng, cfg.num_layers + 2)
+    layers = [_layer_init(k, cfg) for k in keys[: cfg.num_layers]]
+    params = {
+        "embed": jax.random.normal(keys[-1], (cfg.vocab_size, cfg.hidden_size),
+                                   jnp.float32) * 0.02,
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "ln_f_w": jnp.ones((cfg.hidden_size,)),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jax.random.normal(keys[-2], (cfg.hidden_size, cfg.vocab_size),
+                                              jnp.float32) * 0.02
+    return params
+
+
+def _linear(x, p):
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache_index=None):
+    """One decoder block. Returns (x, (new_k, new_v)) where new_k/v are this step's KV.
+
+    If cache_kv=(ck, cv) is given, attention runs against the cache with this step's KV
+    written at cache_index; otherwise against the step's own KV (pure prefill, no cache).
+    """
+    b, s, d = x.shape
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    hd = cfg.resolved_head_dim()
+
+    h = rms_norm(x, lp["ln1_w"], cfg.rms_norm_eps)
+    q = _linear(h, lp["q"]).reshape(b, s, nh, hd)
+    k = _linear(h, lp["k"]).reshape(b, s, nkv, hd)
+    v = _linear(h, lp["v"]).reshape(b, s, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+        new_kv = (ck, cv)
+    else:
+        attn = gqa_attention(q, k, v, mask=mask)
+        new_kv = None
+    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o"])
+
+    h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
+    x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in lp["mlp"].items()})
+    return x, new_kv
+
+
+def embed(params: dict, token_ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    return params["embed"].astype(dtype)[token_ids]
+
+
+def unembed(params: dict, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden -> logits (fp32), tied or untied head."""
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.dot(hidden.astype(jnp.float32), w.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.ndarray,
+            cache: KVCache | None = None, extra_mask: jnp.ndarray | None = None):
+    """Run the decoder stack on input embeddings.
+
+    embeds: [batch, seq, hidden]; positions: [batch, seq] absolute positions.
+    cache: if provided, this step's KV is written at cache.index and attention spans the
+      cache (causal by absolute position). Returns (hidden, new_cache).
+    extra_mask: optional [batch, 1, seq, kv_len] boolean AND-ed onto the causal mask
+      (padding / media masking).
+    """
+    b, s, _ = embeds.shape
+    hd = cfg.resolved_head_dim()
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
+
+    if cache is not None:
+        kv_len = cache.capacity
+        kv_pos = jnp.arange(kv_len)[None, None, None, :]
+        mask = kv_pos <= positions[:, None, :, None]  # causal by absolute position
+        # slots >= filled+new are invalid (zeros); they are also > positions, so the causal
+        # test already excludes them as long as slot == absolute position (contiguous fill).
+    else:
+        kv_len = s
+        mask = positions[:, None, :, None] >= positions[:, None, None, :]
+    if extra_mask is not None:
+        mask = jnp.logical_and(mask, extra_mask)
+
+    x = embeds
+
+    if cache is not None:
+        def body(carry, xs):
+            h = carry
+            lp, ck, cv = xs
+            h, (nk, nv) = _layer_forward(h, lp, cfg, cos, sin, mask,
+                                         cache_kv=(ck, cv), cache_index=cache.index)
+            return h, (nk, nv)
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+    else:
+        def body(carry, lp):
+            h, _ = _layer_forward(carry, lp, cfg, cos, sin, mask)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def logits_from_ids(params: dict, cfg: Qwen2Config, token_ids: jnp.ndarray,
+                    compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Convenience full-sequence forward (no cache): [B, T] ids -> [B, T, vocab] fp32."""
+    b, t = token_ids.shape
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    x = embed(params, token_ids, compute_dtype)
+    h, _ = forward(params, cfg, x, pos)
+    return unembed(params, cfg, h)

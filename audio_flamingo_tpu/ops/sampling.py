@@ -1,0 +1,71 @@
+"""Logit processors + token sampling, TPU-native.
+
+Semantics reference: [hf] generation/utils.py:1090 (processor pipeline order:
+repetition penalty -> temperature -> top-k -> top-p) and :2790-2870 (decode loop:
+fp32 logits, softmax+multinomial or argmax). All ops are static-shape and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class SamplingParams(NamedTuple):
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = off
+    top_p: float = 1.0      # 1.0 = off
+    greedy: bool = True
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the k highest logits per row; others -> -inf. Static k."""
+    if k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering, HF semantics: keep the smallest prefix of descending-prob tokens
+    with cumulative prob > p (the first token crossing p is kept)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # number of kept tokens = index of first cum > p, +1
+    keep_sorted = cum - probs < p            # True for tokens before crossing
+    kth = jnp.sum(keep_sorted, axis=-1, keepdims=True)  # >= 1
+    thresh = jnp.take_along_axis(sorted_logits, kth - 1, axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
+                             penalty: float, vocab_size: int) -> jnp.ndarray:
+    """HF repetition penalty: seen tokens' logits are divided (if >0) or multiplied (if <0).
+
+    token_history: [B, H] int32 with -1 for empty slots.
+    """
+    if penalty == 1.0:
+        return logits
+    seen = jnp.zeros(logits.shape, bool)
+    oh = jax.nn.one_hot(jnp.where(token_history < 0, vocab_size, token_history),
+                        vocab_size + 1, dtype=jnp.bool_)[..., :vocab_size]
+    seen = oh.any(axis=-2)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def sample_token(rng: jax.Array, logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
+    """[B, vocab] fp32 logits -> [B] int32 token ids."""
+    if params.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits / jnp.maximum(params.temperature, 1e-6)
+    lg = apply_top_k(lg, params.top_k)
+    lg = apply_top_p(lg, params.top_p)
+    return jax.random.categorical(rng, lg, axis=-1).astype(jnp.int32)

@@ -1,0 +1,150 @@
+"""Prefill/decode generation runtime.
+
+Semantics reference: [hf] generation/utils.py:2234 (generate orchestration) and :2688-2900
+(_sample loop: forward -> last logits fp32 -> processors -> sample/argmax -> EOS tracking
+via unfinished_sequences -> streamer).
+
+TPU translation (SURVEY.md §3.4): TWO compiled functions — `prefill` (full prompt + audio,
+writes the cache) and `decode_step` (1 token, cache at a static capacity) — plus a device
+-side `lax.while_loop` sampler (`generate`) and a host-side streaming driver
+(`generate_stream`) that yields tokens for chat/TTS streaming. The cache is donated
+through the decode loop so HBM is not re-allocated per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import af3, qwen2
+from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
+
+
+class GenState(NamedTuple):
+    cache: qwen2.KVCache
+    cur_token: jnp.ndarray      # [B] last sampled token
+    position: jnp.ndarray       # [] next absolute position
+    out_tokens: jnp.ndarray     # [B, max_new_tokens]
+    done: jnp.ndarray           # [B] bool
+    step: jnp.ndarray           # [] int32
+    rng: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype"))
+def prefill(params, cfg: AF3Config, token_ids: jnp.ndarray, mels: jnp.ndarray | None,
+            capacity: int, compute_dtype=jnp.bfloat16):
+    """Prompt (+audio) -> (cache, last-token logits fp32).
+
+    token_ids: [B, T] with audio placeholders already expanded (processor contract).
+    """
+    b, t = token_ids.shape
+    embeds = af3.build_input_embeds(params, cfg, token_ids, mels, compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
+    h, cache = qwen2.forward(params["lm"], cfg.lm, embeds, pos, cache=cache)
+    logits = qwen2.unembed(params["lm"], cfg.lm, h[:, -1])
+    return cache, logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
+def decode_step(params, cfg: AF3Config, cache: qwen2.KVCache, token: jnp.ndarray,
+                position: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """One decode step: [B] token ids at `position` -> (cache, [B, vocab] fp32 logits)."""
+    embeds = qwen2.embed(params["lm"], token[:, None], dtype=compute_dtype)
+    pos = jnp.broadcast_to(position[None, None], (token.shape[0], 1)).astype(jnp.int32)
+    h, cache = qwen2.forward(params["lm"], cfg.lm, embeds, pos, cache=cache)
+    return cache, qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "capacity", "sampling", "eos_token_id",
+                     "compute_dtype"),
+)
+def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
+             mels: jnp.ndarray | None = None, *, max_new_tokens: int = 64,
+             capacity: int = 0, eos_token_id: int = -1,
+             sampling: SamplingParams = SamplingParams(), rng: jax.Array | None = None,
+             compute_dtype=jnp.bfloat16):
+    """Device-side generation: returns (tokens [B, max_new_tokens], lengths [B]).
+
+    Positions after EOS are filled with eos_token_id. capacity=0 -> prompt+max_new rounded
+    up to a 128 multiple (static shape bucket).
+    """
+    b, t = token_ids.shape
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens) // 128) * 128
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    rng, k0 = jax.random.split(rng)
+    first = sample_token(k0, logits, sampling)
+
+    state = GenState(
+        cache=cache,
+        cur_token=first,
+        position=jnp.asarray(t, jnp.int32),
+        out_tokens=jnp.full((b, max_new_tokens), eos_token_id, jnp.int32),
+        done=(first == eos_token_id),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+    state = state._replace(out_tokens=state.out_tokens.at[:, 0].set(first))
+
+    def cond(s: GenState):
+        return jnp.logical_and(s.step + 1 < max_new_tokens, ~jnp.all(s.done))
+
+    def body(s: GenState):
+        cache, logits = decode_step(params, cfg, s.cache, s.cur_token, s.position,
+                                    compute_dtype)
+        rng, k = jax.random.split(s.rng)
+        nxt = sample_token(k, logits, sampling)
+        nxt = jnp.where(s.done, eos_token_id, nxt)
+        step = s.step + 1
+        out = s.out_tokens.at[:, step].set(nxt)
+        done = jnp.logical_or(s.done, nxt == eos_token_id)
+        return GenState(cache, nxt, s.position + 1, out, done, step, rng)
+
+    state = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(jnp.cumsum(state.out_tokens == eos_token_id, axis=1) == 0, axis=1) + \
+        jnp.any(state.out_tokens == eos_token_id, axis=1).astype(jnp.int32)
+    return state.out_tokens, jnp.minimum(lengths, max_new_tokens)
+
+
+def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
+                    mels: jnp.ndarray | None = None, *, max_new_tokens: int = 128,
+                    capacity: int = 0, eos_token_id: int = -1,
+                    sampling: SamplingParams = SamplingParams(),
+                    rng: jax.Array | None = None,
+                    compute_dtype=jnp.bfloat16) -> Iterator[int]:
+    """Host-driven streaming decode (batch 1): yields token ids as they are sampled.
+
+    This is the streamer interface the AF3-Chat TTS head consumes
+    ([hf] generation/utils.py:2855-2857 streamer.put semantics).
+    """
+    b, t = token_ids.shape
+    assert b == 1, "streaming drives batch 1"
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens) // 128) * 128
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    rng, k = jax.random.split(rng)
+    token = sample_token(k, logits, sampling)
+    position = t
+    for _ in range(max_new_tokens):
+        tid = int(token[0])
+        yield tid
+        if tid == eos_token_id:
+            return
+        cache, logits = decode_step(params, cfg, cache, token,
+                                    jnp.asarray(position, jnp.int32), compute_dtype)
+        rng, k = jax.random.split(rng)
+        token = sample_token(k, logits, sampling)
+        position += 1

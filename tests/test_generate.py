@@ -1,0 +1,118 @@
+"""Generation runtime tests: greedy decode token-exact vs [hf] generate();
+device while_loop == host streaming; logits processors vs HF implementations."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+from audio_flamingo_tpu.io.hf_import import import_qwen2_audio
+from audio_flamingo_tpu.ops.sampling import SamplingParams, apply_top_k, apply_top_p
+from audio_flamingo_tpu.runtime import generate as gen
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+AUDIO_TOKEN = 120
+EOS = 127
+CFG = AF3Config(
+    encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=2, num_heads=4,
+                                 ffn_dim=64, max_source_positions=12, pool_stride=2),
+    lm=Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96, num_layers=2,
+                   num_heads=4, num_kv_heads=2, rope_theta=1e6, tie_word_embeddings=False),
+    audio_token_id=AUDIO_TOKEN,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers.models.qwen2.configuration_qwen2 import Qwen2Config as HFQwen2Config
+    from transformers.models.qwen2_audio.configuration_qwen2_audio import (
+        Qwen2AudioConfig,
+        Qwen2AudioEncoderConfig,
+    )
+    from transformers.models.qwen2_audio.modeling_qwen2_audio import (
+        Qwen2AudioForConditionalGeneration,
+    )
+
+    aud = Qwen2AudioEncoderConfig(num_mel_bins=16, d_model=32, encoder_layers=2,
+                                  encoder_attention_heads=4, encoder_ffn_dim=64,
+                                  max_source_positions=12)
+    txt = HFQwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                        rope_theta=1e6, tie_word_embeddings=False, attention_dropout=0.0,
+                        eos_token_id=EOS, bos_token_id=0, pad_token_id=0)
+    cfg = Qwen2AudioConfig(audio_config=aud.to_dict(), text_config=txt.to_dict(),
+                           audio_token_id=AUDIO_TOKEN)
+    torch.manual_seed(0)
+    return Qwen2AudioForConditionalGeneration(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def params(hf_model):
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    return import_qwen2_audio(sd, CFG)
+
+
+def _prompt():
+    rng = np.random.default_rng(3)
+    frames = 24
+    mels = rng.normal(size=(1, 1, frames, 16)).astype(np.float32)
+    ids = np.array([[5, 6, 7] + [AUDIO_TOKEN] * 6 + [9, 10, 11, 12]])
+    return ids, mels, frames
+
+
+def test_greedy_matches_hf_generate(hf_model, params):
+    ids, mels, frames = _prompt()
+    with torch.no_grad():
+        ref = hf_model.generate(
+            input_ids=torch.from_numpy(ids),
+            input_features=torch.from_numpy(mels[0].transpose(0, 2, 1)),
+            feature_attention_mask=torch.ones((1, frames), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        ).numpy()[0, ids.shape[1]:]
+
+    tokens, lengths = gen.generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mels), max_new_tokens=12,
+        eos_token_id=EOS, sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32,
+    )
+    ours = np.asarray(tokens)[0][: int(lengths[0])]
+    np.testing.assert_array_equal(ours[: len(ref)], ref[: len(ours)])
+
+
+def test_stream_matches_while_loop(params):
+    ids, mels, _ = _prompt()
+    tokens, lengths = gen.generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mels), max_new_tokens=10,
+        eos_token_id=EOS, compute_dtype=jnp.float32,
+    )
+    streamed = list(gen.generate_stream(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mels), max_new_tokens=10,
+        eos_token_id=EOS, compute_dtype=jnp.float32,
+    ))
+    dev = list(np.asarray(tokens)[0][: int(lengths[0])])
+    assert streamed[: len(dev)] == [int(t) for t in dev][: len(streamed)]
+
+
+def test_top_k_matches_hf():
+    from transformers.generation.logits_process import TopKLogitsWarper
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 50)).astype(np.float32)
+    ref = TopKLogitsWarper(top_k=5, filter_value=-1e30)(None, torch.from_numpy(logits)).numpy()
+    ours = np.asarray(apply_top_k(jnp.asarray(logits), 5))
+    kept_ref, kept_ours = ref > -1e29, np.asarray(ours) > -1e29
+    np.testing.assert_array_equal(kept_ours, kept_ref)
+    np.testing.assert_allclose(np.where(kept_ours, ours, 0), np.where(kept_ref, ref, 0), atol=1e-6)
+
+
+def test_top_p_matches_hf():
+    from transformers.generation.logits_process import TopPLogitsWarper
+
+    rng = np.random.default_rng(1)
+    logits = (rng.normal(size=(3, 40)) * 2).astype(np.float32)
+    ref = TopPLogitsWarper(top_p=0.7, filter_value=-1e30)(None, torch.from_numpy(logits)).numpy()
+    ours = np.asarray(apply_top_p(jnp.asarray(logits), 0.7))
+    np.testing.assert_array_equal(ours > -1e29, ref > -1e29)

@@ -1,0 +1,81 @@
+"""Golden tests: Qwen2 decoder vs [hf] Qwen2ForCausalLM on a small random config,
+plus prefill/decode cache-consistency tests."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import Qwen2Config
+from audio_flamingo_tpu.io.hf_import import import_qwen2
+from audio_flamingo_tpu.models import qwen2
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+CFG = Qwen2Config(vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+                  num_heads=4, num_kv_heads=2, rope_theta=1e6, tie_word_embeddings=False)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers.models.qwen2.configuration_qwen2 import Qwen2Config as HFConfig
+    from transformers.models.qwen2.modeling_qwen2 import Qwen2ForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, rope_theta=1e6,
+        tie_word_embeddings=False, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    return Qwen2ForCausalLM(hf_cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def params(hf_model):
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    return import_qwen2(sd, CFG)
+
+
+def test_logits_match_hf(hf_model, params):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(2, 11))
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(qwen2.logits_from_ids(params, CFG, jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_prefill_then_decode_matches_full_forward(params):
+    """Cache path: prefill T tokens then decode one-by-one == full no-cache forward."""
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 10)))
+    full = qwen2.logits_from_ids(params, CFG, ids)
+
+    cache = qwen2.init_cache(CFG, batch=1, capacity=16, dtype=jnp.float32)
+    # prefill first 6
+    x = qwen2.embed(params, ids[:, :6])
+    pos = jnp.arange(6)[None]
+    h, cache = qwen2.forward(params, CFG, x, pos, cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(qwen2.unembed(params, CFG, h)), np.asarray(full[:, :6]), atol=1e-4, rtol=1e-4
+    )
+    # decode 4 steps
+    for t in range(6, 10):
+        x = qwen2.embed(params, ids[:, t: t + 1])
+        h, cache = qwen2.forward(params, CFG, x, jnp.array([[t]]), cache=cache)
+        step = qwen2.unembed(params, CFG, h)
+        np.testing.assert_allclose(
+            np.asarray(step[:, 0]), np.asarray(full[:, t]), atol=1e-4, rtol=1e-4
+        )
+    assert int(cache.index) == 10
+
+
+def test_tied_embeddings():
+    cfg = Qwen2Config(vocab_size=64, hidden_size=16, intermediate_size=32, num_layers=1,
+                      num_heads=2, num_kv_heads=1, tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    assert "lm_head" not in params
+    out = qwen2.logits_from_ids(params, cfg, jnp.zeros((1, 3), jnp.int32))
+    assert out.shape == (1, 3, 64)
