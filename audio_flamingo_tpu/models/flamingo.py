@@ -1,0 +1,169 @@
+"""AF1/AF2 model family: CLAP-window audio embeds -> audio-transform self-attention
+layers -> Flamingo gated cross-attention into an OPT (AF1) or Qwen2.5 (AF2) decoder.
+
+Composition reference: SURVEY.md §3.2 (AF1 arch: window-level CLAP embeddings passed
+through self-attention "audio transformation layers", then gated xattn every N LM layers;
+mechanism per [hf] models/idefics/modeling_idefics.py:691-815). The CLAP/HTSAT tower
+itself lives in models/clap.py; this module consumes its per-window embeddings, so AF1
+(OPT) and AF2 (Qwen2) share everything but the decoder.
+
+TPU-first deltas: xattn layers are explicit scan-stacked params (no nn.Module graph
+surgery); media masking is a static boolean mask from per-token media counts; few-shot ICL
+interleaving is just that mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF2Config
+from audio_flamingo_tpu.models import qwen2
+from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos_sin, apply_rope, swiglu_mlp
+from audio_flamingo_tpu.ops import xattn as xattn_op
+
+
+# ------------------------------------------------------------------ audio transform layers
+
+def _atl_init(rng, d, num_heads):
+    keys = jax.random.split(rng, 6)
+    s = d ** -0.5
+    return {
+        "ln1_w": jnp.ones((d,)), "ln1_b": jnp.zeros((d,)),
+        "q": {"w": jax.random.normal(keys[0], (d, d)) * s * 0.5},
+        "k": {"w": jax.random.normal(keys[1], (d, d)) * s * 0.5},
+        "v": {"w": jax.random.normal(keys[2], (d, d)) * s * 0.5},
+        "o": {"w": jax.random.normal(keys[3], (d, d)) * s * 0.5},
+        "ln2_w": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
+        "fc1": {"w": jax.random.normal(keys[4], (d, 4 * d)) * s * 0.5,
+                "b": jnp.zeros((4 * d,))},
+        "fc2": {"w": jax.random.normal(keys[5], (4 * d, d)) * ((4 * d) ** -0.5) * 0.5,
+                "b": jnp.zeros((d,))},
+    }
+
+
+def _atl_forward(x, lp, num_heads):
+    from audio_flamingo_tpu.ops.mlp import gelu_mlp
+
+    b, s, d = x.shape
+    hd = d // num_heads
+    h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+    q = jnp.dot(h, lp["q"]["w"].astype(h.dtype)).reshape(b, s, num_heads, hd)
+    k = jnp.dot(h, lp["k"]["w"].astype(h.dtype)).reshape(b, s, num_heads, hd)
+    v = jnp.dot(h, lp["v"]["w"].astype(h.dtype)).reshape(b, s, num_heads, hd)
+    x = x + jnp.dot(gqa_attention(q, k, v).reshape(b, s, d), lp["o"]["w"].astype(x.dtype))
+    h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+    return x + gelu_mlp(h, {"fc1": lp["fc1"]["w"].astype(x.dtype), "fc1_b": lp["fc1"]["b"],
+                            "fc2": lp["fc2"]["w"].astype(x.dtype), "fc2_b": lp["fc2"]["b"]})
+
+
+# ------------------------------------------------------------------------------- AF2 model
+
+def init(rng: jax.Array, cfg: AF2Config) -> dict:
+    """AF2 params: audio transform layers + xattn blocks + Qwen2 LM (CLAP tower separate)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    d_lm = cfg.lm.hidden_size
+    d_a = cfg.audio_embed_dim
+    n_x = cfg.lm.num_layers // cfg.xattn.cross_every_n_layers
+    atl = [_atl_init(k, d_a, 8) for k in jax.random.split(k2, cfg.num_audio_transform_layers)]
+    xa = [xattn_op.init(k, d_lm, d_a, cfg.xattn.num_heads, cfg.xattn.ffn_mult)
+          for k in jax.random.split(k3, n_x)]
+    return {
+        "audio_transform": jax.tree.map(lambda *xs: jnp.stack(xs), *atl),
+        "xattn": jax.tree.map(lambda *xs: jnp.stack(xs), *xa),
+        "lm": qwen2.init(k4, cfg.lm),
+    }
+
+
+def transform_audio(params: dict, cfg: AF2Config, window_embeds: jnp.ndarray) -> jnp.ndarray:
+    """[B, n_media, windows_per_media, d_audio] -> [B, n_media*wpm, d_audio].
+
+    Self-attention runs WITHIN each media item (a clip's sliding windows), never across
+    items — cross-media leakage would break Flamingo media masking for few-shot ICL.
+    """
+    b, n_media, wpm, d = window_embeds.shape
+    x = window_embeds.reshape(b * n_media, wpm, d)
+
+    def body(h, lp):
+        return _atl_forward(h, lp, 8), None
+
+    x, _ = jax.lax.scan(body, x, params["audio_transform"])
+    return x.reshape(b, n_media * wpm, d)
+
+
+def _lm_forward_with_xattn(params, cfg: AF2Config, embeds, positions, media, media_mask,
+                           cache: qwen2.KVCache | None = None):
+    """Qwen2 stack with a gated-xattn block before every Nth layer.
+
+    The xattn blocks cannot ride the same scan as the LM layers (different cadence), so
+    the stack runs as a Python loop over layer groups: [xattn_i, lm_layer_j..j+N-1].
+    Layer params are sliced from the stacked pytree (static indices: unrolled at trace).
+    """
+    lm = params["lm"]
+    lcfg = cfg.lm
+    b, s, _ = embeds.shape
+    hd = lcfg.resolved_head_dim()
+    cos, sin = rope_cos_sin(positions, hd, lcfg.rope_theta)
+
+    if cache is not None:
+        kv_pos = jnp.arange(cache.capacity)[None, None, None, :]
+        mask = kv_pos <= positions[:, None, :, None]
+    else:
+        mask = positions[:, None, :, None] >= positions[:, None, None, :]
+
+    every = cfg.xattn.cross_every_n_layers
+    x = embeds
+    new_k, new_v = [], []
+    for i in range(lcfg.num_layers):
+        if i % every == 0:
+            xp = jax.tree.map(lambda a: a[i // every], params["xattn"])
+            x = xattn_op.apply(xp, x, media, cfg.xattn.num_heads, mask=media_mask)
+        lp = jax.tree.map(lambda a: a[i], lm["layers"])
+        if cache is not None:
+            x, (nk, nv) = qwen2._layer_forward(x, lp, lcfg, cos, sin, mask,
+                                               cache_kv=(cache.k[i], cache.v[i]),
+                                               cache_index=cache.index)
+            new_k.append(nk)
+            new_v.append(nv)
+        else:
+            x, _ = qwen2._layer_forward(x, lp, lcfg, cos, sin, mask)
+    x = rms_norm(x, lm["ln_f_w"], lcfg.rms_norm_eps)
+    new_cache = None
+    if cache is not None:
+        new_cache = qwen2.KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.index + s)
+    return x, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def logits(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
+           window_embeds: jnp.ndarray) -> jnp.ndarray:
+    """Full forward, single-media case: every text token may attend to all audio.
+
+    window_embeds: [B, n_media, windows_per_media, d_audio] CLAP window embeddings. For
+    few-shot ICL interleaving use `logits_with_media_mask`.
+    """
+    media = transform_audio(params, cfg, window_embeds)
+    b, t = token_ids.shape
+    embeds = qwen2.embed(params["lm"], token_ids)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    h, _ = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None)
+    return qwen2.unembed(params["lm"], cfg.lm, h)
+
+
+def logits_with_media_mask(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
+                           window_embeds: jnp.ndarray, text_media_idx: jnp.ndarray,
+                           n_media: int, mode: str = "last") -> jnp.ndarray:
+    """Like `logits` but with explicit Flamingo media masking for few-shot ICL.
+
+    window_embeds: [B, n_media, windows_per_media, d_audio].
+    """
+    media = transform_audio(params, cfg, window_embeds)
+    b, t = token_ids.shape
+    tokens_per_media = window_embeds.shape[2]
+    mmask = xattn_op.media_mask(text_media_idx, n_media, tokens_per_media, mode=mode)
+    embeds = qwen2.embed(params["lm"], token_ids)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    h, _ = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=mmask)
+    return qwen2.unembed(params["lm"], cfg.lm, h)

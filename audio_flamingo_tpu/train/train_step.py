@@ -1,0 +1,78 @@
+"""Sharded training step: optax + stage freeze masks + pjit over the mesh.
+
+Replaces the reference's HF-Trainer + DeepSpeed ZeRO loop (SURVEY.md §3.3): gradients are
+averaged by XLA (the batch axis is sharded over data/fsdp, so the loss mean IS the
+all-reduce), optimizer states inherit parameter shardings (ZeRO-equivalent), and freeze
+masks implement the stage curriculum (train/stages.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import af3
+from audio_flamingo_tpu.train.stages import Stage, trainable_mask
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(stage: Stage, params, *, weight_decay: float = 0.01,
+                   warmup_steps: int = 100, total_steps: int = 10_000,
+                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, stage.lr, warmup_steps, max(total_steps, warmup_steps + 1), stage.lr * 0.1)
+    mask = trainable_mask(params, stage)
+    opt = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=weight_decay),
+    )
+    # frozen leaves get zero updates AND carry no optimizer state (ZeRO-friendly memory)
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "freeze", mask),
+    )
+
+
+def init_state(params, stage: Stage, **opt_kwargs) -> tuple[TrainState, optax.GradientTransformation]:
+    opt = make_optimizer(stage, params, **opt_kwargs)
+    return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)), opt
+
+
+def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
+               opt: optax.GradientTransformation, compute_dtype=jnp.bfloat16):
+    """One step. batch: {'ids': [B,T], 'labels': [B,T], 'mels': [B,W,F,M] | None}.
+
+    Pure function of (state, batch) — jit/pjit it with donated state. Under a sharded
+    batch axis the loss mean already averages across devices (XLA inserts the psum).
+    """
+
+    def loss_fn(params):
+        return af3.loss(params, cfg, batch["ids"], batch["labels"], batch.get("mels"),
+                        compute_dtype=compute_dtype)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def make_jit_train_step(cfg: AF3Config, opt, mesh=None, state_sharding=None,
+                        batch_sharding=None, compute_dtype=jnp.bfloat16):
+    """Compiled train step; with a mesh, in/out shardings pin params/opt-state placement."""
+    step = partial(train_step, cfg=cfg, opt=opt, compute_dtype=compute_dtype)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    return jax.jit(step, donate_argnums=0,
+                   in_shardings=(state_sharding, batch_sharding),
+                   out_shardings=(state_sharding, None))
