@@ -1,0 +1,145 @@
+"""Top-level user API: load a model, run wav -> text, multi-turn chat.
+
+Public interface parity (SURVEY.md §1 L6): `load(model_id) -> model`;
+`model.generate(sound, prompt, ...) -> text`; multi-turn chat with history
+(static/af3_main_diagram-1.png chat panel); streaming token callback for the TTS head.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import af3
+from audio_flamingo_tpu.ops.sampling import SamplingParams
+from audio_flamingo_tpu.runtime import generate as gen
+from audio_flamingo_tpu.runtime.processor import AF3Processor, AUDIO_TOKEN
+from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer
+
+
+@dataclass
+class AudioFlamingo:
+    """An AF3-family model ready for inference."""
+
+    cfg: AF3Config
+    params: dict
+    processor: AF3Processor
+    eos_token_id: int
+    compute_dtype: object = jnp.bfloat16
+    history: list = field(default_factory=list)
+
+    # --------------------------------------------------------------------- generation
+    def generate(self, sound: np.ndarray | list[np.ndarray] | None = None,
+                 prompt: str = "Describe the audio.", *, max_new_tokens: int = 256,
+                 sampling: SamplingParams = SamplingParams(), seed: int = 0,
+                 chat: bool = False, stream: bool = False):
+        """sound: mono 16 kHz float32 waveform(s). Returns text (or a token iterator)."""
+        audios = None
+        text = prompt
+        if sound is not None:
+            audios = [sound] if isinstance(sound, np.ndarray) else list(sound)
+            if AUDIO_TOKEN not in prompt:
+                text = f"{AUDIO_TOKEN}{prompt}"
+        messages = (self.history if chat else []) + [{"role": "user", "content": text}]
+        batch = self.processor(messages=messages, audios=audios)
+        ids = jnp.asarray(batch["ids"])
+        mels = jnp.asarray(batch["mels"]) if batch["mels"] is not None else None
+
+        if stream:
+            return self._stream(ids, mels, max_new_tokens, sampling, seed)
+
+        tokens, lengths = gen.generate(
+            self.params, self.cfg, ids, mels, max_new_tokens=max_new_tokens,
+            eos_token_id=self.eos_token_id, sampling=sampling,
+            rng=jax.random.PRNGKey(seed), compute_dtype=self.compute_dtype)
+        out_ids = np.asarray(tokens)[0][: int(lengths[0])]
+        answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
+        if chat:
+            self.history.append({"role": "user", "content": text})
+            self.history.append({"role": "assistant", "content": answer})
+        return answer
+
+    def _stream(self, ids, mels, max_new_tokens, sampling, seed):
+        for tok in gen.generate_stream(
+                self.params, self.cfg, ids, mels, max_new_tokens=max_new_tokens,
+                eos_token_id=self.eos_token_id, sampling=sampling,
+                rng=jax.random.PRNGKey(seed), compute_dtype=self.compute_dtype):
+            yield tok
+
+    def reset_chat(self) -> None:
+        self.history.clear()
+
+    # ---------------------------------------------------------------------- factories
+    @staticmethod
+    def from_random(cfg: AF3Config | None = None, tokenizer: BBPETokenizer | None = None,
+                    seed: int = 0, compute_dtype=jnp.float32) -> "AudioFlamingo":
+        """Random-weight model (tests/benchmarks)."""
+        cfg = cfg or AF3Config.tiny()
+        params = af3.init(jax.random.PRNGKey(seed), cfg)
+        if tokenizer is None:
+            from audio_flamingo_tpu.runtime.tokenizer import train_bpe
+
+            vocab, merges = train_bpe(["describe the sound of music and speech"],
+                                      min(400, cfg.lm.vocab_size))
+            tokenizer = BBPETokenizer(vocab, merges)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, audio_token_id=tokenizer.special_tokens[AUDIO_TOKEN])
+        proc = AF3Processor(tokenizer=tokenizer, cfg=cfg)
+        eos = tokenizer.special_tokens.get("<|im_end|>", -1)
+        return AudioFlamingo(cfg=cfg, params=params, processor=proc, eos_token_id=eos,
+                             compute_dtype=compute_dtype)
+
+
+def load(model_path: str, compute_dtype=jnp.bfloat16) -> AudioFlamingo:
+    """Load an AF3-family checkpoint directory (HF '-hf' layout).
+
+    Expects: config.json (qwen2_audio-style nesting), tokenizer.json (or vocab.json +
+    merges.txt), model.safetensors[.index.json].
+    """
+    import json
+
+    from audio_flamingo_tpu.io.hf_import import import_qwen2_audio
+    from audio_flamingo_tpu.io.safetensors import load_checkpoint_dir
+    from audio_flamingo_tpu.config import Qwen2Config, WhisperEncoderConfig
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        raw = json.load(f)
+    aud = raw.get("audio_config", {})
+    txt = raw.get("text_config", {})
+    cfg = AF3Config(
+        encoder=WhisperEncoderConfig(
+            num_mel_bins=aud.get("num_mel_bins", 128),
+            d_model=aud.get("d_model", 1280),
+            num_layers=aud.get("encoder_layers", 32),
+            num_heads=aud.get("encoder_attention_heads", 20),
+            ffn_dim=aud.get("encoder_ffn_dim", 5120),
+            max_source_positions=aud.get("max_source_positions", 1500),
+        ),
+        lm=Qwen2Config(
+            vocab_size=txt.get("vocab_size", 152_064),
+            hidden_size=txt.get("hidden_size", 3584),
+            intermediate_size=txt.get("intermediate_size", 18_944),
+            num_layers=txt.get("num_hidden_layers", 28),
+            num_heads=txt.get("num_attention_heads", 28),
+            num_kv_heads=txt.get("num_key_value_heads", 4),
+            rope_theta=txt.get("rope_theta", 1e6),
+            tie_word_embeddings=txt.get("tie_word_embeddings", False),
+        ),
+        audio_token_id=raw.get("audio_token_id", raw.get("audio_token_index", 151_646)),
+    )
+    sd = load_checkpoint_dir(model_path)
+    params = import_qwen2_audio(sd, cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype)
+                          if np.asarray(x).dtype == np.float32 else jnp.asarray(x), params)
+    tokenizer = BBPETokenizer.from_pretrained_dir(model_path)
+    proc = AF3Processor(tokenizer=tokenizer, cfg=cfg)
+    eos = tokenizer.special_tokens.get("<|im_end|>", -1)
+    return AudioFlamingo(cfg=cfg, params=params, processor=proc, eos_token_id=eos,
+                         compute_dtype=compute_dtype)

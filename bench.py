@@ -1,79 +1,69 @@
-"""Benchmark harness: prints ONE JSON line with the headline TPU metrics.
+"""Benchmark harness: prints ONE JSON line (stdout) with the headline TPU metrics.
 
-Primary metric: encoder RTFx on 10-min audio (BASELINE.json north star: >=100x realtime)
-with the full-size AF-Whisper tower (32L x d1280, 128 mel) in bf16, including the mel
-frontend. Secondary (same JSON object): decode tokens/s/chip for the largest Qwen2.5 LM
-that fits one v5e chip in bf16, and p50 TTFT for a 30 s clip.
+Metrics (BASELINE.md north stars):
+- encode_rtfx_10min: audio-seconds/second/chip for the FULL AF-Whisper tower (32L x d1280,
+  128 mel) in bf16 on a 10-min clip, including the fused Pallas mel frontend. Target 100x.
+- decode_tps_qwen25_3b_b1: decode tokens/s/chip, Qwen2.5-3B-shape LM, batch 1, bf16,
+  measured with the device-side lax.while_loop decode (one host sync total — the
+  axon tunnel costs ~40 ms per sync, so host-loop decode is not representative).
 
-Run on the attached real TPU (default platform). Baselines: vs_baseline is measured
-against the 100x-realtime encode target since the reference publishes no throughput
-numbers (BASELINE.md).
+Progress goes to stderr (remote compiles take minutes on this setup); the single JSON
+line is the last stdout line.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def _timeit(fn, *args, warmup: int = 2, iters: int = 5):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
-def bench_encoder_rtfx() -> dict:
+def bench_encoder() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from audio_flamingo_tpu.config import AF3Config, MelConfig, WhisperEncoderConfig
-    from audio_flamingo_tpu.audio import WhisperMelFrontend
-    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.audio.mel import WhisperMelFrontend
+    from audio_flamingo_tpu.config import MelConfig, WhisperEncoderConfig
+    from audio_flamingo_tpu.models import whisper_encoder
 
-    cfg = AF3Config(
-        encoder=WhisperEncoderConfig(),  # full AF-Whisper size: 32L, d1280, 128 mel
-        lm=AF3Config.tiny().lm,          # LM unused here
-    )
-    params_enc = {"encoder": __import__(
-        "audio_flamingo_tpu.models.whisper_encoder", fromlist=["init"]
-    ).init(jax.random.PRNGKey(0), cfg.encoder)}
-    from audio_flamingo_tpu.models import adaptor as adaptor_mod
+    cfg = WhisperEncoderConfig()
+    log("bench_encoder: init params...")
+    params = whisper_encoder.init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    _ = float(params["ln_post_w"].sum())
 
-    params_enc["adaptor"] = adaptor_mod.init(jax.random.PRNGKey(1), cfg.encoder.d_model,
-                                             cfg.lm.hidden_size)
-    params_enc = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-                              params_enc)
-
-    fe = WhisperMelFrontend(MelConfig(num_mel_bins=128))
+    fe = WhisperMelFrontend(MelConfig(num_mel_bins=128), use_pallas=True)
     audio_s = 600
-    wav = np.random.default_rng(0).normal(size=16000 * audio_s).astype(np.float32) * 0.1
-    padded = fe.pad_or_trim(wav)
+    wav = (np.random.default_rng(0).normal(size=(20, 480_000)) * 0.1).astype(np.float32)
 
-    @jax.jit
-    def encode(wav_batch):
-        mels = fe(wav_batch)                                  # [1, 20*3000, 128]
-        nw = mels.shape[1] // 3000
-        mels = mels.reshape(nw, 3000, 128)
-        return af3.encode_audio(params_enc, cfg, mels, compute_dtype=jnp.bfloat16)
+    log("bench_encoder: compile mel (pallas)...")
+    mels = fe._window_mels(jnp.asarray(wav))
+    _ = float(mels.sum())
+    log("bench_encoder: compile encoder...")
+    out = whisper_encoder.apply(params, cfg, mels.astype(jnp.bfloat16),
+                                compute_dtype=jnp.bfloat16)
+    _ = float(out.astype(jnp.float32).sum())
 
-    dt = _timeit(encode, jnp.asarray(padded[None]))
-    ttft_encode = _timeit(encode, jnp.asarray(padded[None][:, : 16000 * 30].reshape(1, -1)))
-    return {"encode_rtfx_10min": audio_s / dt, "encode_s_10min": dt,
-            "encode_s_30s_window": ttft_encode}
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        mels = fe._window_mels(jnp.asarray(wav))
+        out = whisper_encoder.apply(params, cfg, mels.astype(jnp.bfloat16),
+                                    compute_dtype=jnp.bfloat16)
+        _ = float(out.astype(jnp.float32)[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    log(f"bench_encoder: {dt*1e3:.0f} ms / 10 min -> RTFx {audio_s/dt:.0f}")
+    return {"encode_rtfx_10min": audio_s / dt, "encode_s_10min": dt}
 
 
-def bench_decode_tps() -> dict:
+def bench_decode() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,44 +71,56 @@ def bench_decode_tps() -> dict:
     from audio_flamingo_tpu.models import qwen2
 
     cfg = Qwen2Config.qwen25_3b()
-    keys = jax.random.split(jax.random.PRNGKey(0), 4)
-
-    # init directly in bf16 on device to stay inside HBM
-    def bf16_init():
-        p = qwen2.init(keys[0], cfg)
-        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
-
-    params = jax.jit(bf16_init)()
-    jax.block_until_ready(params)
-
-    capacity = 2048
-    cache = qwen2.init_cache(cfg, batch=1, capacity=capacity, dtype=jnp.bfloat16)
+    log("bench_decode: init 3B params in bf16 on device...")
 
     @jax.jit
-    def step(cache, token, position):
-        x = qwen2.embed({"embed": params["embed"]}, token[:, None], dtype=jnp.bfloat16)
-        h, cache = qwen2.forward(params, cfg, x, position[None, None], cache=cache)
-        logits = qwen2.unembed(params, cfg, h[:, 0])
-        return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    def bf16_init():
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                            qwen2.init(jax.random.PRNGKey(0), cfg))
 
+    params = bf16_init()
+    _ = float(params["ln_f_w"].astype(jnp.float32).sum())
+
+    capacity = 1024
+    n_steps = 64
+
+    def decode_n(params, cache, token):
+        def body(carry):
+            cache, token, i = carry
+            x = qwen2.embed(params, token[:, None], dtype=jnp.bfloat16)
+            pos = jnp.full((1, 1), cache.index, jnp.int32)
+            h, cache = qwen2.forward(params, cfg, x, pos, cache=cache)
+            nxt = jnp.argmax(qwen2.unembed(params, cfg, h[:, 0]), axis=-1).astype(jnp.int32)
+            return cache, nxt, i + 1
+
+        def cond(carry):
+            return carry[2] < n_steps
+
+        cache, token, _ = jax.lax.while_loop(cond, body, (cache, token, jnp.zeros((), jnp.int32)))
+        return cache, token
+
+    decode_jit = jax.jit(decode_n, donate_argnums=1)
+    log("bench_decode: compile decode while_loop...")
+    cache = qwen2.init_cache(cfg, 1, capacity, dtype=jnp.bfloat16)
     token = jnp.zeros((1,), jnp.int32)
-    pos = jnp.asarray(0, jnp.int32)
-    cache, token = step(cache, token, pos)  # compile
-    jax.block_until_ready(token)
+    cache, token = decode_jit(params, cache, token)
+    _ = int(token[0])
 
-    n = 50
-    t0 = time.perf_counter()
-    for i in range(1, n + 1):
-        cache, token = step(cache, token, jnp.asarray(i, jnp.int32))
-    jax.block_until_ready(token)
-    dt = time.perf_counter() - t0
-    return {"decode_tps_3b_bf16": n / dt, "decode_ms_per_tok": dt / n * 1e3,
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        cache, token = decode_jit(params, cache, token)
+        _ = int(token[0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n_steps
+    log(f"bench_decode: {dt*1e3:.2f} ms/token -> {1/dt:.1f} tok/s")
+    return {"decode_tps_qwen25_3b_b1": 1 / dt, "decode_ms_per_tok": dt * 1e3,
             "decode_capacity": capacity}
 
 
 def main():
-    enc = bench_encoder_rtfx()
-    dec = bench_decode_tps()
+    enc = bench_encoder()
+    dec = bench_decode()
     rtfx = enc["encode_rtfx_10min"]
     line = {
         "metric": "encode_rtfx_10min",
@@ -126,10 +128,9 @@ def main():
         "unit": "audio_s/s/chip",
         "vs_baseline": round(rtfx / 100.0, 3),  # target: >=100x realtime
         "secondary": {
-            "decode_tps_qwen25_3b_b1": round(dec["decode_tps_3b_bf16"], 2),
+            "decode_tps_qwen25_3b_b1": round(dec["decode_tps_qwen25_3b_b1"], 2),
             "decode_ms_per_tok": round(dec["decode_ms_per_tok"], 3),
             "encode_s_10min": round(enc["encode_s_10min"], 4),
-            "encode_s_30s_window": round(enc["encode_s_30s_window"], 4),
         },
     }
     print(json.dumps(line))

@@ -1,0 +1,54 @@
+"""Top-level API tests: from_random model, generate, multi-turn chat, streaming."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from audio_flamingo_tpu.api import AudioFlamingo
+from audio_flamingo_tpu.ops.sampling import SamplingParams
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="module")
+def model():
+    import jax.numpy as jnp
+
+    return AudioFlamingo.from_random(compute_dtype=jnp.float32)
+
+
+def test_generate_text_only(model):
+    out = model.generate(prompt="Hello?", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_generate_with_audio(model):
+    wav = (0.2 * np.sin(2 * np.pi * 440 * np.arange(16000 * 2) / 16000)).astype(np.float32)
+    out = model.generate(sound=wav, prompt="What is this?", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_chat_history_accumulates(model):
+    model.reset_chat()
+    model.generate(prompt="first turn", max_new_tokens=3, chat=True)
+    assert len(model.history) == 2
+    model.generate(prompt="second turn", max_new_tokens=3, chat=True)
+    assert len(model.history) == 4
+    assert model.history[0]["role"] == "user"
+    assert model.history[1]["role"] == "assistant"
+    model.reset_chat()
+    assert not model.history
+
+
+def test_streaming_yields_ints(model):
+    wav = np.zeros(16000, np.float32)
+    toks = list(model.generate(sound=wav, prompt="stream", max_new_tokens=5, stream=True))
+    assert 1 <= len(toks) <= 5
+    assert all(isinstance(t, int) for t in toks)
+
+
+def test_greedy_deterministic(model):
+    a = model.generate(prompt="det", max_new_tokens=6, sampling=SamplingParams(greedy=True))
+    b = model.generate(prompt="det", max_new_tokens=6, sampling=SamplingParams(greedy=True))
+    assert a == b

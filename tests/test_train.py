@@ -1,0 +1,121 @@
+"""Training pipeline tests: mixture sampling, batch packing, loss decreases over steps,
+stage freeze masks, orbax checkpoint resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import af3
+from audio_flamingo_tpu.runtime.processor import AF3Processor, AUDIO_TOKEN
+from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer, train_bpe
+from audio_flamingo_tpu.train.data import BatchBuilder, MixtureSampler, Source, batches
+from audio_flamingo_tpu.train.stages import AF3_STAGES, trainable_mask
+from audio_flamingo_tpu.train.train_step import init_state, make_jit_train_step
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import dataclasses
+
+    vocab, merges = train_bpe(["a dog barks", "music plays loudly", "someone speaks"], 380)
+    tok = BBPETokenizer(vocab, merges)
+    cfg0 = AF3Config.tiny()
+    # shrink encoder positions for fast tests? keep 1500 (3000-frame contract)
+    cfg = dataclasses.replace(cfg0, lm=dataclasses.replace(cfg0.lm, vocab_size=512),
+                              audio_token_id=tok.special_tokens[AUDIO_TOKEN])
+    proc = AF3Processor(tokenizer=tok, cfg=cfg)
+    params = af3.init(jax.random.PRNGKey(0), cfg)
+
+    def example(rng):
+        wav = (rng.normal(size=16000) * 0.1).astype(np.float32)
+        return [wav], f"What is {AUDIO_TOKEN}?", "a dog barks"
+
+    sampler = MixtureSampler([Source("synthetic", 1.0, example)], seed=0)
+    builder = BatchBuilder(processor=proc, pad_id=0)
+    return cfg, params, sampler, builder
+
+
+def test_batch_shapes_and_labels(setup):
+    cfg, params, sampler, builder = setup
+    batch = next(batches(sampler, builder, batch_size=2))
+    assert batch["ids"].shape[0] == 2
+    assert batch["mels"].shape[1:] == (1, 3000, cfg.encoder.num_mel_bins)
+    # audio + prompt positions masked
+    n_audio = (batch["ids"] == cfg.audio_token_id).sum(axis=1)
+    assert (n_audio == 750).all()
+    assert ((batch["labels"] == -100) | (batch["labels"] >= 0)).all()
+    # answer tokens present and unmasked
+    assert (batch["labels"] >= 0).sum() > 0
+
+
+def test_mixture_weights():
+    a = Source("a", 3.0, lambda rng: ([], "a", "x"))
+    b = Source("b", 1.0, lambda rng: ([], "b", "y"))
+    sampler = MixtureSampler([a, b], seed=0)
+    names = [sampler.sample()[0] for _ in range(400)]
+    frac = names.count("a") / len(names)
+    assert 0.65 < frac < 0.85
+
+
+def test_loss_decreases_and_freeze_mask(setup):
+    cfg, params, sampler, builder = setup
+    stage = AF3_STAGES["1_pretrain"]  # only adaptor trains
+    params = jax.tree.map(jnp.copy, params)  # train_step donates the state
+    state, opt = init_state(params, stage, warmup_steps=1, total_steps=30)
+    step_fn = make_jit_train_step(cfg, opt, compute_dtype=jnp.float32)
+    batch = next(batches(sampler, builder, batch_size=2))
+    enc_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params["encoder"])
+    lm_before = np.asarray(state.params["lm"]["embed"]).copy()
+    adaptor_before = np.asarray(state.params["adaptor"]["fc1"]["w"]).copy()
+
+    losses = []
+    for _ in range(8):
+        state, m = step_fn(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    # frozen submodules unchanged; adaptor moved
+    np.testing.assert_array_equal(np.asarray(state.params["lm"]["embed"]), lm_before)
+    np.testing.assert_array_equal(np.asarray(state.params["encoder"]["conv1_w"]),
+                                  np.asarray(enc_before["conv1_w"]))
+    assert np.abs(np.asarray(state.params["adaptor"]["fc1"]["w"]) - adaptor_before).max() > 0
+
+
+def test_trainable_mask_stages(setup):
+    cfg, params, *_ = setup
+    m1 = trainable_mask(params, AF3_STAGES["1_pretrain"])
+    assert not jax.tree.leaves(m1["encoder"])[0]
+    assert jax.tree.leaves(m1["adaptor"])[0]
+    assert not jax.tree.leaves(m1["lm"])[0]
+    m3 = trainable_mask(params, AF3_STAGES["3_full_ft"])
+    assert all(jax.tree.leaves(m3))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    from audio_flamingo_tpu.train import checkpoints
+
+    cfg, params, sampler, builder = setup
+    stage = AF3_STAGES["3_full_ft"]
+    state, opt = init_state(jax.tree.map(jnp.copy, params), stage)
+    checkpoints.save(str(tmp_path), state, step=7)
+    assert checkpoints.latest_step(str(tmp_path)) == 7
+    zero_state = jax.tree.map(jnp.zeros_like, state)
+    restored = checkpoints.restore(str(tmp_path), zero_state, step=7)
+    np.testing.assert_array_equal(np.asarray(restored.params["lm"]["embed"]),
+                                  np.asarray(state.params["lm"]["embed"]))
+    assert int(restored.step) == int(state.step)
+
+
+def test_safetensors_param_roundtrip(tmp_path, setup):
+    from audio_flamingo_tpu.train.checkpoints import export_safetensors, import_safetensors
+
+    cfg, params, *_ = setup
+    p = str(tmp_path / "params.safetensors")
+    export_safetensors(p, params)
+    loaded = import_safetensors(p, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
