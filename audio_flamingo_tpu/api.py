@@ -35,17 +35,27 @@ class AudioFlamingo:
     history: list = field(default_factory=list)
 
     # --------------------------------------------------------------------- generation
+    THINK_INSTRUCTION = ("Please think and reason about the input audio before you "
+                         "respond. Put your thoughts between <think> and </think>, then "
+                         "give the final answer.")
+
     def generate(self, sound: np.ndarray | list[np.ndarray] | None = None,
                  prompt: str = "Describe the audio.", *, max_new_tokens: int = 256,
                  sampling: SamplingParams = SamplingParams(), seed: int = 0,
-                 chat: bool = False, stream: bool = False):
-        """sound: mono 16 kHz float32 waveform(s). Returns text (or a token iterator)."""
+                 chat: bool = False, stream: bool = False, think: bool = False):
+        """sound: mono 16 kHz float32 waveform(s). Returns text (or a token iterator).
+
+        think=True enables AF3's on-demand thinking (AF-Think prompt format,
+        README.md:108): the model is asked to reason inside <think>...</think> first.
+        """
         audios = None
         text = prompt
         if sound is not None:
             audios = [sound] if isinstance(sound, np.ndarray) else list(sound)
             if AUDIO_TOKEN not in prompt:
                 text = f"{AUDIO_TOKEN}{prompt}"
+        if think:
+            text = f"{text}\n{self.THINK_INSTRUCTION}"
         messages = (self.history if chat else []) + [{"role": "user", "content": text}]
         batch = self.processor(messages=messages, audios=audios)
         ids = jnp.asarray(batch["ids"])

@@ -1,0 +1,91 @@
+"""Griffin-Lim vocoder: log-mel -> waveform, all matmul/ISTFT math on-device.
+
+Backs the streaming TTS head (models/tts.py). Mel inversion uses the pseudo-inverse of
+the mel filterbank; phase is recovered with Griffin-Lim iterations (STFT via the same
+windowed-DFT-matmul machinery as the analysis frontend; ISTFT via the transposed basis +
+overlap-add).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_flamingo_tpu.audio.clap_mel import frame_signal
+from audio_flamingo_tpu.audio.mel import _windowed_dft_basis, mel_filter_bank
+
+
+class GriffinLim:
+    def __init__(self, sr: int = 16_000, n_fft: int = 400, hop: int = 160,
+                 n_mels: int = 80, fmin: float = 0.0, fmax: float = 8000.0,
+                 n_iter: int = 32):
+        self.sr, self.n_fft, self.hop, self.n_iter = sr, n_fft, hop, n_iter
+        mel = mel_filter_bank(n_fft // 2 + 1, n_mels, fmin, fmax, sr)
+        self.mel = jnp.asarray(mel, jnp.float32)                  # [bins, mels]
+        self.mel_pinv = jnp.asarray(np.linalg.pinv(mel), jnp.float32)  # [mels, bins]
+        c, s = _windowed_dft_basis(n_fft)
+        self.C = jnp.asarray(c, jnp.float32)
+        self.S = jnp.asarray(s, jnp.float32)
+        # synthesis window normalization for overlap-add (hann, hop/n_fft overlap)
+        hann = 0.5 * (1 - np.cos(2 * np.pi * np.arange(n_fft) / n_fft))
+        self.hann = jnp.asarray(hann, jnp.float32)
+
+    def _stft(self, wav: jnp.ndarray, num_frames: int):
+        half = self.n_fft // 2
+        padded = jnp.pad(wav[None], ((0, 0), (half, half)), mode="reflect")
+        frames = frame_signal(padded, self.n_fft, self.hop, num_frames)[0]
+        re = frames @ self.C
+        im = -(frames @ self.S)
+        return re, im
+
+    def _istft(self, re: jnp.ndarray, im: jnp.ndarray, n_samples: int):
+        """Inverse rFFT per frame (via basis transpose) + windowed overlap-add."""
+        n_fft, hop = self.n_fft, self.hop
+        nb = re.shape[-1]
+        # inverse real FFT: x[n] = (1/N) * [X_0 + 2*sum_k (Re cos + Im sin)] with the
+        # analysis window folded into C/S; divide it back out and re-apply synthesis hann
+        scale = jnp.where((jnp.arange(nb) == 0) | (jnp.arange(nb) == nb - 1), 1.0, 2.0)
+        # C = cos * hann -> recover plain cos basis by dividing hann out per-sample
+        inv_h = jnp.where(self.hann > 1e-8, 1.0 / self.hann, 0.0)
+        frames = ((re * scale) @ self.C.T - (im * scale) @ self.S.T) / n_fft
+        frames = frames * inv_h[None, :]          # undo analysis window baked in basis
+        frames = frames * self.hann[None, :]      # apply synthesis window
+        num_frames = frames.shape[0]
+        out = jnp.zeros(num_frames * hop + n_fft, jnp.float32)
+        wsum = jnp.zeros_like(out)
+        idx = jnp.arange(n_fft)
+
+        def body(i, carry):
+            out, wsum = carry
+            pos = i * hop
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (pos,), (n_fft,)) + frames[i], (pos,))
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, jax.lax.dynamic_slice(wsum, (pos,), (n_fft,)) + self.hann ** 2, (pos,))
+            return out, wsum
+
+        out, wsum = jax.lax.fori_loop(0, num_frames, body, (out, wsum))
+        out = out / jnp.maximum(wsum, 1e-8)
+        half = n_fft // 2
+        return out[half: half + n_samples]
+
+    def mel_to_waveform(self, log_mel: jnp.ndarray, seed: int = 0) -> np.ndarray:
+        """[frames, n_mels] log10-mel (Whisper-style scale NOT applied) -> waveform."""
+        num_frames = log_mel.shape[0]
+        n_samples = num_frames * self.hop
+        power = jnp.power(10.0, log_mel) @ self.mel_pinv          # [frames, bins]
+        mag = jnp.sqrt(jnp.maximum(power, 0.0))
+
+        key = jax.random.PRNGKey(seed)
+        phase = jax.random.uniform(key, mag.shape, jnp.float32, -np.pi, np.pi)
+        re, im = mag * jnp.cos(phase), mag * jnp.sin(phase)
+        wav = self._istft(re, im, n_samples)
+        for _ in range(self.n_iter):
+            re_a, im_a = self._stft(wav, num_frames)
+            mag_a = jnp.sqrt(re_a ** 2 + im_a ** 2) + 1e-8
+            re, im = mag * re_a / mag_a, mag * im_a / mag_a
+            wav = self._istft(re, im, n_samples)
+        return np.asarray(wav)

@@ -152,6 +152,59 @@ def logits(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     return qwen2.unembed(params["lm"], cfg.lm, h)
 
 
+@partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype"))
+def prefill(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
+            window_embeds: jnp.ndarray, capacity: int, compute_dtype=jnp.float32):
+    """Prompt + CLAP windows -> (cache, media, last-token logits).
+
+    window_embeds: [B, n_media, windows_per_media, d_audio]. Media features are computed
+    once here and re-used by every decode step (they are static during generation).
+    """
+    b, t = token_ids.shape
+    media = transform_audio(params, cfg, window_embeds.astype(compute_dtype))
+    embeds = qwen2.embed(params["lm"], token_ids, dtype=compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
+    h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None,
+                                      cache=cache)
+    return cache, media, qwen2.unembed(params["lm"], cfg.lm, h[:, -1])
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
+def decode_step(params: dict, cfg: AF2Config, cache, media: jnp.ndarray,
+                token: jnp.ndarray, position: jnp.ndarray, compute_dtype=jnp.float32):
+    """One decode step with gated cross-attention to the (fixed) media features."""
+    embeds = qwen2.embed(params["lm"], token[:, None], dtype=compute_dtype)
+    pos = jnp.broadcast_to(position[None, None], (token.shape[0], 1)).astype(jnp.int32)
+    h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None,
+                                      cache=cache)
+    return cache, qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "capacity", "sampling",
+                                   "eos_token_id", "compute_dtype"))
+def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
+             window_embeds: jnp.ndarray, *, max_new_tokens: int = 64, capacity: int = 0,
+             eos_token_id: int = -1, sampling=None, rng=None, compute_dtype=jnp.float32):
+    """AF1/AF2 device-side generation (SURVEY.md §3.2 + §3.4)."""
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.generate import decode_loop
+
+    b, t = token_ids.shape
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens) // 128) * 128
+    sampling = sampling or SamplingParams()
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    cache, media, logits0 = prefill(params, cfg, token_ids, window_embeds, capacity,
+                                    compute_dtype)
+
+    def decode_fn(cache, token, position):
+        return decode_step(params, cfg, cache, media, token, position, compute_dtype)
+
+    return decode_loop(logits0, cache, t, decode_fn, max_new_tokens=max_new_tokens,
+                       eos_token_id=eos_token_id, sampling=sampling, rng=rng)
+
+
 def logits_with_media_mask(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
                            window_embeds: jnp.ndarray, text_media_idx: jnp.ndarray,
                            n_media: int, mode: str = "last") -> jnp.ndarray:

@@ -60,6 +60,48 @@ def decode_step(params, cfg: AF3Config, cache: qwen2.KVCache, token: jnp.ndarray
     return cache, qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
 
 
+def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
+                max_new_tokens: int, eos_token_id: int, sampling: SamplingParams,
+                rng: jax.Array):
+    """Model-agnostic device-side sampling loop (traced inside a jit).
+
+    decode_fn: (cache, token [B], position []) -> (cache, logits [B, vocab]).
+    Returns (tokens [B, max_new_tokens], lengths [B]).
+    """
+    b = first_logits.shape[0]
+    rng, k0 = jax.random.split(rng)
+    first = sample_token(k0, first_logits, sampling)
+
+    state = GenState(
+        cache=cache,
+        cur_token=first,
+        position=jnp.asarray(prompt_len, jnp.int32),
+        out_tokens=jnp.full((b, max_new_tokens), eos_token_id, jnp.int32),
+        done=(first == eos_token_id),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+    state = state._replace(out_tokens=state.out_tokens.at[:, 0].set(first))
+
+    def cond(s: GenState):
+        return jnp.logical_and(s.step + 1 < max_new_tokens, ~jnp.all(s.done))
+
+    def body(s: GenState):
+        cache, logits = decode_fn(s.cache, s.cur_token, s.position)
+        rng, k = jax.random.split(s.rng)
+        nxt = sample_token(k, logits, sampling)
+        nxt = jnp.where(s.done, eos_token_id, nxt)
+        step = s.step + 1
+        out = s.out_tokens.at[:, step].set(nxt)
+        done = jnp.logical_or(s.done, nxt == eos_token_id)
+        return GenState(cache, nxt, s.position + 1, out, done, step, rng)
+
+    state = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(jnp.cumsum(state.out_tokens == eos_token_id, axis=1) == 0, axis=1) + \
+        jnp.any(state.out_tokens == eos_token_id, axis=1).astype(jnp.int32)
+    return state.out_tokens, jnp.minimum(lengths, max_new_tokens)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "capacity", "sampling", "eos_token_id",
@@ -82,38 +124,12 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
         rng = jax.random.PRNGKey(0)
 
     cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
-    rng, k0 = jax.random.split(rng)
-    first = sample_token(k0, logits, sampling)
 
-    state = GenState(
-        cache=cache,
-        cur_token=first,
-        position=jnp.asarray(t, jnp.int32),
-        out_tokens=jnp.full((b, max_new_tokens), eos_token_id, jnp.int32),
-        done=(first == eos_token_id),
-        step=jnp.zeros((), jnp.int32),
-        rng=rng,
-    )
-    state = state._replace(out_tokens=state.out_tokens.at[:, 0].set(first))
+    def decode_fn(cache, token, position):
+        return decode_step(params, cfg, cache, token, position, compute_dtype)
 
-    def cond(s: GenState):
-        return jnp.logical_and(s.step + 1 < max_new_tokens, ~jnp.all(s.done))
-
-    def body(s: GenState):
-        cache, logits = decode_step(params, cfg, s.cache, s.cur_token, s.position,
-                                    compute_dtype)
-        rng, k = jax.random.split(s.rng)
-        nxt = sample_token(k, logits, sampling)
-        nxt = jnp.where(s.done, eos_token_id, nxt)
-        step = s.step + 1
-        out = s.out_tokens.at[:, step].set(nxt)
-        done = jnp.logical_or(s.done, nxt == eos_token_id)
-        return GenState(cache, nxt, s.position + 1, out, done, step, rng)
-
-    state = jax.lax.while_loop(cond, body, state)
-    lengths = jnp.sum(jnp.cumsum(state.out_tokens == eos_token_id, axis=1) == 0, axis=1) + \
-        jnp.any(state.out_tokens == eos_token_id, axis=1).astype(jnp.int32)
-    return state.out_tokens, jnp.minimum(lengths, max_new_tokens)
+    return decode_loop(logits, cache, t, decode_fn, max_new_tokens=max_new_tokens,
+                       eos_token_id=eos_token_id, sampling=sampling, rng=rng)
 
 
 def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,

@@ -144,3 +144,22 @@ def test_safetensors_matches_hf_torch_format(tmp_path):
     f = SafetensorsFile(path)
     out = f.tensor("w")  # upcast to f32
     np.testing.assert_allclose(out, t.float().numpy())
+
+
+def test_af2_generate_matches_full_forward_greedy():
+    """Cache+xattn decode path: greedy tokens == argmax chain of the no-cache forward."""
+    params = flamingo.init(jax.random.PRNGKey(2), CFG)
+    params["xattn"]["alpha_xattn"] = jnp.full_like(params["xattn"]["alpha_xattn"], 0.5)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray([[1, 2, 3]])
+    wins = jnp.asarray(rng.normal(size=(1, 1, 4, 16)), jnp.float32)
+    tokens, lengths = flamingo.generate(params, CFG, ids, wins, max_new_tokens=5,
+                                        eos_token_id=-2)
+    toks = np.asarray(tokens)[0]
+    # teacher-force through the no-cache forward
+    seq = np.asarray(ids)[0].tolist()
+    for i in range(5):
+        full = flamingo.logits(params, CFG, jnp.asarray([seq]), wins)
+        nxt = int(jnp.argmax(full[0, -1]))
+        assert nxt == int(toks[i]), (i, nxt, int(toks[i]))
+        seq.append(nxt)
