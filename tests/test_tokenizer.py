@@ -97,3 +97,17 @@ def test_processor_chat_template(tok_files):
     assert text.startswith("<|im_start|>system\n")
     assert text.endswith("<|im_start|>assistant\n")
     assert text.count("<|im_start|>") == 5  # system + 3 turns + generation prompt
+
+
+def test_native_bpe_matches_python(tok_files):
+    """The C++ merge engine must produce identical ids to the Python reference."""
+    nat = BBPETokenizer.from_files(str(tok_files / "vocab.json"),
+                                   str(tok_files / "merges.txt"), use_native=True)
+    py = BBPETokenizer.from_files(str(tok_files / "vocab.json"),
+                                  str(tok_files / "merges.txt"), use_native=False)
+    if nat._native is None:
+        import pytest as _pytest
+
+        _pytest.skip("native bpe unavailable")
+    for text in CORPUS + ["ünïcode — emoji 🎵!", "  spaces\tand\nnewlines", "CAPS 123"]:
+        assert nat.encode(text) == py.encode(text), text
