@@ -107,6 +107,93 @@ class AudioFlamingo:
                              compute_dtype=compute_dtype)
 
 
+@dataclass
+class AudioFlamingo2:
+    """AF1/AF2-family model: CLAP tower -> audio transform -> gated-xattn LM."""
+
+    cfg: object                       # AF2Config (lm = Qwen2Config or OPTConfig)
+    params: dict                      # flamingo params (audio_transform/xattn/lm)
+    clap_params: dict
+    clap_tower: object                # models.clap.ClapAudioTower
+    processor: object                 # runtime.clap_processor.AF2Processor
+    eos_token_id: int
+    compute_dtype: object = jnp.float32
+    history: list = field(default_factory=list)
+
+    def encode_audio(self, mels: np.ndarray, is_longer: np.ndarray) -> jnp.ndarray:
+        """[n_media, n_windows, C, T, M] mel stacks -> [1, n_media, n_windows, proj]."""
+        nm, nw = mels.shape[:2]
+        flat = jnp.asarray(mels.reshape((nm * nw,) + mels.shape[2:]))
+        lg = jnp.asarray(is_longer.reshape(nm * nw, 1))
+        out = self.clap_tower.encode(self.clap_params, flat, lg)
+        return out["embeds"].reshape(1, nm, nw, -1)
+
+    def generate(self, sound: np.ndarray | list[np.ndarray] | None = None,
+                 prompt: str = "Describe the audio.", *, max_new_tokens: int = 128,
+                 sampling: SamplingParams = SamplingParams(), seed: int = 0,
+                 chat: bool = False) -> str:
+        from audio_flamingo_tpu.models import flamingo
+        from audio_flamingo_tpu.runtime.clap_processor import AUDIO_TOKEN as CLAP_AT
+
+        audios = None
+        text = prompt
+        if sound is not None:
+            audios = [sound] if isinstance(sound, np.ndarray) else list(sound)
+            if CLAP_AT not in prompt:
+                text = f"{CLAP_AT}{prompt}"
+        messages = (self.history if chat else []) + [{"role": "user", "content": text}]
+        batch = self.processor(messages=messages, audios=audios)
+        if batch["mels"] is not None:
+            wins = self.encode_audio(batch["mels"], batch["is_longer"])
+        else:
+            wins = jnp.zeros((1, 1, 1, self.cfg.audio_embed_dim), self.compute_dtype)
+        tokens, lengths = flamingo.generate(
+            self.params, self.cfg, jnp.asarray(batch["ids"]), wins,
+            max_new_tokens=max_new_tokens, eos_token_id=self.eos_token_id,
+            sampling=sampling, rng=jax.random.PRNGKey(seed),
+            compute_dtype=self.compute_dtype)
+        out_ids = np.asarray(tokens)[0][: int(lengths[0])]
+        answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
+        if chat:
+            self.history.append({"role": "user", "content": text})
+            self.history.append({"role": "assistant", "content": answer})
+        return answer
+
+    def reset_chat(self) -> None:
+        self.history.clear()
+
+    @staticmethod
+    def from_random(cfg=None, seed: int = 0, compute_dtype=jnp.float32,
+                    clap_cfg=None) -> "AudioFlamingo2":
+        import dataclasses
+
+        from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig, Qwen2Config
+        from audio_flamingo_tpu.models import clap as clap_mod
+        from audio_flamingo_tpu.models import flamingo
+        from audio_flamingo_tpu.models.clap import ClapAudioTower
+        from audio_flamingo_tpu.runtime.clap_processor import AF2Processor
+        from audio_flamingo_tpu.runtime.tokenizer import train_bpe
+
+        cfg = cfg or AF2Config(
+            lm=Qwen2Config(vocab_size=512, hidden_size=64, intermediate_size=128,
+                           num_layers=2, num_heads=4, num_kv_heads=2,
+                           tie_word_embeddings=True),
+            xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        )
+        clap_cfg = clap_cfg or ClapAudioConfig(enable_fusion=True)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        params = flamingo.init(k1, cfg)
+        clap_params = clap_mod.init(k2, clap_cfg)
+        vocab, merges = train_bpe(["describe the sound of music"],
+                                  min(400, cfg.lm.vocab_size))
+        tokenizer = BBPETokenizer(vocab, merges)
+        proc = AF2Processor(tokenizer=tokenizer, cfg=cfg)
+        eos = tokenizer.special_tokens.get("<|im_end|>", -1)
+        return AudioFlamingo2(cfg=cfg, params=params, clap_params=clap_params,
+                              clap_tower=ClapAudioTower(clap_cfg), processor=proc,
+                              eos_token_id=eos, compute_dtype=compute_dtype)
+
+
 def load(model_path: str, compute_dtype=jnp.bfloat16) -> AudioFlamingo:
     """Load an AF3-family checkpoint directory (HF '-hf' layout).
 

@@ -59,6 +59,7 @@ class WhisperEncoderConfig:
     max_source_positions: int = 1500  # tokens per 30 s window after the 2x conv stride
     activation: str = "gelu"
     layerscale: bool = False
+    use_flash: bool = False   # Pallas flash attention (TPU); XLA attention otherwise
     # pooling after the stack: AF3's adaptor downsamples 2x like Qwen2-Audio's AvgPool1d(2,2)
     # ([hf] models/qwen2_audio/modeling_qwen2_audio.py:329,434-437)
     pool_stride: int = 2

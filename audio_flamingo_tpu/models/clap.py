@@ -274,9 +274,10 @@ class ClapAudioTower:
     def _interp(self, t: int) -> jnp.ndarray:
         spec_w = self.cfg.spec_size * self.freq_ratio
         if t not in self._interp_cache:
-            self._interp_cache[t] = jnp.asarray(
-                bicubic_interp_matrix(t, spec_w).astype(np.float32))
-        return self._interp_cache[t]
+            # cache NUMPY (device conversion must happen per-trace: caching a jnp array
+            # created inside a jit trace would leak that trace's tracer)
+            self._interp_cache[t] = bicubic_interp_matrix(t, spec_w).astype(np.float32)
+        return jnp.asarray(self._interp_cache[t])
 
     @partial(jax.jit, static_argnums=0)
     def encode(self, params: dict, mels: jnp.ndarray,

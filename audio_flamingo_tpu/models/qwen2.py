@@ -88,7 +88,13 @@ def init(rng: jax.Array, cfg: Qwen2Config) -> dict:
 
 
 def _linear(x, p):
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if "w_q" in p:  # int8 weight-only path (ops/quant.py)
+        from audio_flamingo_tpu.ops.quant import q_matmul
+
+        y = q_matmul(x, p)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -122,19 +128,42 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     x = x + _linear(attn.reshape(b, s, nh * hd), lp["o"])
 
     h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
-    x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in lp["mlp"].items()})
+    mlp = lp["mlp"]
+    if isinstance(mlp["gate"], dict):  # int8 weight-only MLP
+        from audio_flamingo_tpu.ops.quant import q_matmul
+
+        act = jax.nn.silu(q_matmul(h, mlp["gate"])) * q_matmul(h, mlp["up"])
+        x = x + q_matmul(act, mlp["down"])
+    else:
+        x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in mlp.items()})
     return x, new_kv
 
 
 def embed(params: dict, token_ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    return params["embed"].astype(dtype)[token_ids]
+    emb = params["embed"]
+    if isinstance(emb, dict):  # int8 per-row quantized embedding
+        rows = emb["w_q"][token_ids].astype(jnp.float32)
+        return (rows * emb["scale"][token_ids][..., None]).astype(dtype)
+    return emb.astype(dtype)[token_ids]
 
 
 def unembed(params: dict, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
-    """hidden -> logits (fp32), tied or untied head."""
-    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return jnp.dot(hidden.astype(jnp.float32), w.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+    """hidden -> logits (fp32), tied or untied head; int8-aware."""
+    h = hidden.astype(jnp.float32)
+    if cfg.tie_word_embeddings:
+        emb = params["embed"]
+        if isinstance(emb, dict):
+            logits = jax.lax.dot_general(h, emb["w_q"].astype(jnp.float32),
+                                         (((h.ndim - 1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            return logits * emb["scale"][None].astype(jnp.float32)
+        return jnp.dot(h, emb.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+    head = params["lm_head"]
+    if isinstance(head, dict):
+        from audio_flamingo_tpu.ops.quant import q_matmul
+
+        return q_matmul(h, head).astype(jnp.float32)
+    return jnp.dot(h, head.astype(jnp.float32), preferred_element_type=jnp.float32)
 
 
 def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.ndarray,

@@ -93,7 +93,12 @@ def _layer_forward(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.n
     q = (_linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, s, nh, hd)
     k = _linear(h, lp["k"]).reshape(b, s, nh, hd)
     v = _linear(h, lp["v"]).reshape(b, s, nh, hd)
-    attn = gqa_attention(q, k, v, scale=1.0).reshape(b, s, d)
+    if cfg.use_flash:
+        from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v, scale=1.0).reshape(b, s, d)
+    else:
+        attn = gqa_attention(q, k, v, scale=1.0).reshape(b, s, d)
     x = x + _linear(attn, lp["o"])
     h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
     ffn = gelu_mlp(h, {"fc1": lp["fc1"]["w"].astype(x.dtype), "fc1_b": lp["fc1"]["b"],

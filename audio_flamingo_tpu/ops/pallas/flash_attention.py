@@ -23,7 +23,7 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
-                  scale: float, causal: bool, q_offset: int):
+                  scale: float, causal: bool, q_offset: int, kv_len: int):
     # q_ref: [1, bq, D]; k_ref/v_ref: [1, tk, D] (full K/V for this head); o_ref: [1, bq, D]
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale                       # [bq, D]
@@ -44,6 +44,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
             q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
             k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             s = jnp.where(k_ids <= q_ids, s, NEG_INF)
+        if kv_len < tk:
+            k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(k_ids < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -63,17 +66,33 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
+                                              "q_offset"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = False, scale: float | None = None,
                     q_offset: int = 0, block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
-    """q [B,Tq,H,D], k/v [B,Tk,Hkv,D] -> [B,Tq,H,D]. GQA via head-index mapping."""
+    """q [B,Tq,H,D], k/v [B,Tk,Hkv,D] -> [B,Tq,H,D]. GQA via head-index mapping.
+
+    Tq/Tk are padded up to tile multiples internally (padded keys are masked out, padded
+    query rows are sliced off), so arbitrary sequence lengths (e.g. 1500) are fine.
+    """
     b, tq, h, d = q.shape
     _, tk, hkv, _ = k.shape
     assert h % hkv == 0
     g = h // hkv
     if scale is None:
         scale = d ** -0.5
+
+    tile = 128
+    tq_pad = -(-tq // tile) * tile
+    tk_pad = -(-tk // tile) * tile
+    kv_len = tk
+    if tq_pad != tq:
+        q = jnp.pad(q, ((0, 0), (0, tq_pad - tq), (0, 0), (0, 0)))
+    if tk_pad != tk:
+        k = jnp.pad(k, ((0, 0), (0, tk_pad - tk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tk_pad - tk), (0, 0), (0, 0)))
+    tq_orig, tq, tk = tq, tq_pad, tk_pad
 
     bq = min(block_q, tq)
     bk = min(block_k, tk)
@@ -86,7 +105,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     vh = jnp.swapaxes(v, 1, 2).reshape(b * hkv, tk, d)
 
     kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, tk=tk, scale=scale,
-                               causal=causal, q_offset=q_offset)
+                               causal=causal, q_offset=q_offset, kv_len=kv_len)
 
     out = pl.pallas_call(
         kernel,
@@ -99,4 +118,5 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
     )(qh, kh, vh)
-    return jnp.swapaxes(out.reshape(b, h, tq, d), 1, 2)
+    out = jnp.swapaxes(out.reshape(b, h, tq, d), 1, 2)
+    return out[:, :tq_orig]

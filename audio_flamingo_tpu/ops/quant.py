@@ -1,0 +1,127 @@
+"""Weight-only int8 quantization (w8a16) for the decode path.
+
+Decode is HBM-bandwidth-bound (weights stream once per token); int8 weights halve the
+bytes -> ~2x decode tokens/s and fit the 7B LM in one v5e's HBM (SURVEY.md §6 north star:
+7B decode throughput). Scales are per-output-channel; activations stay bf16; accumulation
+fp32 on the MXU.
+
+`quantize_linear` / `quantize_lm_params` produce pytrees the model linears consume
+transparently (models/qwen2.py dispatches on the presence of "w_q").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear(w: jnp.ndarray) -> dict:
+    """[in, out] float -> {'w_q': int8 [in, out], 'scale': f32 [out]}."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[None, :]), -127, 127)
+    return {"w_q": w_q.astype(jnp.int8), "scale": scale}
+
+
+def dequantize(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (p["w_q"].astype(jnp.float32) * p["scale"][None, :]).astype(dtype)
+
+
+def q_matmul(x: jnp.ndarray, p: dict, use_pallas: bool = False) -> jnp.ndarray:
+    """[..., in] @ int8 [in, out] * scale -> [..., out] in x.dtype.
+
+    XLA path: int8 weights are converted inside the fused dot (no bf16 weight buffer is
+    materialized in HBM for the steady state); Pallas path tiles explicitly.
+    """
+    if use_pallas and x.ndim == 2:
+        from audio_flamingo_tpu.ops.pallas.quant_matmul import w8a16_matmul
+
+        return w8a16_matmul(x, p["w_q"], p["scale"])
+    y = jax.lax.dot_general(x, p["w_q"].astype(x.dtype),
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+def random_quantized_lm(rng: jax.Array, cfg) -> dict:
+    """Random int8-quantized Qwen2 params WITHOUT materializing f32 weights first.
+
+    Needed to benchmark 7B-class models on one chip: f32 init would be ~30 GB. Layout
+    matches quantize_lm_params(models/qwen2.init(...)).
+    """
+    import jax.random as jr
+
+    hd = cfg.resolved_head_dim()
+    d, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+
+    def qlin(key, a, b):
+        w = jr.randint(key, (L, a, b), -127, 128, jnp.int8)
+        scale = jnp.full((L, b), 0.02 / 127.0, jnp.float32)
+        return {"w_q": w, "scale": scale}
+
+    keys = jr.split(rng, 12)
+    layers = {
+        "ln1_w": jnp.ones((L, d)),
+        "q": {**qlin(keys[0], d, cfg.num_heads * hd)},
+        "k": {**qlin(keys[1], d, cfg.num_kv_heads * hd)},
+        "v": {**qlin(keys[2], d, cfg.num_kv_heads * hd)},
+        "o": {**qlin(keys[3], cfg.num_heads * hd, d)},
+        "ln2_w": jnp.ones((L, d)),
+        "mlp": {"gate": qlin(keys[4], d, f), "up": qlin(keys[5], d, f),
+                "down": qlin(keys[6], f, d)},
+    }
+    if cfg.attention_bias:
+        layers["q"]["b"] = jnp.zeros((L, cfg.num_heads * hd))
+        layers["k"]["b"] = jnp.zeros((L, cfg.num_kv_heads * hd))
+        layers["v"]["b"] = jnp.zeros((L, cfg.num_kv_heads * hd))
+    params = {
+        "embed": {"w_q": jr.randint(keys[7], (cfg.vocab_size, d), -127, 128, jnp.int8),
+                  "scale": jnp.full((cfg.vocab_size,), 0.02 / 127.0, jnp.float32)},
+        "layers": layers,
+        "ln_f_w": jnp.ones((d,)),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w_q": jr.randint(keys[8], (d, cfg.vocab_size), -127, 128,
+                                               jnp.int8),
+                             "scale": jnp.full((cfg.vocab_size,), 0.02 / 127.0,
+                                               jnp.float32)}
+    return params
+
+
+def quantize_lm_params(params: dict, quantize_embed: bool = True) -> dict:
+    """Quantize a models/qwen2.py param pytree's big linears (layers + lm_head [+embed]).
+
+    Norm weights and biases stay f32. The embedding matrix is stored int8 with per-ROW
+    (vocab) scales so gathers dequantize per token.
+    """
+    out = dict(params)
+    layers = params["layers"]
+
+    def quant_layer_linear(w):  # [L, in, out]
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)           # [L, out]
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[:, None, :]), -127, 127)
+        return {"w_q": w_q.astype(jnp.int8), "scale": scale}
+
+    new_layers = {}
+    for name in ("q", "k", "v", "o"):
+        lin = dict(layers[name])
+        lin_q = quant_layer_linear(layers[name]["w"])
+        lin.pop("w")
+        lin.update(lin_q)
+        new_layers[name] = lin
+    new_layers["mlp"] = {k: quant_layer_linear(w) for k, w in layers["mlp"].items()}
+    for key in layers:
+        if key not in new_layers:
+            new_layers[key] = layers[key]
+    out["layers"] = new_layers
+
+    if "lm_head" in params:
+        out["lm_head"] = quantize_linear(params["lm_head"])
+    if quantize_embed:
+        emb = params["embed"].astype(jnp.float32)                        # [V, D]
+        amax = jnp.max(jnp.abs(emb), axis=1)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        out["embed"] = {"w_q": jnp.clip(jnp.round(emb / scale[:, None]), -127, 127)
+                        .astype(jnp.int8), "scale": scale}
+    return out

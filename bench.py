@@ -3,9 +3,10 @@
 Metrics (BASELINE.md north stars):
 - encode_rtfx_10min: audio-seconds/second/chip for the FULL AF-Whisper tower (32L x d1280,
   128 mel) in bf16 on a 10-min clip, including the fused Pallas mel frontend. Target 100x.
-- decode_tps_qwen25_3b_b1: decode tokens/s/chip, Qwen2.5-3B-shape LM, batch 1, bf16,
-  measured with the device-side lax.while_loop decode (one host sync total — the
-  axon tunnel costs ~40 ms per sync, so host-loop decode is not representative).
+- decode_tps_af3_7b_int8_b1_1chip: decode tokens/s for the AF3-7B-shape LM on ONE chip,
+  int8 weight-only (ops/quant.py; fits 16 GB HBM), batch 1, measured with the device-side
+  lax.while_loop decode (one host sync total — the axon tunnel costs ~40 ms per sync, so
+  host-loop decode is not representative). North star: >=30 tok/s/chip.
 
 Progress goes to stderr (remote compiles take minutes on this setup); the single JSON
 line is the last stdout line.
@@ -32,7 +33,7 @@ def bench_encoder() -> dict:
     from audio_flamingo_tpu.config import MelConfig, WhisperEncoderConfig
     from audio_flamingo_tpu.models import whisper_encoder
 
-    cfg = WhisperEncoderConfig()
+    cfg = WhisperEncoderConfig(use_flash=True)
     log("bench_encoder: init params...")
     params = whisper_encoder.init(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
@@ -64,21 +65,17 @@ def bench_encoder() -> dict:
 
 
 def bench_decode() -> dict:
+    """AF3-7B-shape decode on ONE chip: int8 weight-only (fits 16 GB HBM, halves traffic)."""
     import jax
     import jax.numpy as jnp
 
     from audio_flamingo_tpu.config import Qwen2Config
     from audio_flamingo_tpu.models import qwen2
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
 
-    cfg = Qwen2Config.qwen25_3b()
-    log("bench_decode: init 3B params in bf16 on device...")
-
-    @jax.jit
-    def bf16_init():
-        return jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                            qwen2.init(jax.random.PRNGKey(0), cfg))
-
-    params = bf16_init()
+    cfg = Qwen2Config.qwen25_7b()
+    log("bench_decode: init 7B int8 params on device...")
+    params = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), cfg))()
     _ = float(params["ln_f_w"].astype(jnp.float32).sum())
 
     capacity = 1024
@@ -113,8 +110,8 @@ def bench_decode() -> dict:
         _ = int(token[0])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / n_steps
-    log(f"bench_decode: {dt*1e3:.2f} ms/token -> {1/dt:.1f} tok/s")
-    return {"decode_tps_qwen25_3b_b1": 1 / dt, "decode_ms_per_tok": dt * 1e3,
+    log(f"bench_decode: {dt*1e3:.2f} ms/token -> {1/dt:.1f} tok/s (7B int8, 1 chip)")
+    return {"decode_tps_7b_int8_b1": 1 / dt, "decode_ms_per_tok": dt * 1e3,
             "decode_capacity": capacity}
 
 
@@ -128,8 +125,9 @@ def main():
         "unit": "audio_s/s/chip",
         "vs_baseline": round(rtfx / 100.0, 3),  # target: >=100x realtime
         "secondary": {
-            "decode_tps_qwen25_3b_b1": round(dec["decode_tps_qwen25_3b_b1"], 2),
+            "decode_tps_af3_7b_int8_b1_1chip": round(dec["decode_tps_7b_int8_b1"], 2),
             "decode_ms_per_tok": round(dec["decode_ms_per_tok"], 3),
+            "decode_vs_target_30tps": round(dec["decode_tps_7b_int8_b1"] / 30.0, 2),
             "encode_s_10min": round(enc["encode_s_10min"], 4),
         },
     }

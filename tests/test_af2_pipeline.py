@@ -1,0 +1,58 @@
+"""AF2 end-to-end pipeline tests: CLAP windowing, processor, wav -> answer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="module")
+def model():
+    from audio_flamingo_tpu.api import AudioFlamingo2
+    from audio_flamingo_tpu.config import ClapAudioConfig
+
+    # small HTSAT for test speed
+    clap_cfg = ClapAudioConfig(num_mel_bins=64, spec_size=64, patch_size=4, patch_stride=4,
+                               patch_embed_dim=24, depths=(2, 2), num_heads=(2, 4),
+                               window_size=4, projection_dim=512, enable_fusion=True)
+    return AudioFlamingo2.from_random(clap_cfg=clap_cfg)
+
+
+def test_clap_window_chunking(model):
+    wav = np.zeros(48_000 * 23, np.float32)  # 23 s -> 3 windows -> bucket 4
+    mels, longer = model.processor.windows_for(wav)
+    assert mels.shape[0] == 4
+    assert mels.shape[1] == 4  # fusion channels
+    assert longer.shape == (4,)
+
+
+def test_af2_generate_short_clip(model):
+    wav = (0.2 * np.sin(2 * np.pi * 440 * np.arange(48_000 * 2) / 48_000)).astype(np.float32)
+    out = model.generate(sound=wav, prompt="What is this?", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_af2_generate_long_clip_multiwindow(model):
+    wav = np.random.default_rng(0).normal(size=48_000 * 15).astype(np.float32) * 0.1
+    out = model.generate(sound=wav, prompt="Describe.", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_af2_chat(model):
+    model.reset_chat()
+    model.generate(prompt="hello", max_new_tokens=3, chat=True)
+    assert len(model.history) == 2
+
+
+def test_media_idx_ordinals(model):
+    from audio_flamingo_tpu.runtime.clap_processor import AUDIO_TOKEN
+
+    batch = model.processor(
+        text=f"a {AUDIO_TOKEN} b {AUDIO_TOKEN} c",
+        audios=[np.zeros(48_000, np.float32), np.zeros(48_000, np.float32)])
+    idx = batch["media_idx"][0]
+    assert idx.min() == 0 and idx.max() == 2
+    assert batch["mels"].shape[0] == 2

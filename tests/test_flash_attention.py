@@ -55,3 +55,16 @@ def test_flash_q_offset_decode_semantics():
     ref = gqa_attention(q, k, v, mask=cm(tq, tk, q_offset=0))
     out = _flash_interpret(q, k, v, causal=True, block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("tq,tk", [(1500, 1500), (100, 300)])
+def test_flash_handles_unaligned_lengths(tq, tk):
+    rng = np.random.default_rng(2)
+    b, h, hkv, d = 1, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, hkv, d)), jnp.float32)
+    ref = gqa_attention(q, k, v)
+    out = _flash_interpret(q, k, v, block_q=128, block_k=128)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -1,0 +1,91 @@
+"""int8 weight-only quantization tests: accuracy, pallas kernel parity, quantized LM."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.ops.quant import dequantize, q_matmul, quantize_linear, quantize_lm_params
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(128, 256)) * 0.05, jnp.float32)
+    q = quantize_linear(w)
+    deq = dequantize(q, jnp.float32)
+    # per-channel int8: relative error ~ 1/127 of the channel max
+    rel = np.abs(np.asarray(deq - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01
+
+
+def test_q_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 256)) * 0.1, jnp.float32)
+    q = quantize_linear(w)
+    ref = x @ dequantize(q, jnp.float32)
+    out = q_matmul(x, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-2)
+
+
+def test_pallas_w8a16_matches_xla():
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 512)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(512, 512)) * 0.1, jnp.float32)
+    q = quantize_linear(w)
+    ref = np.asarray(q_matmul(x, q))
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        from audio_flamingo_tpu.ops.pallas.quant_matmul import w8a16_matmul
+
+        out = np.asarray(w8a16_matmul(x, q["w_q"], q["scale"], block_n=256, block_k=256))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_quantized_qwen2_logits_close():
+    """Quantized LM must stay close to fp32 logits and pick the same greedy tokens."""
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+
+    cfg = Qwen2Config(vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, tie_word_embeddings=False)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_lm_params(params)
+    assert qparams["layers"]["q"]["w_q"].dtype == jnp.int8
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 9)))
+    ref = qwen2.logits_from_ids(params, cfg, ids)
+    out = qwen2.logits_from_ids(qparams, cfg, ids)
+    # random-init logits are near-flat, so allow rare argmax flips from quant noise
+    agree = (np.asarray(ref.argmax(-1)) == np.asarray(out.argmax(-1))).mean()
+    assert agree >= 0.85, agree
+    # logits close in a relative sense
+    denom = np.abs(np.asarray(ref)).max()
+    assert np.abs(np.asarray(out - ref)).max() / denom < 0.05
+
+
+def test_quantized_cache_decode_consistent():
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+                      num_heads=4, num_kv_heads=2, tie_word_embeddings=True)
+    params = quantize_lm_params(qwen2.init(jax.random.PRNGKey(1), cfg))
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 64, (1, 8)))
+    full = qwen2.logits_from_ids(params, cfg, ids)
+    cache = qwen2.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    x = qwen2.embed(params, ids, dtype=jnp.float32)
+    h, cache = qwen2.forward(params, cfg, x, jnp.arange(8)[None], cache=cache)
+    np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)),
+                               np.asarray(full), atol=1e-4, rtol=1e-4)
