@@ -86,6 +86,7 @@ class Qwen2Config:
     tie_word_embeddings: bool = False
     attention_bias: bool = True     # q/k/v bias=True, o_proj bias=False (Qwen2)
     sliding_window: int | None = None
+    use_flash: bool = False         # Pallas flash attention for prefill (q_len > 1)
 
     def resolved_head_dim(self) -> int:
         return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads

@@ -116,14 +116,27 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     v = _linear(h, lp["v"]).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
+    use_flash_prefill = cfg.use_flash and s > 1
     if cache_kv is not None:
         ck, cv = cache_kv
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
+        if use_flash_prefill:
+            # fresh-prefill fast path (cache.index == 0 by construction in the runtime:
+            # every prefill starts a new cache): attend to this block's own KV
+            from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+            attn = flash_attention(q, k, v, causal=True)
+        else:
+            attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
         new_kv = (ck, cv)
     else:
-        attn = gqa_attention(q, k, v, mask=mask)
+        if use_flash_prefill:
+            from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+            attn = flash_attention(q, k, v, causal=True)
+        else:
+            attn = gqa_attention(q, k, v, mask=mask)
         new_kv = None
     x = x + _linear(attn.reshape(b, s, nh * hd), lp["o"])
 

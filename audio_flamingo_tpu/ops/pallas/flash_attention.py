@@ -83,9 +83,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if scale is None:
         scale = d ** -0.5
 
+    # pad sequence lengths to block multiples (blocks themselves are 128-aligned)
     tile = 128
-    tq_pad = -(-tq // tile) * tile
-    tk_pad = -(-tk // tile) * tile
+    bq = min(block_q, -(-tq // tile) * tile)
+    bk = min(block_k, -(-tk // tile) * tile)
+    tq_pad = -(-tq // bq) * bq
+    tk_pad = -(-tk // bk) * bk
     kv_len = tk
     if tq_pad != tq:
         q = jnp.pad(q, ((0, 0), (0, tq_pad - tq), (0, 0), (0, 0)))
@@ -94,8 +97,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         v = jnp.pad(v, ((0, 0), (0, tk_pad - tk), (0, 0), (0, 0)))
     tq_orig, tq, tk = tq, tq_pad, tk_pad
 
-    bq = min(block_q, tq)
-    bk = min(block_k, tk)
     assert tq % bq == 0, (tq, bq)
     assert tk % bk == 0, (tk, bk)
 

@@ -17,9 +17,10 @@ NEG_INF = -1e30
 
 class SamplingParams(NamedTuple):
     temperature: float = 1.0
-    top_k: int = 0          # 0 = off
-    top_p: float = 1.0      # 1.0 = off
+    top_k: int = 0                  # 0 = off
+    top_p: float = 1.0              # 1.0 = off
     greedy: bool = True
+    repetition_penalty: float = 1.0  # 1.0 = off; applied over generated-token history
 
 
 def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -61,8 +62,16 @@ def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
     return jnp.where(seen, penalized, logits)
 
 
-def sample_token(rng: jax.Array, logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
-    """[B, vocab] fp32 logits -> [B] int32 token ids."""
+def sample_token(rng: jax.Array, logits: jnp.ndarray, params: SamplingParams,
+                 token_history: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[B, vocab] fp32 logits -> [B] int32 token ids.
+
+    token_history: optional [B, H] generated-so-far ids (-1 = empty) for the repetition
+    penalty (HF processor-pipeline order: penalty -> temperature -> top-k -> top-p).
+    """
+    if token_history is not None and params.repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, token_history,
+                                          params.repetition_penalty, logits.shape[-1])
     if params.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits / jnp.maximum(params.temperature, 1e-6)

@@ -89,7 +89,9 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
     def body(s: GenState):
         cache, logits = decode_fn(s.cache, s.cur_token, s.position)
         rng, k = jax.random.split(s.rng)
-        nxt = sample_token(k, logits, sampling)
+        # history = tokens generated so far (untouched future slots hold eos; mask them)
+        hist = jnp.where(jnp.arange(max_new_tokens)[None] <= s.step, s.out_tokens, -1)
+        nxt = sample_token(k, logits, sampling, token_history=hist)
         nxt = jnp.where(s.done, eos_token_id, nxt)
         step = s.step + 1
         out = s.out_tokens.at[:, step].set(nxt)

@@ -41,10 +41,11 @@ def bench_encoder() -> dict:
 
     fe = WhisperMelFrontend(MelConfig(num_mel_bins=128), use_pallas=True)
     audio_s = 600
-    wav = (np.random.default_rng(0).normal(size=(20, 480_000)) * 0.1).astype(np.float32)
+    wav = jnp.asarray((np.random.default_rng(0).normal(size=(20, 480_000)) * 0.1)
+                      .astype(np.float32))  # device-resident: time compute, not transfer
 
     log("bench_encoder: compile mel (pallas)...")
-    mels = fe._window_mels(jnp.asarray(wav))
+    mels = fe._window_mels(wav)
     _ = float(mels.sum())
     log("bench_encoder: compile encoder...")
     out = whisper_encoder.apply(params, cfg, mels.astype(jnp.bfloat16),
@@ -54,7 +55,7 @@ def bench_encoder() -> dict:
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        mels = fe._window_mels(jnp.asarray(wav))
+        mels = fe._window_mels(wav)
         out = whisper_encoder.apply(params, cfg, mels.astype(jnp.bfloat16),
                                     compute_dtype=jnp.bfloat16)
         _ = float(out.astype(jnp.float32)[0, 0, 0])

@@ -116,3 +116,20 @@ def test_top_p_matches_hf():
     ref = TopPLogitsWarper(top_p=0.7, filter_value=-1e30)(None, torch.from_numpy(logits)).numpy()
     ours = np.asarray(apply_top_p(jnp.asarray(logits), 0.7))
     np.testing.assert_array_equal(ours > -1e29, ref > -1e29)
+
+
+def test_repetition_penalty_reduces_repeats(params):
+    """With a strong penalty, greedy decode stops emitting the same token forever."""
+    ids, mels, _ = _prompt()
+    plain, _ = gen.generate(params, CFG, jnp.asarray(ids), jnp.asarray(mels),
+                            max_new_tokens=10, eos_token_id=EOS,
+                            sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32)
+    pen, _ = gen.generate(params, CFG, jnp.asarray(ids), jnp.asarray(mels),
+                          max_new_tokens=10, eos_token_id=EOS,
+                          sampling=SamplingParams(greedy=True, repetition_penalty=5.0),
+                          compute_dtype=jnp.float32)
+    plain, pen = np.asarray(plain)[0], np.asarray(pen)[0]
+    assert len(set(pen.tolist())) >= len(set(plain.tolist()))
+    # penalty must change behavior whenever the plain decode repeats
+    if len(set(plain.tolist())) < len(plain):
+        assert not np.array_equal(plain, pen)

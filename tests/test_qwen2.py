@@ -79,3 +79,25 @@ def test_tied_embeddings():
     assert "lm_head" not in params
     out = qwen2.logits_from_ids(params, cfg, jnp.zeros((1, 3), jnp.int32))
     assert out.shape == (1, 3, 64)
+
+
+def test_flash_prefill_matches_reference(params):
+    """cfg.use_flash prefill (pallas, interpret on CPU) == XLA attention logits."""
+    import dataclasses
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 24)))
+    ref = qwen2.logits_from_ids(params, CFG, ids)
+    cfg_flash = dataclasses.replace(CFG, use_flash=True)
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        out = qwen2.logits_from_ids(params, cfg_flash, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
