@@ -86,18 +86,57 @@ def import_qwen2(sd: dict, cfg: Qwen2Config, prefix: str = "") -> dict:
 
 
 def import_qwen2_audio(sd: dict, cfg) -> dict:
-    """[hf] Qwen2AudioForConditionalGeneration state dict -> AF3-style params pytree.
+    """AF3-family state dict -> params pytree, tolerant of naming variants.
 
-    Layout: audio_tower.* -> encoder; multi_modal_projector.linear -> 1-layer adaptor;
-    language_model.* -> lm. This is the same nesting the NVIDIA '-hf' releases use for the
-    AF3 checkpoints (SURVEY.md §5 checkpoint row).
+    Recognized layouts (SURVEY.md §5 checkpoint row):
+    - qwen2_audio style: audio_tower.* / multi_modal_projector.linear.* / language_model.*
+    - llava/VILA style:  model.audio_tower.* (or *.audio_encoder.*) /
+      model.mm_projector.{0,2}.* or mm_projector.fc1/fc2 (2-layer MLP adaptor) /
+      model.layers.* + lm_head (LM at top level)
     """
-    lm_sd = {k[len("language_model."):]: v for k, v in sd.items()
-             if k.startswith("language_model.")}
+    # normalize an optional global "model." wrapper when the inner names are themselves
+    # prefixed (llava keeps model.layers for the LM, so only strip for tower/projector)
+    def find_prefix(candidates, probe):
+        for c in candidates:
+            if any(k.startswith(c + probe) for k in sd):
+                return c
+        return None
+
+    tower_prefix = find_prefix(["audio_tower.", "model.audio_tower.",
+                                "model.sound_tower.", "audio_encoder.",
+                                "model.audio_encoder."], "conv1.weight")
+    if tower_prefix is None:
+        raise KeyError("no audio tower found in state dict")
+
+    # adaptor: single linear (qwen2_audio) or 2-layer MLP (llava mm_projector)
+    adaptor = None
+    for base in ("multi_modal_projector.linear", "model.multi_modal_projector.linear"):
+        if base + ".weight" in sd:
+            adaptor = {"fc1": {"w": _t(np.asarray(sd[base + ".weight"])),
+                               "b": np.asarray(sd[base + ".bias"])}}
+            break
+    if adaptor is None:
+        for b1, b2 in (("mm_projector.0", "mm_projector.2"),
+                       ("model.mm_projector.0", "model.mm_projector.2"),
+                       ("mm_projector.fc1", "mm_projector.fc2"),
+                       ("model.mm_projector.fc1", "model.mm_projector.fc2")):
+            if b1 + ".weight" in sd:
+                adaptor = {"fc1": {"w": _t(np.asarray(sd[b1 + ".weight"])),
+                                   "b": np.asarray(sd[b1 + ".bias"])},
+                           "fc2": {"w": _t(np.asarray(sd[b2 + ".weight"])),
+                                   "b": np.asarray(sd[b2 + ".bias"])}}
+                break
+    if adaptor is None:
+        raise KeyError("no audio adaptor/projector found in state dict")
+
+    if any(k.startswith("language_model.") for k in sd):
+        lm_sd = {k[len("language_model."):]: v for k, v in sd.items()
+                 if k.startswith("language_model.")}
+    else:
+        lm_sd = sd  # llava keeps model.layers.* + lm_head.* at top level
     return {
-        "encoder": import_whisper_encoder(sd, cfg.encoder, prefix="audio_tower."),
-        "adaptor": {"fc1": {"w": _t(np.asarray(sd["multi_modal_projector.linear.weight"])),
-                            "b": np.asarray(sd["multi_modal_projector.linear.bias"])}},
+        "encoder": import_whisper_encoder(sd, cfg.encoder, prefix=tower_prefix),
+        "adaptor": adaptor,
         "lm": import_qwen2(lm_sd, cfg.lm),
     }
 

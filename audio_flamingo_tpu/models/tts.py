@@ -125,3 +125,21 @@ def synthesize(params: dict, cfg: TTSConfig, token_ids, pad_id: int = 0):
         state = mel[:, -cfg.state_frames:]
         mels.append(np.asarray(mel[0]))
     return np.concatenate(mels, axis=0)
+
+
+def loss(params: dict, cfg: TTSConfig, token_ids: jnp.ndarray, prev_mel: jnp.ndarray,
+         target_mel: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Voice-to-voice training loss (AF3 stage 4): L1+L2 on predicted log-mel frames.
+
+    token_ids [B, chunk_tokens]; prev_mel [B, state_frames, n_mels];
+    target_mel [B, frames_per_chunk, n_mels]; mask [B, frames_per_chunk] optional.
+    """
+    pred = synthesize_chunk(params, cfg, token_ids, prev_mel)
+    diff = pred - target_mel
+    per = jnp.abs(diff) + diff ** 2
+    if mask is not None:
+        per = per * mask[..., None]
+        denom = jnp.maximum(mask.sum() * cfg.n_mels, 1.0)
+    else:
+        denom = per.size
+    return per.sum() / denom

@@ -83,3 +83,27 @@ def import_safetensors(path: str, template):
         return jax.numpy.asarray(arr).astype(node.dtype).reshape(node.shape)
 
     return build("", template)
+
+
+class AsyncCheckpointer:
+    """Async (non-blocking) checkpointing for the training loop (SURVEY.md §5 failure
+    detection row: orbax async checkpointing + resume). Saves overlap the next steps;
+    call wait()/close() before exit."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, state, step: int) -> None:
+        from orbax.checkpoint import args as ocp_args
+
+        self._ckptr.save(os.path.join(os.path.abspath(path), f"step_{step}"),
+                         ocp_args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()

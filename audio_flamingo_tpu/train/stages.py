@@ -40,6 +40,18 @@ AF3_STAGES: dict[str, Stage] = {
 }
 
 
+MF_STAGES: dict[str, Stage] = {
+    # Music Flamingo pipeline (static/MF-architecture.png): AF3 -> full FT w/ MF-Skills +
+    # context extension -> reasoning cold-start w/ MF-Think -> GRPO reasoning scaling
+    "mf_1_full_ft": Stage("mf_1_full_ft", True, True, True, lr=1e-5,
+                          description="full fine-tune on MF-Skills + context extension"),
+    "mf_2_cold_start": Stage("mf_2_cold_start", False, True, True, lr=5e-6,
+                             description="reasoning cold-start on MF-Think traces"),
+    "mf_3_grpo": Stage("mf_3_grpo", False, False, True, lr=1e-6,
+                       description="GRPO reasoning scaling (train/grpo.py)"),
+}
+
+
 def trainable_mask(params: dict, stage: Stage):
     """Pytree of bools: True where the leaf receives gradients this stage."""
     flags = {"encoder": stage.train_encoder, "adaptor": stage.train_adaptor,

@@ -104,3 +104,31 @@ def test_scatter_orders_windows_correctly():
     np.testing.assert_allclose(np.asarray(out[0, 2]), 20.0)
     np.testing.assert_allclose(np.asarray(out[0, 4]), 30.0)
     np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0)
+
+
+def test_importer_llava_naming_variant(hf_model):
+    """The importer must accept llava/VILA-style names (model.audio_tower, mm_projector)."""
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    renamed = {}
+    for k, v in sd.items():
+        if k.startswith("audio_tower."):
+            renamed["model.audio_tower." + k[len("audio_tower."):]] = v
+        elif k == "multi_modal_projector.linear.weight":
+            renamed["model.mm_projector.0.weight"] = v
+            # synthesize an identity second layer for the 2-layer variant
+            import numpy as _np
+
+            d = v.shape[0]
+            renamed["model.mm_projector.2.weight"] = _np.eye(d, dtype=v.dtype)
+            renamed["model.mm_projector.2.bias"] = _np.zeros(d, dtype=v.dtype)
+        elif k == "multi_modal_projector.linear.bias":
+            renamed["model.mm_projector.0.bias"] = v
+        else:
+            renamed[k] = v  # language_model.* unchanged
+    params = import_qwen2_audio(renamed, CFG)
+    assert "fc2" in params["adaptor"]
+    # fc2 is identity+gelu'd... just check shapes and that forward runs
+    ids = np.array([[5, 6, 7] + [AUDIO_TOKEN] * 6 + [9]])
+    mels = np.zeros((1, 1, 24, 16), np.float32)
+    out = af3.logits(params, CFG, jnp.asarray(ids), jnp.asarray(mels))
+    assert bool(jnp.isfinite(out).all())

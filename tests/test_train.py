@@ -119,3 +119,53 @@ def test_safetensors_param_roundtrip(tmp_path, setup):
     loaded = import_safetensors(p, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mf_stages_masks(setup):
+    from audio_flamingo_tpu.train.stages import MF_STAGES
+
+    cfg, params, *_ = setup
+    m = trainable_mask(params, MF_STAGES["mf_3_grpo"])
+    assert not jax.tree.leaves(m["encoder"])[0]
+    assert not jax.tree.leaves(m["adaptor"])[0]
+    assert jax.tree.leaves(m["lm"])[0]
+
+
+def test_async_checkpointer(tmp_path, setup):
+    from audio_flamingo_tpu.train import checkpoints
+    from audio_flamingo_tpu.train.checkpoints import AsyncCheckpointer
+
+    cfg, params, *_ = setup
+    state, _ = init_state(jax.tree.map(jnp.copy, params), AF3_STAGES["3_full_ft"])
+    ck = AsyncCheckpointer()
+    ck.save(str(tmp_path), state, step=3)
+    ck.close()
+    restored = checkpoints.restore(str(tmp_path), jax.tree.map(jnp.zeros_like, state), step=3)
+    np.testing.assert_array_equal(np.asarray(restored.params["lm"]["embed"]),
+                                  np.asarray(state.params["lm"]["embed"]))
+
+
+def test_tts_training_loss_decreases():
+    import optax
+
+    from audio_flamingo_tpu.models import tts
+
+    cfg = tts.TTSConfig(vocab_size=64, d_model=32, num_layers=1, num_heads=4, ffn_dim=64,
+                        n_mels=8, chunk_tokens=4, frames_per_chunk=8, state_frames=2)
+    params = tts.init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 4)))
+    prev = jnp.zeros((2, 2, 8))
+    target = jnp.asarray(rng.normal(size=(2, 8, 8)), jnp.float32)
+
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p: tts.loss(p, cfg, ids, prev, target)))
+    losses = []
+    for _ in range(20):
+        l, g = grad_fn(params)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
