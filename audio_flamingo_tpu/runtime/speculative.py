@@ -1,0 +1,152 @@
+"""Speculative decoding: a small draft LM proposes K tokens, the target verifies them in
+one prefill-style forward — exact greedy equality with target-only decoding.
+
+Decode on one chip is HBM-bound on target weights (ops/quant.py notes); speculation
+amortizes one target weight-stream over up to K+1 emitted tokens. The whole
+propose/verify/rollback loop runs inside one `lax.while_loop` (device-side, one host sync
+per request), using the position-indexed static cache: rejected slots are simply
+overwritten later and are never attended (mask is `kv_pos <= position`).
+
+Batch 1 (speculation interacts with per-row acceptance; the batch engine covers batched
+throughput serving).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config, Qwen2Config
+from audio_flamingo_tpu.models import af3, qwen2
+
+
+class SpecState(NamedTuple):
+    t_cache: qwen2.KVCache
+    d_cache: qwen2.KVCache
+    cur_token: jnp.ndarray    # [1] last ACCEPTED token (already emitted)
+    position: jnp.ndarray     # [] next position to write (== #tokens in context)
+    out_tokens: jnp.ndarray   # [1, max_new]
+    n_out: jnp.ndarray        # [] tokens emitted so far
+    done: jnp.ndarray         # [] bool
+
+
+def _forward_tokens(params, cfg: Qwen2Config, cache: qwen2.KVCache, tokens, start_pos,
+                    compute_dtype):
+    """Run `tokens` [1, n] at positions start_pos.. -> (cache', logits [1, n, vocab]).
+
+    The returned cache has index=start_pos+n; callers roll back by replacing `index`.
+    """
+    n = tokens.shape[1]
+    embeds = qwen2.embed(params, tokens, dtype=compute_dtype)
+    pos = (start_pos + jnp.arange(n))[None]
+    cache = cache._replace(index=start_pos)
+    h, cache = qwen2.forward(params, cfg, embeds, pos, cache=cache)
+    return cache, qwen2.unembed(params, cfg, h)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "max_new_tokens",
+                                             "capacity", "eos_token_id", "compute_dtype"))
+def generate_speculative(params, draft_params, cfg: AF3Config, draft_cfg: Qwen2Config,
+                         token_ids, mels=None, *, k: int = 4, max_new_tokens: int = 64,
+                         capacity: int = 0, eos_token_id: int = -1,
+                         compute_dtype=jnp.bfloat16):
+    """Greedy speculative generation. Returns (tokens [1, max_new], lengths [1]).
+
+    Output is exactly what target-only greedy decoding would produce.
+    """
+    from audio_flamingo_tpu.runtime.generate import prefill
+
+    b, t = token_ids.shape
+    assert b == 1, "speculative decoding drives batch 1"
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens + k + 1) // 128) * 128
+
+    # prefill both models on the prompt (draft is text-only: audio embeds are scattered
+    # into the TARGET prompt; the draft sees the same token ids — for AF models the
+    # draft is a text LM distilled on the same tokenizer, so ids are shared)
+    t_cache, t_logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    d_cache = qwen2.init_cache(draft_cfg, 1, capacity, dtype=compute_dtype)
+    d_embeds = qwen2.embed(draft_params, token_ids, dtype=compute_dtype)
+    d_pos = jnp.arange(t)[None]
+    _, d_cache = qwen2.forward(draft_params, draft_cfg, d_embeds, d_pos, cache=d_cache)
+
+    first = jnp.argmax(t_logits, -1).astype(jnp.int32)          # [1]
+    out0 = jnp.full((1, max_new_tokens + k + 1), eos_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(first)
+
+    state = SpecState(t_cache, d_cache, first, jnp.asarray(t, jnp.int32), out0,
+                      jnp.asarray(1, jnp.int32), (first[0] == eos_token_id))
+
+    def cond(s: SpecState):
+        return jnp.logical_and(s.n_out < max_new_tokens, ~s.done)
+
+    def body(s: SpecState):
+        # 1) draft proposes k tokens autoregressively from s.cur_token at s.position
+        def draft_step(i, carry):
+            d_cache, tok, props = carry
+            d_cache2, logits = _forward_tokens(draft_params, draft_cfg, d_cache,
+                                               tok[:, None], s.position + i,
+                                               compute_dtype)
+            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return d_cache2, nxt, props.at[i].set(nxt[0])
+
+        props0 = jnp.zeros((k,), jnp.int32)
+        d_cache, _, props = jax.lax.fori_loop(
+            0, k, draft_step, (s.d_cache, s.cur_token, props0))
+
+        # 2) target verifies: forward [cur, p0..p_{k-1}] at positions position-? ...
+        # tokens fed: cur_token + proposals[:-1]? We need target logits FOR positions
+        # position..position+k, i.e. run tokens [cur, p0, .., p_{k-1}] (k+1 tokens) whose
+        # KV occupy position..position+k... but cur's KV is NOT yet in the target cache
+        # (prefill/verify only wrote up to position-1 plus cur handled below).
+        seq = jnp.concatenate([s.cur_token, props])[None]        # [1, k+1]
+        t_cache, t_logits = _forward_tokens(params["lm"], cfg.lm, s.t_cache, seq,
+                                            s.position, compute_dtype)
+        greedy = jnp.argmax(t_logits[0], -1).astype(jnp.int32)   # [k+1]: g_i predicts pos+i+1
+
+        # 3) acceptance: proposal i accepted iff props[i] == greedy[i] and all before ok
+        match = props == greedy[:k]
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))        # accepted proposals
+        correction = greedy[m]                                   # target token after prefix
+        # emitted[i] = props[i] for i < m, correction at i == m (i > m masked out below)
+        emitted = jnp.where(jnp.arange(k + 1) == m, correction,
+                            jnp.concatenate([props, jnp.zeros((1,), jnp.int32)]))
+        emit_mask = jnp.arange(k + 1) <= m
+        emit_count = m + 1
+
+        # write emitted tokens into out at n_out.. (masked by not-done and eos cutoff)
+        idx = s.n_out + jnp.arange(k + 1)
+        seen_eos = jnp.cumsum((emitted == eos_token_id).astype(jnp.int32)) \
+            - (emitted == eos_token_id).astype(jnp.int32)
+        valid = emit_mask & (seen_eos == 0)
+        vals = jnp.where(valid, emitted, eos_token_id)
+        out = s.out_tokens.at[0, idx].set(
+            jnp.where(valid, vals, s.out_tokens[0, idx]))
+        n_emitted = jnp.sum(valid)
+
+        hit_eos = jnp.any((emitted == eos_token_id) & emit_mask)
+        new_pos = s.position + n_emitted
+        # caches: target holds KV for seq at position..position+k; accepted context is
+        # position..position+m (tokens cur, props[:m]); next round rewrites the rest.
+        t_cache = t_cache._replace(index=new_pos)
+        d_cache = d_cache._replace(index=new_pos)
+        cur = emitted[jnp.minimum(n_emitted - 1, k)][None]
+        done = jnp.logical_or(hit_eos, s.n_out + n_emitted >= max_new_tokens)
+        return SpecState(t_cache, d_cache, cur, new_pos, out, s.n_out + n_emitted, done)
+
+    state = jax.lax.while_loop(cond, body, state)
+    out = state.out_tokens[:, :max_new_tokens]
+    lengths = jnp.minimum(state.n_out, max_new_tokens)[None]
+    # normalize: everything past the first EOS (or n_out) is eos_token_id
+    pos_ids = jnp.arange(max_new_tokens)[None]
+    out = jnp.where(pos_ids < lengths[:, None] if lengths.ndim == 1 else pos_ids <
+                    lengths, out, eos_token_id)
+    eos_cut = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
+    keep = (eos_cut == 0) | ((out == eos_token_id) & (eos_cut == 1))
+    out = jnp.where(keep, out, eos_token_id)
+    n_kept = jnp.sum(jnp.cumsum(out == eos_token_id, axis=1) == 0, axis=1) + \
+        jnp.any(out == eos_token_id, axis=1).astype(jnp.int32)
+    return out, jnp.minimum(n_kept, max_new_tokens)

@@ -1,0 +1,83 @@
+"""Speculative decoding: output must EXACTLY equal target-only greedy decoding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+from audio_flamingo_tpu.models import af3, qwen2
+from audio_flamingo_tpu.ops.sampling import SamplingParams
+from audio_flamingo_tpu.runtime import generate as gen
+from audio_flamingo_tpu.runtime.speculative import generate_speculative
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+EOS = 127
+CFG = AF3Config(
+    encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1, num_heads=4,
+                                 ffn_dim=64, max_source_positions=12),
+    lm=Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96, num_layers=2,
+                   num_heads=4, num_kv_heads=2, tie_word_embeddings=True),
+    audio_token_id=120,
+)
+DRAFT_CFG = Qwen2Config(vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=1,
+                        num_heads=4, num_kv_heads=2, tie_word_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def models():
+    params = af3.init(jax.random.PRNGKey(0), CFG)
+    draft = qwen2.init(jax.random.PRNGKey(7), DRAFT_CFG)
+    return params, draft
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_speculative_equals_target_greedy(models, k):
+    params, draft = models
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 120, size=(1, 7)))
+    ref, ref_len = gen.generate(params, CFG, ids, None, max_new_tokens=16,
+                                eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                                capacity=256, compute_dtype=jnp.float32)
+    out, out_len = generate_speculative(params, draft, CFG, DRAFT_CFG, ids, None, k=k,
+                                        max_new_tokens=16, eos_token_id=EOS,
+                                        capacity=256, compute_dtype=jnp.float32)
+    r = np.asarray(ref)[0][: int(ref_len[0])]
+    o = np.asarray(out)[0][: int(out_len[0])]
+    n = min(len(r), len(o))
+    np.testing.assert_array_equal(o[:n], r[:n])
+    assert abs(len(r) - len(o)) <= 0, (r, o)
+
+
+def test_speculative_with_perfect_draft(models):
+    """Draft == target: every proposal accepted; output identical, rounds minimal."""
+    params, _ = models
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 120, size=(1, 5)))
+    ref, ref_len = gen.generate(params, CFG, ids, None, max_new_tokens=12,
+                                eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                                capacity=256, compute_dtype=jnp.float32)
+    out, out_len = generate_speculative(params, params["lm"], CFG, CFG.lm, ids, None,
+                                        k=4, max_new_tokens=12, eos_token_id=EOS,
+                                        capacity=256, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
+                                  np.asarray(ref)[0][: int(ref_len[0])])
+
+
+def test_speculative_with_audio(models):
+    params, draft = models
+    rng = np.random.default_rng(2)
+    mels = rng.normal(size=(1, 1, 24, 16)).astype(np.float32)
+    ids = np.array([[5, 6] + [120] * 6 + [9, 10]])
+    ref, ref_len = gen.generate(params, CFG, jnp.asarray(ids), jnp.asarray(mels),
+                                max_new_tokens=10, eos_token_id=EOS,
+                                sampling=SamplingParams(greedy=True), capacity=256,
+                                compute_dtype=jnp.float32)
+    out, out_len = generate_speculative(params, draft, CFG, DRAFT_CFG, jnp.asarray(ids),
+                                        jnp.asarray(mels), k=3, max_new_tokens=10,
+                                        eos_token_id=EOS, capacity=256,
+                                        compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
+                                  np.asarray(ref)[0][: int(ref_len[0])])
