@@ -229,6 +229,49 @@ def import_clap_audio(sd: dict, cfg, prefix: str = "audio_model.audio_encoder.")
     return params
 
 
+def import_clap_text(sd: dict, cfg, prefix: str = "text_model.") -> dict:
+    """[hf] ClapTextModel (+ClapModel.text_projection) -> models/clap_text.py pytree."""
+    g = lambda n: np.asarray(sd[prefix + n])
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        layers.append({
+            "q": {"w": _t(g(p + "attention.self.query.weight")),
+                  "b": g(p + "attention.self.query.bias")},
+            "k": {"w": _t(g(p + "attention.self.key.weight")),
+                  "b": g(p + "attention.self.key.bias")},
+            "v": {"w": _t(g(p + "attention.self.value.weight")),
+                  "b": g(p + "attention.self.value.bias")},
+            "o": {"w": _t(g(p + "attention.output.dense.weight")),
+                  "b": g(p + "attention.output.dense.bias")},
+            "ln_attn_w": g(p + "attention.output.LayerNorm.weight"),
+            "ln_attn_b": g(p + "attention.output.LayerNorm.bias"),
+            "fc1": {"w": _t(g(p + "intermediate.dense.weight")),
+                    "b": g(p + "intermediate.dense.bias")},
+            "fc2": {"w": _t(g(p + "output.dense.weight")),
+                    "b": g(p + "output.dense.bias")},
+            "ln_out_w": g(p + "output.LayerNorm.weight"),
+            "ln_out_b": g(p + "output.LayerNorm.bias"),
+        })
+    params = {
+        "word_emb": g("embeddings.word_embeddings.weight"),
+        "pos_emb": g("embeddings.position_embeddings.weight"),
+        "type_emb": g("embeddings.token_type_embeddings.weight"),
+        "ln_emb_w": g("embeddings.LayerNorm.weight"),
+        "ln_emb_b": g("embeddings.LayerNorm.bias"),
+        "layers": _stack(layers),
+        "pooler": {"w": _t(g("pooler.dense.weight")), "b": g("pooler.dense.bias")},
+    }
+    if "text_projection.linear1.weight" in sd:
+        params["projection"] = {
+            "fc1": {"w": _t(np.asarray(sd["text_projection.linear1.weight"])),
+                    "b": np.asarray(sd["text_projection.linear1.bias"])},
+            "fc2": {"w": _t(np.asarray(sd["text_projection.linear2.weight"])),
+                    "b": np.asarray(sd["text_projection.linear2.bias"])},
+        }
+    return params
+
+
 def import_opt(sd: dict, cfg: OPTConfig, prefix: str = "") -> dict:
     """sd: flat dict of an [hf] OPTForCausalLM. See models/opt.py for the pytree layout."""
     g = lambda n: np.asarray(sd[prefix + n])

@@ -118,7 +118,31 @@ def icl_interleave(examples: list[tuple[str, str]], audio_token: str = "<sound>"
 
 
 def batches(sampler: MixtureSampler, builder: BatchBuilder, batch_size: int) -> Iterator[dict]:
-    """Infinite batch stream (host-side; wrap with grain/prefetch for production input)."""
+    """Infinite batch stream (host-side; see `prefetch` for pipelined input)."""
     while True:
         rows = [sampler.sample()[1] for _ in range(batch_size)]
         yield builder.build(rows)
+
+
+def prefetch(it: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+    """Background-thread prefetcher: overlaps host batch building (decode, mel, BPE)
+    with device steps — the input-pipeline role grain/DataLoader plays in production."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
