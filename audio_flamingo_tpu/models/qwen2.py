@@ -199,9 +199,16 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
         mask = kv_pos <= positions[:, None, :, None]  # causal by absolute position
         # slots >= filled+new are invalid (zeros); they are also > positions, so the causal
         # test already excludes them as long as slot == absolute position (contiguous fill).
+        if cfg.sliding_window is not None:
+            mask = jnp.logical_and(
+                mask, kv_pos > positions[:, None, :, None] - cfg.sliding_window)
     else:
         kv_len = s
         mask = positions[:, None, :, None] >= positions[:, None, None, :]
+        if cfg.sliding_window is not None:
+            mask = jnp.logical_and(
+                mask,
+                positions[:, None, None, :] > positions[:, None, :, None] - cfg.sliding_window)
     if extra_mask is not None:
         mask = jnp.logical_and(mask, extra_mask)
 

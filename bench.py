@@ -116,9 +116,78 @@ def bench_decode() -> dict:
             "decode_capacity": capacity}
 
 
+def bench_ttft() -> dict:
+    """p50 TTFT on a 10-min clip: mel -> encode -> 15k-token 7B-int8 prefill -> 1st token."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.audio.mel import WhisperMelFrontend
+    from audio_flamingo_tpu.config import AF3Config, MelConfig, Qwen2Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.models import adaptor as adaptor_mod
+    from audio_flamingo_tpu.models import af3, qwen2, whisper_encoder
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+
+    enc_cfg = WhisperEncoderConfig(use_flash=True)
+    lm_cfg = dataclasses.replace(Qwen2Config.qwen25_7b(), use_flash=True)
+    log("bench_ttft: init encoder bf16 + 7B int8 LM...")
+    enc_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                         whisper_encoder.init(jax.random.PRNGKey(0), enc_cfg))
+    ada_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                         adaptor_mod.init(jax.random.PRNGKey(1), enc_cfg.d_model,
+                                          lm_cfg.hidden_size))
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(2), lm_cfg))()
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+
+    fe = WhisperMelFrontend(MelConfig(num_mel_bins=128), use_pallas=True)
+    wav = jnp.asarray((np.random.default_rng(0).normal(size=(20, 480_000)) * 0.1)
+                      .astype(np.float32))
+    audio_id = 151_646
+    ntok = 20 * 750
+    prompt_len = ntok + 64
+    cap = 16384
+    ids = np.full((1, prompt_len), audio_id, np.int32)
+    ids[0, ntok:] = 7
+    ids_j = jnp.asarray(ids)
+
+    @jax.jit
+    def enc_fn(enc_p, ada_p, mels):
+        h = whisper_encoder.apply(enc_p, enc_cfg, mels, compute_dtype=jnp.bfloat16)
+        return adaptor_mod.apply(ada_p, h)
+
+    @jax.jit
+    def prefill_fn(lm_p, audio_embeds, ids):
+        embeds = qwen2.embed(lm_p, ids, dtype=jnp.bfloat16)
+        flat = audio_embeds.reshape(1, -1, lm_cfg.hidden_size)
+        embeds = af3.scatter_audio_embeds(embeds, ids, flat, audio_id)
+        pos = jnp.arange(prompt_len)[None]
+        cache = qwen2.init_cache(lm_cfg, 1, cap, dtype=jnp.bfloat16)
+        h, cache = qwen2.forward(lm_p, lm_cfg, embeds, pos, cache=cache)
+        return jnp.argmax(qwen2.unembed(lm_p, lm_cfg, h[:, -1]), -1).astype(jnp.int32)
+
+    log("bench_ttft: compiling...")
+
+    def ttft():
+        m = fe._window_mels(wav).astype(jnp.bfloat16)
+        e = enc_fn(enc_p, ada_p, m)
+        return int(prefill_fn(lm_p, e, ids_j)[0])
+
+    _ = ttft()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = ttft()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    log(f"bench_ttft: {dt*1e3:.0f} ms to first token (10-min clip)")
+    return {"ttft_10min_s": dt}
+
+
 def main():
     enc = bench_encoder()
     dec = bench_decode()
+    ttft = bench_ttft()
     rtfx = enc["encode_rtfx_10min"]
     line = {
         "metric": "encode_rtfx_10min",
@@ -130,6 +199,7 @@ def main():
             "decode_ms_per_tok": round(dec["decode_ms_per_tok"], 3),
             "decode_vs_target_30tps": round(dec["decode_tps_7b_int8_b1"] / 30.0, 2),
             "encode_s_10min": round(enc["encode_s_10min"], 4),
+            "p50_ttft_10min_s": round(ttft["ttft_10min_s"], 3),
         },
     }
     print(json.dumps(line))

@@ -1,0 +1,90 @@
+"""HF export tests: our params -> safetensors dir -> api.load roundtrip, and the exported
+state dict loads into a real torch Qwen2AudioForConditionalGeneration with equal logits."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+from audio_flamingo_tpu.io.hf_export import export_af3_state_dict, save_pretrained
+from audio_flamingo_tpu.models import af3
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+AUDIO_TOKEN = 120
+CFG = AF3Config(
+    encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=2, num_heads=4,
+                                 ffn_dim=64, max_source_positions=12, pool_stride=2),
+    lm=Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96, num_layers=2,
+                   num_heads=4, num_kv_heads=2, rope_theta=1e6, tie_word_embeddings=False),
+    audio_token_id=AUDIO_TOKEN,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    p = af3.init(jax.random.PRNGKey(3), CFG)
+    # drop the 2-layer adaptor's fc2 to match the qwen2_audio single-linear layout
+    p["adaptor"] = {"fc1": p["adaptor"]["fc1"]}
+    return p
+
+
+def test_export_roundtrip_through_importer(params):
+    from audio_flamingo_tpu.io.hf_import import import_qwen2_audio
+
+    sd = export_af3_state_dict(params, CFG)
+    back = import_qwen2_audio(sd, CFG)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   atol=1e-7)
+
+
+def test_exported_dir_loads_via_api(tmp_path, params):
+    from audio_flamingo_tpu.api import load
+    from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer, train_bpe
+
+    vocab, merges = train_bpe(["the sound"], 120)
+    tok = BBPETokenizer(vocab, merges)
+    save_pretrained(str(tmp_path), params, CFG, tokenizer=tok)
+    model = load(str(tmp_path), compute_dtype=jnp.float32)
+    assert model.cfg.lm.hidden_size == 48
+    out = model.generate(prompt="hi", max_new_tokens=3)
+    assert isinstance(out, str)
+
+
+def test_exported_state_dict_loads_in_torch(params):
+    from transformers.models.qwen2.configuration_qwen2 import Qwen2Config as HFQwen2Config
+    from transformers.models.qwen2_audio.configuration_qwen2_audio import (
+        Qwen2AudioConfig,
+        Qwen2AudioEncoderConfig,
+    )
+    from transformers.models.qwen2_audio.modeling_qwen2_audio import (
+        Qwen2AudioForConditionalGeneration,
+    )
+
+    aud = Qwen2AudioEncoderConfig(num_mel_bins=16, d_model=32, encoder_layers=2,
+                                  encoder_attention_heads=4, encoder_ffn_dim=64,
+                                  max_source_positions=12)
+    txt = HFQwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                        rope_theta=1e6, tie_word_embeddings=False, attention_dropout=0.0)
+    hf_cfg = Qwen2AudioConfig(audio_config=aud.to_dict(), text_config=txt.to_dict(),
+                              audio_token_id=AUDIO_TOKEN)
+    model = Qwen2AudioForConditionalGeneration(hf_cfg).eval()
+    sd = {k: torch.from_numpy(v) for k, v in export_af3_state_dict(params, CFG).items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    # torch forward with our weights == our forward
+    rng = np.random.default_rng(0)
+    mels = rng.normal(size=(1, 1, 24, 16)).astype(np.float32)
+    ids = np.array([[5, 6] + [AUDIO_TOKEN] * 6 + [9]])
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(ids),
+                    input_features=torch.from_numpy(mels[0].transpose(0, 2, 1)),
+                    feature_attention_mask=torch.ones((1, 24), dtype=torch.long),
+                    ).logits.numpy()
+    ours = np.asarray(af3.logits(params, CFG, jnp.asarray(ids), jnp.asarray(mels)))
+    np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)

@@ -101,3 +101,35 @@ def test_flash_prefill_matches_reference(params):
     with mock.patch.object(pl, "pallas_call", patched):
         out = qwen2.logits_from_ids(params, cfg_flash, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_sliding_window_attention():
+    """With window W, token t attends only positions (t-W, t]; cache decode == full
+    forward under the same window."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, sliding_window=4, use_flash=False)
+    params = qwen2.init(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 128, (1, 12)))
+    full = qwen2.logits_from_ids(params, cfg, ids)
+
+    # equivalence: token 11 with window 4 must ignore tokens 0..7 -> changing token 0
+    # must NOT change logits at position 11, but MUST change position 3
+    ids2 = ids.at[0, 0].set((int(ids[0, 0]) + 1) % 128)
+    full2 = qwen2.logits_from_ids(params, cfg, ids2)
+    np.testing.assert_allclose(np.asarray(full[0, 11]), np.asarray(full2[0, 11]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(full[0, 3]) - np.asarray(full2[0, 3])).max() > 1e-4
+
+    # cache decode consistency under sliding window
+    cache = qwen2.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    x = qwen2.embed(params, ids[:, :8])
+    h, cache = qwen2.forward(params, cfg, x, jnp.arange(8)[None], cache=cache)
+    np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)),
+                               np.asarray(full[:, :8]), atol=1e-4, rtol=1e-4)
+    for t in range(8, 12):
+        x = qwen2.embed(params, ids[:, t: t + 1])
+        h, cache = qwen2.forward(params, cfg, x, jnp.array([[t]]), cache=cache)
+        np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)[:, 0]),
+                                   np.asarray(full[:, t]), atol=1e-4, rtol=1e-4)
