@@ -78,6 +78,34 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_train(args):
+    import dataclasses
+
+    import jax
+
+    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.runtime.processor import AF3Processor, AUDIO_TOKEN
+    from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer
+    from audio_flamingo_tpu.train.config import load_train_config
+    from audio_flamingo_tpu.train.data import BatchBuilder
+    from audio_flamingo_tpu.train.loop import run
+
+    model_cfg, run_cfg, make_sampler = load_train_config(args.config)
+    if args.tokenizer:
+        tok = BBPETokenizer.from_pretrained_dir(args.tokenizer)
+    else:
+        from audio_flamingo_tpu.runtime.tokenizer import train_bpe
+
+        vocab, merges = train_bpe(["describe the audio"], min(400, model_cfg.lm.vocab_size))
+        tok = BBPETokenizer(vocab, merges)
+    model_cfg = dataclasses.replace(model_cfg,
+                                    audio_token_id=tok.special_tokens[AUDIO_TOKEN])
+    params = af3.init(jax.random.PRNGKey(args.seed), model_cfg)
+    builder = BatchBuilder(processor=AF3Processor(tokenizer=tok, cfg=model_cfg))
+    state, metrics = run(model_cfg, params, make_sampler(args.seed), builder, run_cfg)
+    print(f"done: step {int(state.step)}, last loss {metrics.latest('loss')}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="audio_flamingo_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -105,6 +133,12 @@ def main(argv=None):
 
     sp = sub.add_parser("bench", help="run the benchmark harness")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("train", help="train from a YAML config (stage + mixture)")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--tokenizer", default=None, help="tokenizer dir (vocab/merges)")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,85 @@
+"""Hardware validation: run kernel/numerics spot checks on the attached TPU chip.
+
+Usage: python scripts/hw_check.py   (runs each check in-process, prints PASS/FAIL lines)
+CI-on-CPU covers interpret mode; this script is the on-silicon gate (run once per round).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+FAILED = []
+
+
+def check(name, fn):
+    t0 = time.time()
+    try:
+        fn()
+        print(f"PASS {name} ({time.time()-t0:.1f}s)", flush=True)
+    except Exception as e:  # noqa: BLE001
+        FAILED.append(name)
+        print(f"FAIL {name}: {e}", flush=True)
+
+
+def flash_vs_xla():
+    from audio_flamingo_tpu.ops.attention import causal_mask, gqa_attention
+    from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 1500, 20, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 1500, 4, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 1500, 4, 64)), jnp.bfloat16)
+    ref = gqa_attention(q, k, v, mask=causal_mask(1500, 1500))
+    out = flash_attention(q, k, v, causal=True)
+    d = float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+    assert d < 0.05, d
+
+
+def pallas_mel_vs_xla():
+    from audio_flamingo_tpu.audio.mel import WhisperMelFrontend
+    from audio_flamingo_tpu.config import MelConfig
+
+    fe_p = WhisperMelFrontend(MelConfig(num_mel_bins=128), use_pallas=True)
+    fe_x = WhisperMelFrontend(MelConfig(num_mel_bins=128), use_pallas=False)
+    wav = jnp.asarray((np.random.default_rng(0).normal(size=(2, 480_000)) * 0.1)
+                      .astype(np.float32))
+    d = float(jnp.abs(fe_p._window_mels(wav) - fe_x._window_mels(wav)).max())
+    assert d < 1e-4, d
+
+
+def quant_matmul_kernel():
+    from audio_flamingo_tpu.ops.quant import q_matmul, quantize_linear
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(1024, 1024)) * 0.1, jnp.float32)
+    q = quantize_linear(w)
+    ref = np.asarray(q_matmul(x, q, use_pallas=False).astype(jnp.float32))
+    out = np.asarray(q_matmul(x, q, use_pallas=True).astype(jnp.float32))
+    d = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert d < 0.02, d
+
+
+def tiny_e2e_generate():
+    from audio_flamingo_tpu.api import AudioFlamingo
+
+    model = AudioFlamingo.from_random(compute_dtype=jnp.bfloat16)
+    wav = (0.2 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    a = model.generate(sound=wav, prompt="tone?", max_new_tokens=6, seed=1)
+    b = model.generate(sound=wav, prompt="tone?", max_new_tokens=6, seed=1)
+    assert a == b  # greedy determinism on hardware
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    check("flash_attention_1500_bf16", flash_vs_xla)
+    check("pallas_fused_mel", pallas_mel_vs_xla)
+    check("w8a16_quant_matmul", quant_matmul_kernel)
+    check("tiny_e2e_generate", tiny_e2e_generate)
+    sys.exit(1 if FAILED else 0)
