@@ -180,6 +180,15 @@ class AF3Config:
     mel: MelConfig = field(default_factory=MelConfig)
 
     @staticmethod
+    def music_flamingo() -> "AF3Config":
+        """MF: AF3 backbone with extended context for full songs (README.md:42-48).
+
+        30 windows = 15 min audio = 22.5k prefix tokens (within Qwen2.5's 32k RoPE
+        positions; rope_theta 1e6 carries the extension, per the Qwen2.5 long-context
+        recipe the AF3 lineage inherits)."""
+        return AF3Config(max_windows=30)
+
+    @staticmethod
     def tiny() -> "AF3Config":
         """Micro config for tests: 2-layer encoder, 2-layer LM."""
         return AF3Config(

@@ -25,8 +25,9 @@ AUDIO_EOS = "<|audio_eos|>"
 IM_START = "<|im_start|>"
 IM_END = "<|im_end|>"
 
-# window buckets: compile-count control (SURVEY.md §7 "bucketed audio lengths")
-WINDOW_BUCKETS = (1, 2, 4, 10, 20)
+# window buckets: compile-count control (SURVEY.md §7 "bucketed audio lengths");
+# 30 = Music Flamingo full-song extended context (15 min)
+WINDOW_BUCKETS = (1, 2, 4, 10, 20, 30)
 
 
 def bucket_windows(n: int, buckets=WINDOW_BUCKETS) -> int:
