@@ -236,6 +236,42 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
     return x, new_cache
 
 
+def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
+               positions: jnp.ndarray, mesh, axis: str = "model") -> jnp.ndarray:
+    """Sequence-parallel training forward: activations sharded on the SEQUENCE axis over
+    `axis`; self-attention runs as ring attention (ppermute KV rotation) so no device
+    ever holds the full T x T score matrix or full-sequence KV (SURVEY.md §2.9 SP row,
+    context-extension training for 10-min/full-song inputs).
+
+    No cache (training only). Linears/norms are token-local and shard trivially; RoPE
+    uses the global `positions`, so each shard rotates with its absolute offsets.
+    """
+    from audio_flamingo_tpu.parallel.sequence import ring_attention
+
+    b, s, _ = embeds.shape
+    hd = cfg.resolved_head_dim()
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
+
+    def body(x, lp):
+        bb, ss, d = x.shape
+        h = rms_norm(x, lp["ln1_w"], cfg.rms_norm_eps)
+        q = _linear(h, lp["q"]).reshape(bb, ss, cfg.num_heads, hd)
+        k = _linear(h, lp["k"]).reshape(bb, ss, cfg.num_kv_heads, hd)
+        v = _linear(h, lp["v"]).reshape(bb, ss, cfg.num_kv_heads, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = ring_attention(q, k, v, mesh, axis=axis, causal=True)
+        x = x + _linear(attn.reshape(bb, ss, cfg.num_heads * hd), lp["o"])
+        h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
+        return x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in lp["mlp"].items()})
+
+    x = embeds
+    # python loop (not scan): ring_attention's shard_map nests poorly under scan carry
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        x = body(x, lp)
+    return rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+
+
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def logits_from_ids(params: dict, cfg: Qwen2Config, token_ids: jnp.ndarray,
                     compute_dtype=jnp.float32) -> jnp.ndarray:
