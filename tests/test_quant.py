@@ -89,3 +89,32 @@ def test_quantized_cache_decode_consistent():
     h, cache = qwen2.forward(params, cfg, x, jnp.arange(8)[None], cache=cache)
     np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)),
                                np.asarray(full), atol=1e-4, rtol=1e-4)
+
+
+def test_q8_kv_cache_close_to_fp_cache():
+    """int8 KV cache: prefill+decode logits stay close to the fp cache path and greedy
+    choices mostly agree."""
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+
+    cfg = Qwen2Config(vocab_size=96, hidden_size=64, intermediate_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 96, (1, 10)))
+
+    def run(cache):
+        x = qwen2.embed(params, ids[:, :6])
+        h, cache = qwen2.forward(params, cfg, x, jnp.arange(6)[None], cache=cache)
+        outs = [qwen2.unembed(params, cfg, h[:, -1])]
+        for t in range(6, 10):
+            x = qwen2.embed(params, ids[:, t: t + 1])
+            h, cache = qwen2.forward(params, cfg, x, jnp.array([[t]]), cache=cache)
+            outs.append(qwen2.unembed(params, cfg, h[:, 0]))
+        return jnp.stack(outs, axis=1)
+
+    fp = run(qwen2.init_cache(cfg, 1, 16, dtype=jnp.float32))
+    q8 = run(qwen2.init_cache_q8(cfg, 1, 16))
+    rel = float(jnp.abs(q8 - fp).max() / (jnp.abs(fp).max() + 1e-6))
+    assert rel < 0.05, rel
+    agree = (np.asarray(fp.argmax(-1)) == np.asarray(q8.argmax(-1))).mean()
+    assert agree >= 0.8, agree
