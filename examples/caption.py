@@ -4,6 +4,12 @@ With a real checkpoint:   python examples/caption.py --model /ckpts/af3-hf clip.
 Smoke test (random tiny): python examples/caption.py clip.wav
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root import
+
+
 import argparse
 
 import jax.numpy as jnp

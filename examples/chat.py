@@ -3,6 +3,12 @@
 python examples/chat.py [--model DIR] clip.wav
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root import
+
+
 import argparse
 
 import jax.numpy as jnp

@@ -3,6 +3,12 @@
 python examples/serve.py  (random tiny model; swap in api.load(...) for real weights)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root import
+
+
 import numpy as np
 
 import jax

@@ -3,6 +3,12 @@
 python examples/voice_chat.py [--model DIR] question.wav answer.wav
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root import
+
+
 import argparse
 import wave
 
