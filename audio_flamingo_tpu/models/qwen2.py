@@ -303,7 +303,8 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
 
 
 def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
-               positions: jnp.ndarray, mesh, axis: str = "model") -> jnp.ndarray:
+               positions: jnp.ndarray, mesh, axis: str = "model",
+               attn_impl: str = "ring") -> jnp.ndarray:
     """Sequence-parallel training forward: activations sharded on the SEQUENCE axis over
     `axis`; self-attention runs as ring attention (ppermute KV rotation) so no device
     ever holds the full T x T score matrix or full-sequence KV (SURVEY.md §2.9 SP row,
@@ -311,9 +312,12 @@ def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
 
     No cache (training only). Linears/norms are token-local and shard trivially; RoPE
     uses the global `positions`, so each shard rotates with its absolute offsets.
+    attn_impl: "ring" (ppermute KV rotation, O(T/sp) memory) or "ulysses" (all_to_all on
+    heads; requires num_heads and num_kv_heads divisible by the axis size).
     """
-    from audio_flamingo_tpu.parallel.sequence import ring_attention
+    from audio_flamingo_tpu.parallel.sequence import ring_attention, ulysses_attention
 
+    assert attn_impl in ("ring", "ulysses")
     b, s, _ = embeds.shape
     hd = cfg.resolved_head_dim()
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
@@ -325,7 +329,10 @@ def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
         k = _linear(h, lp["k"]).reshape(bb, ss, cfg.num_kv_heads, hd)
         v = _linear(h, lp["v"]).reshape(bb, ss, cfg.num_kv_heads, hd)
         q, k = apply_rope(q, k, cos, sin)
-        attn = ring_attention(q, k, v, mesh, axis=axis, causal=True)
+        if attn_impl == "ring":
+            attn = ring_attention(q, k, v, mesh, axis=axis, causal=True)
+        else:
+            attn = ulysses_attention(q, k, v, mesh, axis=axis, causal=True)
         x = x + _linear(attn.reshape(bb, ss, cfg.num_heads * hd), lp["o"])
         h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
         return x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in lp["mlp"].items()})

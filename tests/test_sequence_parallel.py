@@ -96,3 +96,19 @@ def test_qwen2_forward_sp_matches_dense(mesh):
     g_d = jax.grad(loss_dense)(params)
     for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3)
+
+
+def test_qwen2_forward_sp_ulysses_matches_dense(mesh):
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+                      num_heads=4, num_kv_heads=4, tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(1), cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 64, (2, 32)))
+    pos = jnp.broadcast_to(jnp.arange(32)[None], (2, 32))
+    x = qwen2.embed(params, ids)
+    ref, _ = qwen2.forward(params, cfg, x, pos)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    out = qwen2.forward_sp(params, cfg, xs, pos, mesh, attn_impl="ulysses")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
