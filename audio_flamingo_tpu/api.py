@@ -33,6 +33,10 @@ class AudioFlamingo:
     eos_token_id: int
     compute_dtype: object = jnp.bfloat16
     history: list = field(default_factory=list)
+    # optional speculative-decoding draft (small LM sharing the tokenizer)
+    draft_params: dict | None = None
+    draft_cfg: object = None
+    spec_k: int = 4
 
     # --------------------------------------------------------------------- generation
     THINK_INSTRUCTION = ("Please think and reason about the input audio before you "
@@ -63,6 +67,20 @@ class AudioFlamingo:
 
         if stream:
             return self._stream(ids, mels, max_new_tokens, sampling, seed)
+
+        if self.draft_params is not None and sampling.greedy and ids.shape[0] == 1:
+            from audio_flamingo_tpu.runtime.speculative import generate_speculative
+
+            tokens, lengths = generate_speculative(
+                self.params, self.draft_params, self.cfg, self.draft_cfg, ids, mels,
+                k=self.spec_k, max_new_tokens=max_new_tokens,
+                eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
+            out_ids = np.asarray(tokens)[0][: int(lengths[0])]
+            answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
+            if chat:
+                self.history.append({"role": "user", "content": text})
+                self.history.append({"role": "assistant", "content": answer})
+            return answer
 
         tokens, lengths = gen.generate(
             self.params, self.cfg, ids, mels, max_new_tokens=max_new_tokens,
