@@ -1,0 +1,170 @@
+"""Paged KV cache: fixed-size blocks + per-request block tables (BASELINE.json north-star
+"paged KV cache for prefill/decode").
+
+Motivation vs the slot cache (runtime/engine.py): slots reserve `capacity` for every
+request; pages share one physical pool, so many short requests and one long request
+coexist without reserving worst-case memory per slot. TPU-static design:
+
+- physical pool: k/v blocks [L, num_blocks, block_size, nkv, hd] (+ optional int8);
+- logical view: block_tables [B, max_blocks_per_seq] int32 (-1 = unmapped), lengths [B];
+- reads gather a request's blocks with jnp.take (block tables are small int32 vectors;
+  the gathered bytes equal a contiguous read);
+- writes scatter this step's KV into (block, offset) computed from lengths;
+- the allocator is host-side (free-list), like every serving stack's page allocator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_flamingo_tpu.config import Qwen2Config
+from audio_flamingo_tpu.ops import apply_rope, gqa_attention, rms_norm, rope_cos_sin
+from audio_flamingo_tpu.models import qwen2
+
+
+class PagedKV(NamedTuple):
+    k: jnp.ndarray             # [L, NUM_BLOCKS, BLOCK, nkv, hd]
+    v: jnp.ndarray
+    block_tables: jnp.ndarray  # [B, MAX_BLOCKS] int32, -1 = unmapped
+    lengths: jnp.ndarray       # [B] int32 tokens filled per sequence
+
+    @property
+    def block_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def max_blocks(self) -> int:
+        return self.block_tables.shape[1]
+
+
+def init_paged(cfg: Qwen2Config, batch: int, num_blocks: int, block_size: int,
+               max_blocks_per_seq: int, dtype=jnp.bfloat16) -> PagedKV:
+    hd = cfg.resolved_head_dim()
+    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, hd)
+    return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.full((batch, max_blocks_per_seq), -1, jnp.int32),
+                   jnp.zeros((batch,), jnp.int32))
+
+
+@dataclass
+class BlockAllocator:
+    """Host-side page allocator: free list over the physical block pool."""
+
+    num_blocks: int
+    free: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.free = list(range(self.num_blocks - 1, -1, -1))
+
+    def alloc(self, n: int) -> list[int]:
+        if len(self.free) < n:
+            raise MemoryError(f"paged cache OOM: need {n} blocks, {len(self.free)} free")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, blocks) -> None:
+        for b in blocks:
+            if b >= 0:
+                self.free.append(int(b))
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
+def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndarray,
+                      compute_dtype=jnp.bfloat16):
+    """One decode step for ALL rows: tokens [B] at positions cache.lengths.
+
+    Returns (cache, logits [B, vocab] fp32). Rows write into their mapped blocks and
+    attend over their gathered pages (masked to their length).
+    """
+    b = tokens.shape[0]
+    hd = cfg.resolved_head_dim()
+    positions = cache.lengths
+    cos, sin = rope_cos_sin(positions[:, None], hd, cfg.rope_theta)
+    x = qwen2.embed(params, tokens[:, None], dtype=compute_dtype)
+
+    kv_len = cache.max_blocks * cache.block_size
+    kv_pos = jnp.arange(kv_len)[None, None, None, :]
+    mask = kv_pos <= positions[:, None, None, None]
+
+    def body(carry, xs):
+        h = carry
+        lp, layer_idx = xs
+        hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
+        q = qwen2._linear(hn, lp["q"]).reshape(b, 1, cfg.num_heads, hd)
+        k = qwen2._linear(hn, lp["k"]).reshape(b, 1, cfg.num_kv_heads, hd)
+        v = qwen2._linear(hn, lp["v"]).reshape(b, 1, cfg.num_kv_heads, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        # gather pages per row for THIS layer: [B, kv_len, nkv, hd]
+        kb = cache.k[layer_idx]
+        vb = cache.v[layer_idx]
+
+        def row_kv(table, kk, vv, pos):
+            bs = kb.shape[1]
+            idx = jnp.maximum(table, 0)
+            k_seq = jnp.take(kb, idx, axis=0).reshape(-1, cfg.num_kv_heads, hd)
+            v_seq = jnp.take(vb, idx, axis=0).reshape(-1, cfg.num_kv_heads, hd)
+            # write this step's kv at pos
+            block_id = jnp.maximum(table[pos // bs], 0)
+            off = pos % bs
+            k_seq = k_seq.at[pos].set(kk[0])
+            v_seq = v_seq.at[pos].set(vv[0])
+            return k_seq, v_seq, block_id, off
+
+        k_seq, v_seq, block_ids, offs = jax.vmap(row_kv)(cache.block_tables,
+                                                         k.astype(cache.k.dtype),
+                                                         v.astype(cache.v.dtype),
+                                                         positions)
+        attn = gqa_attention(q, k_seq.astype(q.dtype), v_seq.astype(q.dtype), mask=mask)
+        h = h + qwen2._linear(attn.reshape(b, 1, cfg.num_heads * hd), lp["o"])
+        hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
+        mlp = lp["mlp"]
+        if isinstance(mlp["gate"], dict):
+            from audio_flamingo_tpu.ops.quant import q_matmul
+
+            act = jax.nn.silu(q_matmul(hn, mlp["gate"])) * q_matmul(hn, mlp["up"])
+            h = h + q_matmul(act, mlp["down"])
+        else:
+            from audio_flamingo_tpu.ops import swiglu_mlp
+
+            h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in mlp.items()})
+        return h, (k.astype(cache.k.dtype), v.astype(cache.v.dtype), block_ids, offs)
+
+    layer_ids = jnp.arange(cfg.num_layers)
+    x, (ks, vs, block_ids, offs) = jax.lax.scan(body, x, (params["layers"], layer_ids))
+    # physical writes: ks [L, B, 1, nkv, hd] at (layer, block_ids[L,B], offs[L,B])
+    l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
+    b_flat = block_ids.reshape(-1)
+    o_flat = offs.reshape(-1)
+    k_new = cache.k.at[l_idx, b_flat, o_flat].set(ks.reshape(-1, cfg.num_kv_heads, hd))
+    v_new = cache.v.at[l_idx, b_flat, o_flat].set(vs.reshape(-1, cfg.num_kv_heads, hd))
+
+    x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+    logits = qwen2.unembed(params, cfg, x[:, 0])
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths + 1), logits
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
+def paged_install_prefill(cache: PagedKV, row: jnp.ndarray, sub_k: jnp.ndarray,
+                          sub_v: jnp.ndarray, table_row: jnp.ndarray,
+                          length: jnp.ndarray, cfg: Qwen2Config,
+                          compute_dtype=jnp.bfloat16):
+    """Install a contiguous prefill cache ([L, 1, C, nkv, hd]) into mapped pages.
+
+    C must be max_blocks*block_size; table_row lists the destination physical blocks.
+    """
+    l, _, c, nkv, hd = sub_k.shape
+    bs = cache.block_size
+    n_blocks = cache.max_blocks
+    k_pages = sub_k[:, 0].reshape(l, n_blocks, bs, nkv, hd)
+    v_pages = sub_v[:, 0].reshape(l, n_blocks, bs, nkv, hd)
+    idx = jnp.maximum(table_row, 0)
+    k_new = cache.k.at[:, idx].set(k_pages.astype(cache.k.dtype))
+    v_new = cache.v.at[:, idx].set(v_pages.astype(cache.v.dtype))
+    tables = cache.block_tables.at[row].set(table_row)
+    lengths = cache.lengths.at[row].set(length)
+    return PagedKV(k_new, v_new, tables, lengths)
