@@ -54,13 +54,19 @@ def init_paged(cfg: Qwen2Config, batch: int, num_blocks: int, block_size: int,
 
 @dataclass
 class BlockAllocator:
-    """Host-side page allocator: free list over the physical block pool."""
+    """Host-side page allocator: free list over the physical block pool.
+
+    reserve: number of leading blocks NEVER handed out. Engines reserve block 0 as the
+    trash page: finished rows' tables reset to -1 (which maps to block 0), so their
+    still-executing in-chunk writes can never corrupt re-allocated pages.
+    """
 
     num_blocks: int
+    reserve: int = 0
     free: list = field(default_factory=list)
 
     def __post_init__(self):
-        self.free = list(range(self.num_blocks - 1, -1, -1))
+        self.free = list(range(self.num_blocks - 1, self.reserve - 1, -1))
 
     def alloc(self, n: int) -> list[int]:
         if len(self.free) < n:
@@ -146,6 +152,35 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
     logits = qwen2.unembed(params, cfg, x[:, 0])
     return PagedKV(k_new, v_new, cache.block_tables, cache.lengths + 1), logits
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "sampling", "eos_token_id",
+                                   "compute_dtype"), donate_argnames=("cache",))
+def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, rng, *,
+                       chunk: int, sampling, eos_token_id: int,
+                       compute_dtype=jnp.bfloat16):
+    """Advance all rows `chunk` steps through their pages (one host sync per chunk)."""
+    from audio_flamingo_tpu.ops.sampling import sample_token
+
+    b = tokens.shape[0]
+    out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
+
+    def body(i, carry):
+        cache, tok, done, rng, out = carry
+        cache2, logits = paged_decode_step(params, cfg, cache, tok, compute_dtype)
+        rng, kk = jax.random.split(rng)
+        nxt = sample_token(kk, logits, sampling)
+        nxt = jnp.where(done, eos_token_id, nxt)
+        # rows that are done must not advance their length (paged_decode_step adds 1)
+        lengths = jnp.where(done, cache.lengths, cache2.lengths)
+        cache2 = PagedKV(cache2.k, cache2.v, cache2.block_tables, lengths)
+        out = out.at[:, i].set(nxt)
+        done = jnp.logical_or(done, nxt == eos_token_id)
+        return cache2, nxt, done, rng, out
+
+    cache, tokens, done, rng, out = jax.lax.fori_loop(0, chunk, body,
+                                                      (cache, tokens, done, rng, out0))
+    return cache, tokens, done, rng, out
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))

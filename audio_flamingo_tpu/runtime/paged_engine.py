@@ -1,0 +1,126 @@
+"""Paged continuous-batching engine: the slot engine's scheduler over the paged cache.
+
+Unlike runtime/engine.py (one fixed-capacity cache row per slot), rows here map to pages
+from a shared pool via the BlockAllocator — long and short requests coexist without
+per-slot worst-case reservation, and freed pages are immediately reusable
+(BASELINE.json "paged KV cache for prefill/decode").
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
+from audio_flamingo_tpu.runtime.engine import Request
+from audio_flamingo_tpu.runtime.paged_cache import (
+    BlockAllocator,
+    PagedKV,
+    init_paged,
+    paged_decode_chunk,
+    paged_install_prefill,
+)
+
+
+@dataclass
+class PagedEngine:
+    params: dict                       # AF3 params ({'encoder','adaptor','lm'})
+    cfg: AF3Config
+    num_rows: int = 4                  # concurrent decode rows
+    num_blocks: int = 256              # shared physical pool
+    block_size: int = 128
+    max_blocks_per_seq: int = 16       # logical capacity per row = blocks*block_size
+    chunk: int = 16
+    eos_token_id: int = -1
+    sampling: SamplingParams = SamplingParams()
+    compute_dtype: object = jnp.bfloat16
+    seed: int = 0
+
+    def __post_init__(self):
+        self.cache = init_paged(self.cfg.lm, self.num_rows, self.num_blocks,
+                                self.block_size, self.max_blocks_per_seq,
+                                self.compute_dtype)
+        self.allocator = BlockAllocator(self.num_blocks, reserve=1)  # block 0 = trash page
+        self.tokens = jnp.full((self.num_rows,), self.eos_token_id, jnp.int32)
+        self.done = jnp.ones((self.num_rows,), bool)
+        self.rng = jax.random.PRNGKey(self.seed)
+        self.queue: deque[Request] = deque()
+        self.active: dict[int, tuple[Request, list[int]]] = {}
+        self.finished: dict[str, list[int]] = {}
+
+    @property
+    def capacity(self) -> int:
+        return self.max_blocks_per_seq * self.block_size
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        from audio_flamingo_tpu.runtime.generate import prefill
+
+        for row in range(self.num_rows):
+            if row in self.active or not self.queue:
+                continue
+            if len(self.allocator.free) < self.max_blocks_per_seq:
+                return  # pool exhausted; wait for releases
+            req = self.queue.popleft()
+            blocks = self.allocator.alloc(self.max_blocks_per_seq)
+            mels = jnp.asarray(req.mels) if req.mels is not None else None
+            sub_cache, logits = prefill(self.params, self.cfg, jnp.asarray(req.ids),
+                                        mels, self.capacity, self.compute_dtype)
+            self.cache = paged_install_prefill(
+                self.cache, jnp.asarray(row), sub_cache.k, sub_cache.v,
+                jnp.asarray(np.asarray(blocks, np.int32)),
+                jnp.asarray(req.ids.shape[1]), self.cfg.lm,
+                compute_dtype=self.compute_dtype)
+            self.rng, k = jax.random.split(self.rng)
+            first = sample_token(k, logits, self.sampling)[0]
+            req.tokens.append(int(first))
+            if int(first) == self.eos_token_id:
+                self.finished[req.request_id] = req.tokens
+                self.allocator.release(blocks)
+                continue
+            self.tokens = self.tokens.at[row].set(first)
+            self.done = self.done.at[row].set(False)
+            self.active[row] = (req, blocks)
+
+    def step(self) -> None:
+        self._admit()
+        if not self.active:
+            return
+        self.cache, self.tokens, self.done, self.rng, out = paged_decode_chunk(
+            self.params["lm"], self.cfg.lm, self.cache, self.tokens, self.done, self.rng,
+            chunk=self.chunk, sampling=self.sampling, eos_token_id=self.eos_token_id,
+            compute_dtype=self.compute_dtype)
+        out = np.asarray(out)
+        done = np.asarray(self.done)
+        lengths = np.asarray(self.cache.lengths)
+        for row, (req, blocks) in list(self.active.items()):
+            budget = req.max_new_tokens - len(req.tokens)
+            emitted = [int(t) for t in out[row][:budget]]
+            if self.eos_token_id in emitted:
+                emitted = emitted[: emitted.index(self.eos_token_id) + 1]
+            req.tokens.extend(emitted)
+            full = lengths[row] >= self.capacity - self.chunk - 1
+            if done[row] or full or len(req.tokens) >= req.max_new_tokens:
+                req.done = True
+                self.finished[req.request_id] = req.tokens
+                self.allocator.release(blocks)
+                del self.active[row]
+                self.done = self.done.at[row].set(True)
+                # point the dead row at the trash page so any residual in-chunk writes
+                # cannot touch re-allocated blocks
+                self.cache = self.cache._replace(
+                    block_tables=self.cache.block_tables.at[row].set(-1))
+
+    def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
+        rounds = 0
+        while (self.queue or self.active) and rounds < max_rounds:
+            self.step()
+            rounds += 1
+        return self.finished

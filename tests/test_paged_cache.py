@@ -130,3 +130,42 @@ def test_paged_rows_isolated(params):
         toks = jnp.argmax(logits2, -1).astype(jnp.int32)
         solo_tok = jnp.argmax(logits1, -1).astype(jnp.int32)
         assert int(toks[0]) == int(solo_tok[0])
+
+
+def test_paged_engine_matches_single_request():
+    """PagedEngine greedy output == single-request generate; pages reused across reqs."""
+    from audio_flamingo_tpu.config import AF3Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.runtime import generate as gen
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    acfg = AF3Config(
+        encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1,
+                                     num_heads=4, ffn_dim=64, max_source_positions=12),
+        lm=CFG, audio_token_id=90)
+    params = af3.init(jax.random.PRNGKey(1), acfg)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 90, size=(1, 4 + i)).astype(np.int32) for i in range(5)]
+
+    engine = PagedEngine(params=params, cfg=acfg, num_rows=2, num_blocks=12,
+                         block_size=BLOCK, max_blocks_per_seq=MAX_BLOCKS, chunk=4,
+                         eos_token_id=127, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"p{i}", ids=p, max_new_tokens=10))
+    results = engine.run_until_done()
+    assert set(results) == {f"p{i}" for i in range(5)}
+    # pool fully released at the end (block 0 reserved as the trash page)
+    assert len(engine.allocator.free) == 11
+    for i, p in enumerate(prompts):
+        ref, ref_len = gen.generate(params, acfg, jnp.asarray(p), None,
+                                    max_new_tokens=10, eos_token_id=127,
+                                    sampling=SamplingParams(greedy=True),
+                                    capacity=MAX_BLOCKS * BLOCK,
+                                    compute_dtype=jnp.float32)
+        r = [int(t) for t in np.asarray(ref)[0][: int(ref_len[0])]]
+        got = results[f"p{i}"]
+        n = min(len(r), len(got))
+        assert got[:n] == r[:n], (i, got, r)
