@@ -258,3 +258,68 @@ def load(model_path: str, compute_dtype=jnp.bfloat16) -> AudioFlamingo:
     eos = tokenizer.special_tokens.get("<|im_end|>", -1)
     return AudioFlamingo(cfg=cfg, params=params, processor=proc, eos_token_id=eos,
                          compute_dtype=compute_dtype)
+
+
+def save_af2(path: str, model: "AudioFlamingo2") -> None:
+    """Persist an AF1/AF2-family model (flamingo params + CLAP tower + tokenizer)."""
+    import json as _json
+
+    from audio_flamingo_tpu.train.checkpoints import export_safetensors
+
+    os.makedirs(path, exist_ok=True)
+    export_safetensors(os.path.join(path, "flamingo.safetensors"), model.params)
+    export_safetensors(os.path.join(path, "clap.safetensors"), model.clap_params)
+    from audio_flamingo_tpu.config import asdict
+
+    with open(os.path.join(path, "config.json"), "w") as f:
+        _json.dump({"af2": asdict(model.cfg), "clap": asdict(model.clap_tower.cfg),
+                    "lm_family": "opt" if type(model.cfg.lm).__name__ == "OPTConfig"
+                    else "qwen2"}, f, indent=1)
+    tok = model.processor.tokenizer
+    with open(os.path.join(path, "vocab.json"), "w") as f:
+        _json.dump(tok.vocab, f)
+    with open(os.path.join(path, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in tok.merges:
+            f.write(f"{a} {b}\n")
+
+
+def load_af2(path: str, compute_dtype=jnp.float32) -> "AudioFlamingo2":
+    """Load an AF1/AF2-family model saved by save_af2."""
+    import json as _json
+
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, ClapMelConfig, \
+        GatedXAttnConfig, OPTConfig, Qwen2Config
+    from audio_flamingo_tpu.models import clap as clap_mod
+    from audio_flamingo_tpu.models import flamingo
+    from audio_flamingo_tpu.models.clap import ClapAudioTower
+    from audio_flamingo_tpu.runtime.clap_processor import AF2Processor
+    from audio_flamingo_tpu.train.checkpoints import import_safetensors
+
+    with open(os.path.join(path, "config.json")) as f:
+        raw = _json.load(f)
+    lm_cls = OPTConfig if raw.get("lm_family") == "opt" else Qwen2Config
+    a = raw["af2"]
+    for key in ("depths", "num_heads"):
+        if key in a["clap"]:
+            a["clap"][key] = tuple(a["clap"][key])
+    cfg = AF2Config(clap=ClapAudioConfig(**a["clap"]), lm=lm_cls(**a["lm"]),
+                    xattn=GatedXAttnConfig(**a["xattn"]),
+                    num_audio_transform_layers=a["num_audio_transform_layers"],
+                    audio_embed_dim=a["audio_embed_dim"],
+                    mel=ClapMelConfig(**a["mel"]))
+    c = raw["clap"]
+    for key in ("depths", "num_heads"):
+        c[key] = tuple(c[key])
+    clap_cfg = ClapAudioConfig(**c)
+
+    params_t = flamingo.init(jax.random.PRNGKey(0), cfg)
+    clap_t = clap_mod.init(jax.random.PRNGKey(0), clap_cfg)
+    params = import_safetensors(os.path.join(path, "flamingo.safetensors"), params_t)
+    clap_params = import_safetensors(os.path.join(path, "clap.safetensors"), clap_t)
+    tokenizer = BBPETokenizer.from_pretrained_dir(path)
+    proc = AF2Processor(tokenizer=tokenizer, cfg=cfg)
+    eos = tokenizer.special_tokens.get("<|im_end|>", -1)
+    return AudioFlamingo2(cfg=cfg, params=params, clap_params=clap_params,
+                          clap_tower=ClapAudioTower(clap_cfg), processor=proc,
+                          eos_token_id=eos, compute_dtype=compute_dtype)

@@ -56,3 +56,17 @@ def test_media_idx_ordinals(model):
     idx = batch["media_idx"][0]
     assert idx.min() == 0 and idx.max() == 2
     assert batch["mels"].shape[0] == 2
+
+
+def test_af2_save_load_roundtrip(tmp_path, model):
+    from audio_flamingo_tpu.api import load_af2, save_af2
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+
+    wav = (0.2 * np.sin(2 * np.pi * 440 * np.arange(48_000) / 48_000)).astype(np.float32)
+    ref = model.generate(sound=wav, prompt="What?", max_new_tokens=5,
+                         sampling=SamplingParams(greedy=True))
+    save_af2(str(tmp_path), model)
+    again = load_af2(str(tmp_path), compute_dtype=jnp.float32)
+    got = again.generate(sound=wav, prompt="What?", max_new_tokens=5,
+                         sampling=SamplingParams(greedy=True))
+    assert got == ref
