@@ -111,3 +111,24 @@ def test_native_bpe_matches_python(tok_files):
         _pytest.skip("native bpe unavailable")
     for text in CORPUS + ["ünïcode — emoji 🎵!", "  spaces\tand\nnewlines", "CAPS 123"]:
         assert nat.encode(text) == py.encode(text), text
+
+
+def test_fuzz_tokenizer_matches_hf(tok_files):
+    """Property test: random unicode strings tokenize identically to the HF reference."""
+    from hypothesis import given, settings, strategies as st
+    from transformers.models.qwen2.tokenization_qwen2 import Qwen2Tokenizer
+
+    hf = Qwen2Tokenizer(str(tok_files / "vocab.json"), str(tok_files / "merges.txt"),
+                        unk_token=None, bos_token=None, eos_token="<|endoftext|>")
+    ours = BBPETokenizer.from_files(str(tok_files / "vocab.json"),
+                                    str(tok_files / "merges.txt"))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=60))
+    def check(text):
+        assert ours.encode(text, allow_special=False) == \
+            hf(text, add_special_tokens=False)["input_ids"]
+        # decode is a perfect inverse for byte-level BPE
+        assert ours.decode(ours.encode(text, allow_special=False)) == text
+
+    check()
