@@ -197,13 +197,16 @@ def logits(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     return _unembed(params, cfg, h)
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype"))
+@partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype", "media_mode"))
 def prefill(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
-            window_embeds: jnp.ndarray, capacity: int, compute_dtype=jnp.float32):
+            window_embeds: jnp.ndarray, capacity: int, compute_dtype=jnp.float32,
+            text_media_idx: jnp.ndarray | None = None, media_mode: str = "last"):
     """Prompt + CLAP windows -> (cache, media, last-token logits).
 
     window_embeds: [B, n_media, windows_per_media, d_audio]. Media features are computed
     once here and re-used by every decode step (they are static during generation).
+    text_media_idx: optional [B, T] media ordinals for Flamingo masking during the
+    prompt (AF1 few-shot ICL, SURVEY.md §3.2); decode steps attend per `media_mode`.
     """
     b, t = token_ids.shape
     media = transform_audio(params, cfg, window_embeds.astype(compute_dtype))
@@ -215,28 +218,41 @@ def prefill(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
         cache = opt_mod.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
     else:
         cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
-    h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None,
+    mmask = None
+    if text_media_idx is not None:
+        n_media = window_embeds.shape[1]
+        mmask = xattn_op.media_mask(text_media_idx, n_media, window_embeds.shape[2],
+                                    mode=media_mode)
+    h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=mmask,
                                       cache=cache)
     return cache, media, _unembed(params, cfg, h[:, -1])
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
 def decode_step(params: dict, cfg: AF2Config, cache, media: jnp.ndarray,
-                token: jnp.ndarray, position: jnp.ndarray, compute_dtype=jnp.float32):
-    """One decode step with gated cross-attention to the (fixed) media features."""
+                token: jnp.ndarray, position: jnp.ndarray, compute_dtype=jnp.float32,
+                decode_media_mask: jnp.ndarray | None = None):
+    """One decode step with gated cross-attention to the (fixed) media features.
+
+    decode_media_mask: optional [B, 1, 1, S] mask restricting which media the generated
+    tokens may attend (Flamingo 'last' semantics for few-shot ICL)."""
     embeds = _embed(params, cfg, token[:, None], dtype=compute_dtype)
     pos = jnp.broadcast_to(position[None, None], (token.shape[0], 1)).astype(jnp.int32)
-    h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=None,
-                                      cache=cache)
+    h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media,
+                                      media_mask=decode_media_mask, cache=cache)
     return cache, _unembed(params, cfg, h[:, 0])
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "capacity", "sampling",
-                                   "eos_token_id", "compute_dtype"))
+                                   "eos_token_id", "compute_dtype", "media_mode"))
 def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
              window_embeds: jnp.ndarray, *, max_new_tokens: int = 64, capacity: int = 0,
-             eos_token_id: int = -1, sampling=None, rng=None, compute_dtype=jnp.float32):
-    """AF1/AF2 device-side generation (SURVEY.md §3.2 + §3.4)."""
+             eos_token_id: int = -1, sampling=None, rng=None, compute_dtype=jnp.float32,
+             text_media_idx: jnp.ndarray | None = None, media_mode: str = "last"):
+    """AF1/AF2 device-side generation (SURVEY.md §3.2 + §3.4).
+
+    With text_media_idx, the prompt uses Flamingo media masking (few-shot ICL) and the
+    generated tokens attend per `media_mode` ('last' = only the final clip)."""
     from audio_flamingo_tpu.ops.sampling import SamplingParams
     from audio_flamingo_tpu.runtime.generate import decode_loop
 
@@ -246,10 +262,18 @@ def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     sampling = sampling or SamplingParams()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     cache, media, logits0 = prefill(params, cfg, token_ids, window_embeds, capacity,
-                                    compute_dtype)
+                                    compute_dtype, text_media_idx=text_media_idx,
+                                    media_mode=media_mode)
+    decode_mask = None
+    if text_media_idx is not None:
+        n_media = window_embeds.shape[1]
+        gen_idx = jnp.full((b, 1), n_media, jnp.int32)  # generated tokens: after all media
+        decode_mask = xattn_op.media_mask(gen_idx, n_media, window_embeds.shape[2],
+                                          mode=media_mode)
 
     def decode_fn(cache, token, position):
-        return decode_step(params, cfg, cache, media, token, position, compute_dtype)
+        return decode_step(params, cfg, cache, media, token, position, compute_dtype,
+                           decode_media_mask=decode_mask)
 
     return decode_loop(logits0, cache, t, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng)
