@@ -23,6 +23,25 @@ from audio_flamingo_tpu.config import AF3Config, Qwen2Config
 from audio_flamingo_tpu.models import af3, qwen2
 
 
+def speculative_accept(rng: jax.Array, p_target: jnp.ndarray, p_draft: jnp.ndarray,
+                       proposed: jnp.ndarray):
+    """One-token speculative SAMPLING acceptance (Leviathan et al. rejection rule).
+
+    p_target/p_draft: [vocab] probability vectors; proposed: [] draft-sampled token.
+    Accept with prob min(1, p_t[x]/p_d[x]); on reject, resample from the residual
+    distribution max(p_t - p_d, 0) (renormalized). The marginal law of the returned
+    token is EXACTLY p_target — unit-tested analytically in tests/test_speculative.py.
+    Returns (token, accepted: bool).
+    """
+    k1, k2 = jax.random.split(rng)
+    ratio = p_target[proposed] / jnp.maximum(p_draft[proposed], 1e-30)
+    accept = jax.random.uniform(k1) < jnp.minimum(ratio, 1.0)
+    residual = jnp.maximum(p_target - p_draft, 0.0)
+    residual = residual / jnp.maximum(residual.sum(), 1e-30)
+    resampled = jax.random.categorical(k2, jnp.log(jnp.maximum(residual, 1e-30)))
+    return jnp.where(accept, proposed, resampled), accept
+
+
 class SpecState(NamedTuple):
     t_cache: qwen2.KVCache
     d_cache: qwen2.KVCache

@@ -81,3 +81,35 @@ def test_speculative_with_audio(models):
                                         compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
                                   np.asarray(ref)[0][: int(ref_len[0])])
+
+
+def test_speculative_accept_preserves_target_distribution():
+    """Analytic check: marginal P(token) of the accept/resample rule == p_target.
+
+    P(x) = p_d(x)*min(1, p_t/p_d) + P(reject)*residual(x); verified by Monte Carlo
+    against the closed form AND the closed form against p_target.
+    """
+    from audio_flamingo_tpu.runtime.speculative import speculative_accept
+
+    rng = np.random.default_rng(0)
+    V = 8
+    p_t = rng.dirichlet(np.ones(V)).astype(np.float32)
+    p_d = rng.dirichlet(np.ones(V)).astype(np.float32)
+
+    # closed form marginal
+    accept_prob = np.minimum(p_t, p_d)             # p_d(x) * min(1, p_t/p_d)
+    p_reject = 1.0 - accept_prob.sum()
+    residual = np.maximum(p_t - p_d, 0.0)
+    residual /= residual.sum()
+    marginal = accept_prob + p_reject * residual
+    np.testing.assert_allclose(marginal, p_t, atol=1e-6)  # math identity
+
+    # Monte Carlo through the jax implementation
+    n = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    draft_draws = jax.random.categorical(
+        jax.random.PRNGKey(2), jnp.log(jnp.asarray(p_d))[None].repeat(n, 0))
+    toks, _ = jax.vmap(lambda k, x: speculative_accept(
+        k, jnp.asarray(p_t), jnp.asarray(p_d), x))(keys, draft_draws)
+    counts = np.bincount(np.asarray(toks), minlength=V) / n
+    np.testing.assert_allclose(counts, p_t, atol=0.02)
