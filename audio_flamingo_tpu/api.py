@@ -60,8 +60,14 @@ class AudioFlamingo:
                 text = f"{AUDIO_TOKEN}{prompt}"
         if think:
             text = f"{text}\n{self.THINK_INSTRUCTION}"
-        messages = (self.history if chat else []) + [{"role": "user", "content": text}]
-        batch = self.processor(messages=messages, audios=audios)
+        # chat history carries each turn's audio so placeholders in old turns stay
+        # paired with their clips (prefill re-runs over the full history every turn)
+        history_audios = [a for m in (self.history if chat else [])
+                          for a in m.get("audios", [])]
+        all_audios = history_audios + (audios or [])
+        messages = ([{k: v for k, v in m.items() if k != "audios"}
+                     for m in self.history] if chat else []) +             [{"role": "user", "content": text}]
+        batch = self.processor(messages=messages, audios=all_audios or None)
         ids = jnp.asarray(batch["ids"])
         mels = jnp.asarray(batch["mels"]) if batch["mels"] is not None else None
 
@@ -78,7 +84,8 @@ class AudioFlamingo:
             out_ids = np.asarray(tokens)[0][: int(lengths[0])]
             answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
             if chat:
-                self.history.append({"role": "user", "content": text})
+                self.history.append({"role": "user", "content": text,
+                                     "audios": audios or []})
                 self.history.append({"role": "assistant", "content": answer})
             return answer
 
@@ -89,7 +96,8 @@ class AudioFlamingo:
         out_ids = np.asarray(tokens)[0][: int(lengths[0])]
         answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
         if chat:
-            self.history.append({"role": "user", "content": text})
+            self.history.append({"role": "user", "content": text,
+                                 "audios": audios or []})
             self.history.append({"role": "assistant", "content": answer})
         return answer
 
@@ -159,8 +167,12 @@ class AudioFlamingo2:
             audios = [sound] if isinstance(sound, np.ndarray) else list(sound)
             if CLAP_AT not in prompt:
                 text = f"{CLAP_AT}{prompt}"
-        messages = (self.history if chat else []) + [{"role": "user", "content": text}]
-        batch = self.processor(messages=messages, audios=audios)
+        history_audios = [a for m in (self.history if chat else [])
+                          for a in m.get("audios", [])]
+        all_audios = history_audios + (audios or [])
+        messages = ([{k: v for k, v in m.items() if k != "audios"}
+                     for m in self.history] if chat else []) +             [{"role": "user", "content": text}]
+        batch = self.processor(messages=messages, audios=all_audios or None)
         if batch["mels"] is not None:
             wins = self.encode_audio(batch["mels"], batch["is_longer"])
         else:
@@ -173,7 +185,8 @@ class AudioFlamingo2:
         out_ids = np.asarray(tokens)[0][: int(lengths[0])]
         answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
         if chat:
-            self.history.append({"role": "user", "content": text})
+            self.history.append({"role": "user", "content": text,
+                                 "audios": audios or []})
             self.history.append({"role": "assistant", "content": answer})
         return answer
 

@@ -70,3 +70,14 @@ def test_af2_save_load_roundtrip(tmp_path, model):
     got = again.generate(sound=wav, prompt="What?", max_new_tokens=5,
                          sampling=SamplingParams(greedy=True))
     assert got == ref
+
+
+def test_af2_chat_audio_carries_across_turns(model):
+    model.reset_chat()
+    wav = (0.2 * np.sin(2 * np.pi * 440 * np.arange(48_000) / 48_000)).astype(np.float32)
+    model.generate(sound=wav, prompt="clip one", chat=True, max_new_tokens=3)
+    out2 = model.generate(prompt="text only turn", chat=True, max_new_tokens=3)
+    assert isinstance(out2, str)
+    out3 = model.generate(sound=wav, prompt="clip two", chat=True, max_new_tokens=3)
+    assert isinstance(out3, str)
+    model.reset_chat()

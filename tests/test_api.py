@@ -52,3 +52,22 @@ def test_greedy_deterministic(model):
     a = model.generate(prompt="det", max_new_tokens=6, sampling=SamplingParams(greedy=True))
     b = model.generate(prompt="det", max_new_tokens=6, sampling=SamplingParams(greedy=True))
     assert a == b
+
+
+def test_chat_audio_carries_across_turns(model):
+    """Audio from turn 1 must stay paired with its placeholder in later turns; adding
+    new audio in turn 2 must not crash on placeholder/clip count mismatch."""
+    model.reset_chat()
+    wav1 = (0.2 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    wav2 = (0.2 * np.sin(2 * np.pi * 880 * np.arange(16000) / 16000)).astype(np.float32)
+    model.generate(sound=wav1, prompt="first clip", chat=True, max_new_tokens=3)
+    out2 = model.generate(prompt="no audio now", chat=True, max_new_tokens=3)
+    assert isinstance(out2, str)
+    out3 = model.generate(sound=wav2, prompt="second clip", chat=True, max_new_tokens=3)
+    assert isinstance(out3, str)
+    # history keeps per-turn audio
+    user_turns = [m for m in model.history if m["role"] == "user"]
+    assert len(user_turns[0]["audios"]) == 1
+    assert len(user_turns[1]["audios"]) == 0
+    assert len(user_turns[2]["audios"]) == 1
+    model.reset_chat()
