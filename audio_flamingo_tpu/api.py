@@ -74,7 +74,19 @@ class AudioFlamingo:
         if stream:
             return self._stream(ids, mels, max_new_tokens, sampling, seed)
 
-        if self.draft_params is not None and sampling.greedy and ids.shape[0] == 1:
+        # token-bucket the prompt: one compiled prefill per bucket, not per length
+        from audio_flamingo_tpu.train.data import bucket_tokens
+
+        t = ids.shape[1]
+        bucket = bucket_tokens(t)
+        prompt_len = None
+        if bucket != t:
+            pad = jnp.full((ids.shape[0], bucket - t), self.eos_token_id, jnp.int32)
+            ids = jnp.concatenate([ids, pad], axis=1)
+            prompt_len = jnp.asarray(t, jnp.int32)
+
+        if (self.draft_params is not None and sampling.greedy and ids.shape[0] == 1
+                and prompt_len is None):
             from audio_flamingo_tpu.runtime.speculative import generate_speculative
 
             tokens, lengths = generate_speculative(
@@ -92,7 +104,8 @@ class AudioFlamingo:
         tokens, lengths = gen.generate(
             self.params, self.cfg, ids, mels, max_new_tokens=max_new_tokens,
             eos_token_id=self.eos_token_id, sampling=sampling,
-            rng=jax.random.PRNGKey(seed), compute_dtype=self.compute_dtype)
+            rng=jax.random.PRNGKey(seed), compute_dtype=self.compute_dtype,
+            prompt_len=prompt_len)
         out_ids = np.asarray(tokens)[0][: int(lengths[0])]
         answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
         if chat:

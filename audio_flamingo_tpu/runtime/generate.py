@@ -36,17 +36,29 @@ class GenState(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype"))
 def prefill(params, cfg: AF3Config, token_ids: jnp.ndarray, mels: jnp.ndarray | None,
-            capacity: int, compute_dtype=jnp.bfloat16):
+            capacity: int, compute_dtype=jnp.bfloat16,
+            prompt_len: jnp.ndarray | None = None):
     """Prompt (+audio) -> (cache, last-token logits fp32).
 
     token_ids: [B, T] with audio placeholders already expanded (processor contract).
+    prompt_len: optional [] true length when token_ids is RIGHT-PADDED to a shape bucket
+    (compile-count control: one executable per bucket instead of per length). Pad slots
+    write garbage KV beyond prompt_len, but every decode step overwrites its slot BEFORE
+    attending, so pads are never attendable; logits are taken at prompt_len-1 and the
+    cache index rewinds to prompt_len.
     """
     b, t = token_ids.shape
     embeds = af3.build_input_embeds(params, cfg, token_ids, mels, compute_dtype)
     pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
     h, cache = qwen2.forward(params["lm"], cfg.lm, embeds, pos, cache=cache)
-    logits = qwen2.unembed(params["lm"], cfg.lm, h[:, -1])
+    if prompt_len is None:
+        logits = qwen2.unembed(params["lm"], cfg.lm, h[:, -1])
+        return cache, logits
+    last = jnp.take_along_axis(
+        h, jnp.full((b, 1, 1), prompt_len - 1, jnp.int32).repeat(h.shape[-1], -1), axis=1)
+    logits = qwen2.unembed(params["lm"], cfg.lm, last[:, 0])
+    cache = cache._replace(index=prompt_len.astype(jnp.int32))
     return cache, logits
 
 
@@ -113,11 +125,12 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
              mels: jnp.ndarray | None = None, *, max_new_tokens: int = 64,
              capacity: int = 0, eos_token_id: int = -1,
              sampling: SamplingParams = SamplingParams(), rng: jax.Array | None = None,
-             compute_dtype=jnp.bfloat16):
+             compute_dtype=jnp.bfloat16, prompt_len: jnp.ndarray | None = None):
     """Device-side generation: returns (tokens [B, max_new_tokens], lengths [B]).
 
     Positions after EOS are filled with eos_token_id. capacity=0 -> prompt+max_new rounded
-    up to a 128 multiple (static shape bucket).
+    up to a 128 multiple (static shape bucket). prompt_len: true length for right-padded
+    prompts (see prefill).
     """
     b, t = token_ids.shape
     if capacity == 0:
@@ -125,12 +138,14 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype,
+                            prompt_len=prompt_len)
+    start = t if prompt_len is None else prompt_len
 
     def decode_fn(cache, token, position):
         return decode_step(params, cfg, cache, token, position, compute_dtype)
 
-    return decode_loop(logits, cache, t, decode_fn, max_new_tokens=max_new_tokens,
+    return decode_loop(logits, cache, start, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng)
 
 

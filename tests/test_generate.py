@@ -133,3 +133,21 @@ def test_repetition_penalty_reduces_repeats(params):
     # penalty must change behavior whenever the plain decode repeats
     if len(set(plain.tolist())) < len(plain):
         assert not np.array_equal(plain, pen)
+
+
+def test_right_padded_prompt_matches_unpadded(params):
+    """Token-bucketed prompts: right-padding + prompt_len == exact unpadded decode."""
+    ids, mels, _ = _prompt()
+    ref, ref_len = gen.generate(params, CFG, jnp.asarray(ids), jnp.asarray(mels),
+                                max_new_tokens=8, eos_token_id=EOS, capacity=64,
+                                sampling=SamplingParams(greedy=True),
+                                compute_dtype=jnp.float32)
+    t = ids.shape[1]
+    padded = np.concatenate([ids, np.full((1, 32 - t), 3, np.int32)], axis=1)
+    out, out_len = gen.generate(params, CFG, jnp.asarray(padded), jnp.asarray(mels),
+                                max_new_tokens=8, eos_token_id=EOS, capacity=64,
+                                sampling=SamplingParams(greedy=True),
+                                compute_dtype=jnp.float32,
+                                prompt_len=jnp.asarray(t, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
+                                  np.asarray(ref)[0][: int(ref_len[0])])
