@@ -190,11 +190,21 @@ class AudioFlamingo2:
             wins = self.encode_audio(batch["mels"], batch["is_longer"])
         else:
             wins = jnp.zeros((1, 1, 1, self.cfg.audio_embed_dim), self.compute_dtype)
+        from audio_flamingo_tpu.train.data import bucket_tokens
+
+        ids = jnp.asarray(batch["ids"])
+        t = ids.shape[1]
+        bucket = bucket_tokens(t)
+        prompt_len = None
+        if bucket != t:
+            ids = jnp.concatenate(
+                [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)], axis=1)
+            prompt_len = jnp.asarray(t, jnp.int32)
         tokens, lengths = flamingo.generate(
-            self.params, self.cfg, jnp.asarray(batch["ids"]), wins,
+            self.params, self.cfg, ids, wins,
             max_new_tokens=max_new_tokens, eos_token_id=self.eos_token_id,
             sampling=sampling, rng=jax.random.PRNGKey(seed),
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, prompt_len=prompt_len)
         out_ids = np.asarray(tokens)[0][: int(lengths[0])]
         answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
         if chat:

@@ -200,7 +200,8 @@ def logits(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "capacity", "compute_dtype", "media_mode"))
 def prefill(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
             window_embeds: jnp.ndarray, capacity: int, compute_dtype=jnp.float32,
-            text_media_idx: jnp.ndarray | None = None, media_mode: str = "last"):
+            text_media_idx: jnp.ndarray | None = None, media_mode: str = "last",
+            prompt_len: jnp.ndarray | None = None):
     """Prompt + CLAP windows -> (cache, media, last-token logits).
 
     window_embeds: [B, n_media, windows_per_media, d_audio]. Media features are computed
@@ -225,7 +226,12 @@ def prefill(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
                                     mode=media_mode)
     h, cache = _lm_forward_with_xattn(params, cfg, embeds, pos, media, media_mask=mmask,
                                       cache=cache)
-    return cache, media, _unembed(params, cfg, h[:, -1])
+    if prompt_len is None:
+        return cache, media, _unembed(params, cfg, h[:, -1])
+    last = jnp.take_along_axis(
+        h, jnp.full((b, 1, 1), prompt_len - 1, jnp.int32).repeat(h.shape[-1], -1), axis=1)
+    cache = cache._replace(index=prompt_len.astype(jnp.int32))
+    return cache, media, _unembed(params, cfg, last[:, 0])
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
@@ -248,7 +254,8 @@ def decode_step(params: dict, cfg: AF2Config, cache, media: jnp.ndarray,
 def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
              window_embeds: jnp.ndarray, *, max_new_tokens: int = 64, capacity: int = 0,
              eos_token_id: int = -1, sampling=None, rng=None, compute_dtype=jnp.float32,
-             text_media_idx: jnp.ndarray | None = None, media_mode: str = "last"):
+             text_media_idx: jnp.ndarray | None = None, media_mode: str = "last",
+             prompt_len: jnp.ndarray | None = None):
     """AF1/AF2 device-side generation (SURVEY.md §3.2 + §3.4).
 
     With text_media_idx, the prompt uses Flamingo media masking (few-shot ICL) and the
@@ -263,7 +270,7 @@ def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     cache, media, logits0 = prefill(params, cfg, token_ids, window_embeds, capacity,
                                     compute_dtype, text_media_idx=text_media_idx,
-                                    media_mode=media_mode)
+                                    media_mode=media_mode, prompt_len=prompt_len)
     decode_mask = None
     if text_media_idx is not None:
         n_media = window_embeds.shape[1]
@@ -275,7 +282,8 @@ def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
         return decode_step(params, cfg, cache, media, token, position, compute_dtype,
                            decode_media_mask=decode_mask)
 
-    return decode_loop(logits0, cache, t, decode_fn, max_new_tokens=max_new_tokens,
+    start = t if prompt_len is None else prompt_len
+    return decode_loop(logits0, cache, start, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng)
 
 

@@ -154,7 +154,8 @@ def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
                     capacity: int = 0, eos_token_id: int = -1,
                     sampling: SamplingParams = SamplingParams(),
                     rng: jax.Array | None = None,
-                    compute_dtype=jnp.bfloat16) -> Iterator[int]:
+                    compute_dtype=jnp.bfloat16,
+                    prompt_len: jnp.ndarray | None = None) -> Iterator[int]:
     """Host-driven streaming decode (batch 1): yields token ids as they are sampled.
 
     This is the streamer interface the AF3-Chat TTS head consumes
@@ -167,10 +168,11 @@ def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype,
+                            prompt_len=prompt_len)
     rng, k = jax.random.split(rng)
     token = sample_token(k, logits, sampling)
-    position = t
+    position = t if prompt_len is None else int(prompt_len)
     for _ in range(max_new_tokens):
         tid = int(token[0])
         yield tid
