@@ -120,21 +120,25 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
 @functools.partial(jax.jit, static_argnames=("cfg", "slot_capacity", "compute_dtype"),
                    donate_argnames=("cache",))
 def prefill_into_slot(params, cfg: AF3Config, cache: SlotCache, slot, token_ids, mels,
-                      *, slot_capacity: int, compute_dtype=jnp.bfloat16):
+                      *, slot_capacity: int, compute_dtype=jnp.bfloat16,
+                      prompt_len: jnp.ndarray | None = None):
     """Prefill ONE request (batch 1) and install its KV into `slot`.
 
-    Returns (cache, first-token logits [vocab]).
+    Returns (cache, first-token logits [vocab]). token_ids may be right-padded to a
+    shape bucket with `prompt_len` the true length (compile-count control).
     """
     t = token_ids.shape[1]
     sub_cache, logits = __import__("audio_flamingo_tpu.runtime.generate",
                                    fromlist=["prefill"]).prefill(
-        params, cfg, token_ids, mels, slot_capacity, compute_dtype)
+        params, cfg, token_ids, mels, slot_capacity, compute_dtype,
+        prompt_len=prompt_len)
     # install: rows [L, 1, C, nkv, hd] -> cache[:, slot]
     k = jax.lax.dynamic_update_slice(
         cache.k, sub_cache.k.astype(cache.k.dtype), (0, slot, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(
         cache.v, sub_cache.v.astype(cache.v.dtype), (0, slot, 0, 0, 0))
-    lengths = cache.lengths.at[slot].set(t)
+    lengths = cache.lengths.at[slot].set(
+        t if prompt_len is None else prompt_len.astype(jnp.int32))
     return SlotCache(k, v, lengths), logits[0]
 
 
@@ -181,9 +185,21 @@ class BatchEngine:
                 continue
             req = self.queue.popleft()
             mels = jnp.asarray(req.mels) if req.mels is not None else None
+            from audio_flamingo_tpu.train.data import bucket_tokens
+
+            ids = jnp.asarray(req.ids)
+            t = ids.shape[1]
+            bucket = min(bucket_tokens(t), self.capacity)
+            prompt_len = None
+            if bucket != t:
+                ids = jnp.concatenate(
+                    [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
+                    axis=1)
+                prompt_len = jnp.asarray(t, jnp.int32)
             self.cache, logits = prefill_into_slot(
-                self.params, self.cfg, self.cache, slot, jnp.asarray(req.ids), mels,
-                slot_capacity=self.capacity, compute_dtype=self.compute_dtype)
+                self.params, self.cfg, self.cache, slot, ids, mels,
+                slot_capacity=self.capacity, compute_dtype=self.compute_dtype,
+                prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
             first = sample_token(k, logits[None], self.sampling)[0]
             req.tokens.append(int(first))

@@ -71,8 +71,22 @@ class PagedEngine:
             req = self.queue.popleft()
             blocks = self.allocator.alloc(self.max_blocks_per_seq)
             mels = jnp.asarray(req.mels) if req.mels is not None else None
-            sub_cache, logits = prefill(self.params, self.cfg, jnp.asarray(req.ids),
-                                        mels, self.capacity, self.compute_dtype)
+            from audio_flamingo_tpu.train.data import bucket_tokens
+
+            ids = jnp.asarray(req.ids)
+            t = ids.shape[1]
+            bucket = min(bucket_tokens(t), self.capacity)
+            prompt_len = None
+            if bucket != t:
+                ids = jnp.concatenate(
+                    [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
+                    axis=1)
+                prompt_len = jnp.asarray(t, jnp.int32)
+            sub_cache, logits = prefill(self.params, self.cfg, ids, mels,
+                                        self.capacity, self.compute_dtype,
+                                        prompt_len=prompt_len)
+            if prompt_len is not None:
+                sub_cache = sub_cache._replace(index=prompt_len)
             self.cache = paged_install_prefill(
                 self.cache, jnp.asarray(row), sub_cache.k, sub_cache.v,
                 jnp.asarray(np.asarray(blocks, np.int32)),
