@@ -71,3 +71,26 @@ def test_engine_slot_reuse_isolation(params):
     ref_b = _reference_tokens(params, b, 8)
     n = min(len(ref_b), len(results["b"]))
     assert results["b"][:n] == ref_b[:n]
+
+
+def test_engine_audio_requests(params):
+    """Requests with mels flow through engine prefill (scatter included)."""
+    rng = np.random.default_rng(4)
+    frames = 2 * CFG.encoder.max_source_positions
+    ntok = CFG.encoder.max_source_positions // CFG.encoder.pool_stride
+    ids = np.concatenate([np.full((1, ntok), CFG.audio_token_id),
+                          rng.integers(0, 120, (1, 4))], axis=1).astype(np.int32)
+    mels = rng.normal(size=(1, 1, frames, CFG.encoder.num_mel_bins)).astype(np.float32)
+    ref, ref_len = gen.generate(params, CFG, jnp.asarray(ids), jnp.asarray(mels),
+                                max_new_tokens=6, eos_token_id=EOS, capacity=256,
+                                sampling=SamplingParams(greedy=True),
+                                compute_dtype=jnp.float32)
+    engine = BatchEngine(params=params, cfg=CFG, num_slots=2, capacity=256, chunk=3,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32)
+    engine.submit(Request(request_id="a", ids=ids, mels=mels, max_new_tokens=6))
+    results = engine.run_until_done()
+    r = [int(t) for t in np.asarray(ref)[0][: int(ref_len[0])]]
+    got = results["a"]
+    n = min(len(r), len(got))
+    assert got[:n] == r[:n]
