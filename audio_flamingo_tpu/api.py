@@ -167,15 +167,19 @@ class AudioFlamingo2:
         out = self.clap_tower.encode(self.clap_params, flat, lg)
         return out["embeds"].reshape(1, nm, nw, -1)
 
+    THINK_INSTRUCTION = AudioFlamingo.THINK_INSTRUCTION
+
     def generate(self, sound: np.ndarray | list[np.ndarray] | None = None,
                  prompt: str = "Describe the audio.", *, max_new_tokens: int = 128,
                  sampling: SamplingParams = SamplingParams(), seed: int = 0,
-                 chat: bool = False) -> str:
+                 chat: bool = False, think: bool = False) -> str:
         from audio_flamingo_tpu.models import flamingo
         from audio_flamingo_tpu.runtime.clap_processor import AUDIO_TOKEN as CLAP_AT
 
         audios = None
         text = prompt
+        if think:
+            text = f"{text}\n{self.THINK_INSTRUCTION}"
         if sound is not None:
             audios = [sound] if isinstance(sound, np.ndarray) else list(sound)
             if CLAP_AT not in prompt:
@@ -248,11 +252,15 @@ class AudioFlamingo2:
                               eos_token_id=eos, compute_dtype=compute_dtype)
 
 
-def load(model_path: str, compute_dtype=jnp.bfloat16) -> AudioFlamingo:
+def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = False,
+         use_flash: bool = True) -> AudioFlamingo:
     """Load an AF3-family checkpoint directory (HF '-hf' layout).
 
     Expects: config.json (qwen2_audio-style nesting), tokenizer.json (or vocab.json +
     merges.txt), model.safetensors[.index.json].
+    quantize_lm=True converts LM weights to int8 on load (weight-only, per-channel) —
+    required to fit the 7B LM on a single 16 GB chip. use_flash enables Pallas flash
+    attention for the encoder and LM prefill.
     """
     import json
 
@@ -285,8 +293,19 @@ def load(model_path: str, compute_dtype=jnp.bfloat16) -> AudioFlamingo:
         ),
         audio_token_id=raw.get("audio_token_id", raw.get("audio_token_index", 151_646)),
     )
+    if use_flash:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, use_flash=True),
+            lm=dataclasses.replace(cfg.lm, use_flash=True))
     sd = load_checkpoint_dir(model_path)
     params = import_qwen2_audio(sd, cfg)
+    if quantize_lm:
+        from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+        params["lm"] = quantize_lm_params(
+            jax.tree.map(jnp.asarray, params["lm"]))
     params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype)
                           if np.asarray(x).dtype == np.float32 else jnp.asarray(x), params)
     tokenizer = BBPETokenizer.from_pretrained_dir(model_path)

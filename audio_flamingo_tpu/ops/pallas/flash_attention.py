@@ -19,6 +19,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _interpret() -> bool:
+    """Pallas compiled mode needs a TPU; interpret transparently on CPU (tests/fallback)."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -118,6 +126,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        interpret=_interpret(),
     )(qh, kh, vh)
     out = jnp.swapaxes(out.reshape(b, h, tq, d), 1, 2)
     return out[:, :tq_orig]

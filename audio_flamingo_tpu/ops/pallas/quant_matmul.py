@@ -15,6 +15,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    """Pallas compiled mode needs a TPU; interpret transparently on CPU (tests/fallback)."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, k_steps: int):
     kj = pl.program_id(1)
 
@@ -62,5 +70,6 @@ def w8a16_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
     )(x, w_q, scale[None, :])
     return out[:m]

@@ -21,6 +21,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    """Pallas compiled mode needs a TPU; interpret transparently on CPU (tests/fallback)."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+
 def _logmel_kernel(r0_ref, r1_ref, r2_ref, basis_ref, mel_w_ref, out_ref, *, n_fft: int,
                    n_bins: int):
     """Grid: (num_windows, frames_per_window // frames_per_step).
@@ -85,6 +93,7 @@ def fused_log_mel(wins: jnp.ndarray, dft_cos: jnp.ndarray, dft_sin: jnp.ndarray,
         out_specs=pl.BlockSpec((1, fs, n_mels), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, frames_per_window, n_mels), jnp.float32),
+        interpret=_interpret(),
     )(views[0], views[1], views[2], basis, mel_w)
 
     return pl.pallas_call(
@@ -95,4 +104,5 @@ def fused_log_mel(wins: jnp.ndarray, dft_cos: jnp.ndarray, dft_sin: jnp.ndarray,
         out_specs=pl.BlockSpec((1, frames_per_window, n_mels), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, frames_per_window, n_mels), jnp.float32),
+        interpret=_interpret(),
     )(logmel)

