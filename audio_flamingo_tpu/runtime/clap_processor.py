@@ -9,12 +9,12 @@ axis with per-token media ordinals (ops/xattn.media_mask).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from audio_flamingo_tpu.audio.clap_mel import ClapMelFrontend
-from audio_flamingo_tpu.config import AF2Config, ClapMelConfig
+from audio_flamingo_tpu.config import AF2Config
 from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer
 
 AUDIO_TOKEN = "<sound>"

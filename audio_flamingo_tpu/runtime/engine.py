@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_flamingo_tpu.config import AF3Config
-from audio_flamingo_tpu.models import af3, qwen2
+from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
 

@@ -9,7 +9,7 @@ per-slot worst-case reservation, and freed pages are immediately reusable
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
 from audio_flamingo_tpu.runtime.engine import Request
 from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
-    PagedKV,
     init_paged,
     paged_decode_chunk,
     paged_install_prefill,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from audio_flamingo_tpu.config import AF3Config, Qwen2Config
-from audio_flamingo_tpu.models import af3, qwen2
+from audio_flamingo_tpu.models import qwen2
 
 
 def speculative_accept(rng: jax.Array, p_target: jnp.ndarray, p_draft: jnp.ndarray,
