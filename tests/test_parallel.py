@@ -73,3 +73,24 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert out.ndim == 3 and bool(jnp.isfinite(out).all())
+
+
+def test_clap_tower_window_parallel():
+    """HTSAT encode with the window axis sharded across the mesh == unsharded."""
+    from audio_flamingo_tpu.config import ClapAudioConfig
+    from audio_flamingo_tpu.models import clap as clap_mod
+    from audio_flamingo_tpu.models.clap import ClapAudioTower
+
+    cfg = ClapAudioConfig(num_mel_bins=16, spec_size=64, patch_size=4, patch_stride=4,
+                          patch_embed_dim=24, depths=(2, 2), num_heads=(2, 4),
+                          window_size=4, projection_dim=32, enable_fusion=False)
+    tower = ClapAudioTower(cfg)
+    params = clap_mod.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    mels = jnp.asarray(rng.normal(size=(8, 1, 200, 16)), jnp.float32)  # 8 windows
+    ref = np.asarray(tower.encode(params, mels, None)["embeds"])
+
+    mesh = make_mesh(MeshPlan(1, 8, 1), devices=jax.devices()[:8])
+    sharded = jax.device_put(mels, NamedSharding(mesh, P(("data", "fsdp", "model"))))
+    out = np.asarray(tower.encode(params, sharded, None)["embeds"])
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
