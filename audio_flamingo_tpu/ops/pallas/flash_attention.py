@@ -73,8 +73,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
-                                              "q_offset"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = False, scale: float | None = None,
                     q_offset: int = 0, block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
@@ -82,7 +80,47 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     Tq/Tk are padded up to tile multiples internally (padded keys are masked out, padded
     query rows are sliced off), so arbitrary sequence lengths (e.g. 1500) are fine.
+    Differentiable: forward is the Pallas kernel; the backward recomputes attention
+    through the XLA reference (O(T^2) memory in the backward only — a fused flash
+    backward kernel is a round-2 item; forward-only inference is unaffected).
     """
+    return _flash_vjp(q, k, v, causal, scale, q_offset, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_vjp(q, k, v, causal, scale, q_offset, block_q, block_k):
+    return _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
+                          block_q=block_q, block_k=block_k)
+
+
+def _reference_attention(q, k, v, causal, scale, q_offset):
+    from audio_flamingo_tpu.ops.attention import causal_mask, gqa_attention
+
+    mask = causal_mask(q.shape[1], k.shape[1], q_offset=q_offset) if causal else None
+    return gqa_attention(q, k, v, mask=mask, scale=scale)
+
+
+def _flash_fwd(q, k, v, causal, scale, q_offset, block_q, block_k):
+    out = _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
+                         block_q=block_q, block_k=block_k)
+    return out, (q, k, v)
+
+
+def _flash_bwd(causal, scale, q_offset, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, causal, scale,
+                                                          q_offset), q, k, v)
+    return vjp(g)
+
+
+_flash_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
+                                              "q_offset"))
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                   causal: bool = False, scale: float | None = None,
+                   q_offset: int = 0, block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
     b, tq, h, d = q.shape
     _, tk, hkv, _ = k.shape
     assert h % hkv == 0

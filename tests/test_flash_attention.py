@@ -68,3 +68,47 @@ def test_flash_handles_unaligned_lengths(tq, tk):
     out = _flash_interpret(q, k, v, block_q=128, block_k=128)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradients_match_reference():
+    """jax.grad through flash_attention == grads of the XLA reference (custom VJP)."""
+    from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    b, t, h, hkv, d = 1, 128, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, causal=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (gqa_attention(q, k, v, mask=causal_mask(t, t)) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
+
+def test_flash_grad_through_training_config():
+    """A train step with cfg.use_flash=True must produce finite grads (no pallas autodiff
+    crash)."""
+    import dataclasses
+
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+
+    cfg = dataclasses.replace(
+        Qwen2Config(vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=1,
+                    num_heads=4, num_kv_heads=2, tie_word_embeddings=True),
+        use_flash=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (1, 16)))
+
+    def loss(p):
+        return (qwen2.logits_from_ids(p, cfg, ids) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
