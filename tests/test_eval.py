@@ -65,3 +65,25 @@ def test_harness_end_to_end():
     assert set(res.task_scores) == {"asr_wer", "mcq_acc", "qa_acc", "caption_cider_d"}
     assert res.serving["n_examples"] == 4
     assert all(np.isfinite(v) for v in res.task_scores.values())
+
+
+def test_harness_batched_matches_sequential():
+    """Engine-backed evaluation produces identical answers to the sequential harness
+    (greedy), at identical scores."""
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.api import AudioFlamingo
+    from audio_flamingo_tpu.eval.harness import evaluate_batched
+
+    model = AudioFlamingo.from_random(compute_dtype=jnp.float32)
+    wav = np.zeros(16000, np.float32)
+    examples = [
+        EvalExample(audio=None, prompt=f"question {i}?", target="x", task="qa")
+        for i in range(5)
+    ] + [EvalExample(audio=wav, prompt="Transcribe.", target="hello", task="asr")]
+    seq = evaluate(model, examples, max_new_tokens=4)
+    bat = evaluate_batched(model, examples, max_new_tokens=4, num_slots=2, capacity=2048,
+                           chunk=2)
+    for a, b in zip(seq.per_example, bat.per_example):
+        assert a["answer"] == b["answer"], (a, b)
+    assert seq.task_scores == bat.task_scores
