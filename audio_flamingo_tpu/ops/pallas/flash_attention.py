@@ -29,11 +29,13 @@ def _interpret() -> bool:
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, tk: int,
                   scale: float, causal: bool, q_offset: int, kv_len: int):
     # q_ref: [1, bq, D]; k_ref/v_ref: [1, tk, D] (full K/V for this head); o_ref: [1, bq, D]
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale                       # [bq, D]
+    # MXU dots run in the INPUT dtype (bf16-native for bf16 callers, full f32 for f32
+    # parity callers) with f32 accumulation; softmax statistics are always f32.
+    q = q_ref[0]                                                   # [bq, D]
 
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
@@ -43,10 +45,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)     # [bk, D]
-        v = v_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * bk, bk), :]                         # [bk, D]
+        v = v_ref[0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq, bk]
+                                preferred_element_type=jnp.float32) * scale  # [bq, bk]
         if causal:
             q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
             k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -58,8 +60,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                                preferred_element_type=jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     if causal:
@@ -71,6 +74,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, tk: int,
         m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # log-sum-exp per query row: the softmax statistic the backward kernels need to
+    # reconstruct p = exp(s - lse) without re-running the online max/sum recursion.
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
@@ -80,17 +86,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     Tq/Tk are padded up to tile multiples internally (padded keys are masked out, padded
     query rows are sliced off), so arbitrary sequence lengths (e.g. 1500) are fine.
-    Differentiable: forward is the Pallas kernel; the backward recomputes attention
-    through the XLA reference (O(T^2) memory in the backward only — a fused flash
-    backward kernel is a round-2 item; forward-only inference is unaffected).
+    Differentiable: forward AND backward are fused Pallas kernels (FlashAttention-2
+    style). The forward additionally stores the per-row log-sum-exp; the backward
+    reconstructs p = exp(s - lse) tile-by-tile — O(bq*bk) VMEM instead of O(Tq*Tk) HBM
+    — so gradient memory no longer caps training sequence length.
     """
     return _flash_vjp(q, k, v, causal, scale, q_offset, block_q, block_k)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_vjp(q, k, v, causal, scale, q_offset, block_q, block_k):
-    return _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
-                          block_q=block_q, block_k=block_k)
+    out, _ = _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
+                            block_q=block_q, block_k=block_k)
+    return out
 
 
 def _reference_attention(q, k, v, causal, scale, q_offset):
@@ -101,16 +109,15 @@ def _reference_attention(q, k, v, causal, scale, q_offset):
 
 
 def _flash_fwd(q, k, v, causal, scale, q_offset, block_q, block_k):
-    out = _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
-                         block_q=block_q, block_k=block_k)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
+                              block_q=block_q, block_k=block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(causal, scale, q_offset, block_q, block_k, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, causal, scale,
-                                                          q_offset), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, causal=causal, scale=scale,
+                           q_offset=q_offset, block_q=block_q, block_k=block_k)
 
 
 _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
@@ -153,7 +160,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, tk=tk, scale=scale,
                                causal=causal, q_offset=q_offset, kv_len=kv_len)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(b * h, tq // bq),
         in_specs=[
@@ -161,9 +168,190 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             pl.BlockSpec((1, tk, d), lambda i, j: (i // g, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda i, j: (i // g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, tq), jnp.float32),
+        ],
         interpret=_interpret(),
     )(qh, kh, vh)
     out = jnp.swapaxes(out.reshape(b, h, tq, d), 1, 2)
-    return out[:, :tq_orig]
+    return out[:, :tq_orig], lse
+
+
+def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                          dk_ref, dv_ref, *, bq: int, bk: int, scale: float,
+                          causal: bool, q_offset: int, kv_len: int):
+    """Grid (B*H, Tk/bk, Tq/bq): innermost q-tile axis accumulates into the resident
+    dk/dv output block (index map ignores the q axis)."""
+    j = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    def compute():
+        # MXU dots stay in the INPUT dtype (bf16-native when training in bf16; full f32
+        # only when callers pass f32) with f32 accumulation — softmax math is f32.
+        q = q_ref[0]                                               # [bq, D]
+        k = k_ref[0]                                               # [bk, D]
+        v = v_ref[0]
+        do = do_ref[0]                                             # [bq, D]
+        lse = lse_ref[0, 0]                                        # [bq]
+        delta = delta_ref[0, 0]                                    # [bq]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        p = jnp.exp(s - lse[:, None])
+        k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        if causal:
+            q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+            p = jnp.where(k_ids <= q_ids, p, 0.0)
+        p = jnp.where(k_ids < kv_len, p, 0.0)
+        pc = p.astype(q.dtype)
+        dv_ref[0] += jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [bq, bk]
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dk_ref[0] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        # this (q-tile, kv-tile) pair contributes only if some q can see some k
+        pl.when(qi * bq + bq - 1 + q_offset >= j * bk)(compute)
+    else:
+        compute()
+
+
+def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
+                         dq_ref, *, bq: int, bk: int, scale: float,
+                         causal: bool, q_offset: int, kv_len: int):
+    """Grid (B*H, Tq/bq, Tk/bk): innermost kv-tile axis accumulates into dq."""
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    def compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse[:, None])
+        k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        if causal:
+            q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+            p = jnp.where(k_ids <= q_ids, p, 0.0)
+        p = jnp.where(k_ids < kv_len, p, 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dq_ref[0] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        pl.when(qi * bq + bq - 1 + q_offset >= j * bk)(compute)
+    else:
+        compute()
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
+                                              "q_offset"))
+def _flash_backward(q, k, v, out, lse, g, *, causal, scale, q_offset,
+                    block_q, block_k):
+    """Fused FlashAttention-2 backward. q/k/v/out/g at caller shapes; lse is the padded
+    [B*H, 1, Tq_pad] statistic the forward kernel produced. Returns (dq, dk, dv).
+
+    GQA: dk/dv are computed per QUERY head (same i//g block mapping as the forward)
+    then summed over each group of g query heads in XLA.
+    """
+    b, tq, h, d = q.shape
+    _, tk, hkv, _ = k.shape
+    g_heads = h // hkv
+    if scale is None:
+        scale = d ** -0.5
+
+    tile = 128
+    bq = min(block_q, -(-tq // tile) * tile)
+    bk = min(block_k, -(-tk // tile) * tile)
+    tq_pad = -(-tq // bq) * bq
+    tk_pad = -(-tk // bk) * bk
+    kv_len = tk                    # true (unpadded) kv length, masked in-kernel
+    tq_orig = tq
+    if tq_pad != tq:
+        q = jnp.pad(q, ((0, 0), (0, tq_pad - tq), (0, 0), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, tq_pad - tq), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, tq_pad - tq), (0, 0), (0, 0)))
+    if tk_pad != tk:
+        k = jnp.pad(k, ((0, 0), (0, tk_pad - tk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, tk_pad - tk), (0, 0), (0, 0)))
+
+    qh = jnp.swapaxes(q, 1, 2).reshape(b * h, tq_pad, d)
+    kh = jnp.swapaxes(k, 1, 2).reshape(b * hkv, tk_pad, d)
+    vh = jnp.swapaxes(v, 1, 2).reshape(b * hkv, tk_pad, d)
+    doh = jnp.swapaxes(g, 1, 2).reshape(b * h, tq_pad, d).astype(q.dtype)
+    # delta_i = sum_d dO_i * O_i  (rowwise) — the softmax-jacobian correction term
+    delta = jnp.sum(doh.astype(jnp.float32)
+                    * jnp.swapaxes(out, 1, 2).reshape(b * h, tq_pad, d)
+                    .astype(jnp.float32), axis=-1)[:, None, :]     # [B*H, 1, Tq]
+
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, bq=bq, bk=bk, scale=scale,
+                                   causal=causal, q_offset=q_offset, kv_len=kv_len)
+    dk_h, dv_h = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, tk_pad // bk, tq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, qi: (i, qi, 0)),        # q
+            pl.BlockSpec((1, bq, d), lambda i, j, qi: (i, qi, 0)),        # do
+            pl.BlockSpec((1, 1, bq), lambda i, j, qi: (i, 0, qi)),        # lse
+            pl.BlockSpec((1, 1, bq), lambda i, j, qi: (i, 0, qi)),        # delta
+            pl.BlockSpec((1, bk, d), lambda i, j, qi: (i // g_heads, j, 0)),  # k
+            pl.BlockSpec((1, bk, d), lambda i, j, qi: (i // g_heads, j, 0)),  # v
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j, qi: (i, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, qi: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, tk_pad, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qh, doh, lse, delta, kh, vh)
+
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale,
+                                  causal=causal, q_offset=q_offset, kv_len=kv_len)
+    dq_h = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, tq_pad // bq, tk_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, qi, j: (i // g_heads, j, 0)),  # k
+            pl.BlockSpec((1, bk, d), lambda i, qi, j: (i // g_heads, j, 0)),  # v
+            pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),        # do
+            pl.BlockSpec((1, 1, bq), lambda i, qi, j: (i, 0, qi)),        # lse
+            pl.BlockSpec((1, 1, bq), lambda i, qi, j: (i, 0, qi)),        # delta
+            pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),        # q
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d), jnp.float32),
+        interpret=_interpret(),
+    )(kh, vh, doh, lse, delta, qh)
+
+    dq = jnp.swapaxes(dq_h.reshape(b, h, tq_pad, d), 1, 2)[:, :tq_orig]
+    # sum query-head groups back onto their shared KV head
+    dk = dk_h.reshape(b, hkv, g_heads, tk_pad, d).sum(axis=2)
+    dv = dv_h.reshape(b, hkv, g_heads, tk_pad, d).sum(axis=2)
+    dk = jnp.swapaxes(dk, 1, 2)[:, :kv_len]
+    dv = jnp.swapaxes(dv, 1, 2)[:, :kv_len]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import unicodedata
 from typing import Iterable
 
 try:
@@ -217,6 +218,10 @@ class BBPETokenizer:
         return ids
 
     def encode(self, text: str, allow_special: bool = True) -> list[int]:
+        # Qwen2 normalizes to NFC before tokenizing ([hf] tokenization_qwen2.py
+        # prepare_for_tokenization) — e.g. compatibility ideograph U+FA70 並 encodes as
+        # its canonical form U+4E26. Decode therefore inverts up to NFC.
+        text = unicodedata.normalize("NFC", text)
         if not allow_special or self._special_pat is None:
             return self._encode_ordinary(text)
         ids: list[int] = []

@@ -41,6 +41,28 @@ def flash_vs_xla():
     assert d < 0.05, d
 
 
+def flash_backward_vs_xla():
+    from audio_flamingo_tpu.ops.pallas.flash_attention import (_reference_attention,
+                                                               flash_attention)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (1, 1024, 8, 128), jnp.float32) * 0.3
+    k = jax.random.normal(ks[1], (1, 1024, 2, 128), jnp.float32) * 0.3
+    v = jax.random.normal(ks[2], (1, 1024, 2, 128), jnp.float32) * 0.3
+
+    def lf(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    def lr(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, True, None, 0) ** 2)
+
+    gf = jax.jit(jax.grad(lf, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gf, gr):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 5e-3, rel
+
+
 def pallas_mel_vs_xla():
     from audio_flamingo_tpu.audio.mel import WhisperMelFrontend
     from audio_flamingo_tpu.config import MelConfig
@@ -79,6 +101,7 @@ def tiny_e2e_generate():
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     check("flash_attention_1500_bf16", flash_vs_xla)
+    check("flash_fused_backward", flash_backward_vs_xla)
     check("pallas_fused_mel", pallas_mel_vs_xla)
     check("w8a16_quant_matmul", quant_matmul_kernel)
     check("tiny_e2e_generate", tiny_e2e_generate)

@@ -92,6 +92,40 @@ def test_flash_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("case", [
+    dict(b=1, tq=256, tk=256, h=4, hkv=2, d=64, causal=True, q_offset=0),   # GQA causal
+    dict(b=2, tq=300, tk=300, h=4, hkv=1, d=64, causal=True, q_offset=0),   # MQA, unaligned
+    dict(b=1, tq=128, tk=384, h=2, hkv=2, d=32, causal=True, q_offset=256),  # decode offset
+    dict(b=1, tq=200, tk=700, h=4, hkv=4, d=64, causal=False, q_offset=0),  # xattn-like
+])
+def test_flash_fused_backward_matches_reference(case):
+    """The fused Pallas backward (dq/dk/dv kernels off the stored log-sum-exp) matches
+    jax.grad of the XLA reference across GQA/MQA, causal offsets and padded lengths."""
+    from audio_flamingo_tpu.ops.pallas.flash_attention import (_reference_attention,
+                                                               flash_attention)
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(case["b"], case["tq"], case["h"], case["d"])),
+                    jnp.float32)
+    k = jnp.asarray(rng.normal(size=(case["b"], case["tk"], case["hkv"], case["d"])),
+                    jnp.float32)
+    v = jnp.asarray(rng.normal(size=(case["b"], case["tk"], case["hkv"], case["d"])),
+                    jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(
+            q, k, v, causal=case["causal"], q_offset=case["q_offset"])))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_reference_attention(
+            q, k, v, case["causal"], None, case["q_offset"])))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
+
+
 def test_flash_grad_through_training_config():
     """A train step with cfg.use_flash=True must produce finite grads (no pallas autodiff
     crash)."""

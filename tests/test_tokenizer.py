@@ -128,7 +128,23 @@ def test_fuzz_tokenizer_matches_hf(tok_files):
     def check(text):
         assert ours.encode(text, allow_special=False) == \
             hf(text, add_special_tokens=False)["input_ids"]
-        # decode is a perfect inverse for byte-level BPE
-        assert ours.decode(ours.encode(text, allow_special=False)) == text
+        # decode is a perfect inverse up to NFC (encode normalizes like HF Qwen2 does)
+        import unicodedata
+
+        assert ours.decode(ours.encode(text, allow_special=False)) == \
+            unicodedata.normalize("NFC", text)
 
     check()
+
+
+def test_nfc_normalization_matches_hf(tok_files):
+    """Compatibility ideographs NFC-fold before BPE, exactly like Qwen2Tokenizer."""
+    from transformers.models.qwen2.tokenization_qwen2 import Qwen2Tokenizer
+
+    hf = Qwen2Tokenizer(str(tok_files / "vocab.json"), str(tok_files / "merges.txt"),
+                        unk_token=None, bos_token=None, eos_token="<|endoftext|>")
+    ours = BBPETokenizer.from_files(str(tok_files / "vocab.json"),
+                                    str(tok_files / "merges.txt"))
+    for text in ["並", "café", "並 mixed café"]:  # 並, café NFD
+        assert ours.encode(text, allow_special=False) == \
+            hf(text, add_special_tokens=False)["input_ids"], text
