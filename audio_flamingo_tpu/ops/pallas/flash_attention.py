@@ -29,12 +29,19 @@ def _interpret() -> bool:
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _dot_precision(dtype):
+    """f32 inputs must pin HIGHEST or Mosaic demotes the MXU dot to bf16 passes
+    (silent ~1e-2 error — same gotcha as the fused mel kernel); bf16 stays native."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, tk: int,
                   scale: float, causal: bool, q_offset: int, kv_len: int):
     # q_ref: [1, bq, D]; k_ref/v_ref: [1, tk, D] (full K/V for this head); o_ref: [1, bq, D]
     qi = pl.program_id(1)
     # MXU dots run in the INPUT dtype (bf16-native for bf16 callers, full f32 for f32
     # parity callers) with f32 accumulation; softmax statistics are always f32.
+    prec = _dot_precision(q_ref.dtype)
     q = q_ref[0]                                                   # [bq, D]
 
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -48,7 +55,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, tk: 
         k = k_ref[0, pl.ds(j * bk, bk), :]                         # [bk, D]
         v = v_ref[0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale  # [bq, bk]
+                                preferred_element_type=jnp.float32, precision=prec) * scale  # [bq, bk]
         if causal:
             q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
             k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -62,7 +69,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, tk: 
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
         return m_new, l, acc
 
     if causal:
@@ -189,6 +196,7 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     dk/dv output block (index map ignores the q axis)."""
     j = pl.program_id(1)
     qi = pl.program_id(2)
+    prec = _dot_precision(q_ref.dtype)
 
     @pl.when(qi == 0)
     def _init():
@@ -205,7 +213,7 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         lse = lse_ref[0, 0]                                        # [bq]
         delta = delta_ref[0, 0]                                    # [bq]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale  # [bq, bk]
+                                preferred_element_type=jnp.float32, precision=prec) * scale  # [bq, bk]
         p = jnp.exp(s - lse[:, None])
         k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         if causal:
@@ -214,12 +222,12 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         p = jnp.where(k_ids < kv_len, p, 0.0)
         pc = p.astype(q.dtype)
         dv_ref[0] += jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
+                                         preferred_element_type=jnp.float32, precision=prec)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [bq, bk]
+                                 preferred_element_type=jnp.float32, precision=prec)  # [bq, bk]
         ds = (p * (dp - delta[:, None])).astype(q.dtype)
         dk_ref[0] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32) * scale
+                                         preferred_element_type=jnp.float32, precision=prec) * scale
 
     if causal:
         # this (q-tile, kv-tile) pair contributes only if some q can see some k
@@ -234,6 +242,7 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
     """Grid (B*H, Tq/bq, Tk/bk): innermost kv-tile axis accumulates into dq."""
     qi = pl.program_id(1)
     j = pl.program_id(2)
+    prec = _dot_precision(q_ref.dtype)
 
     @pl.when(j == 0)
     def _init():
@@ -247,7 +256,7 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32, precision=prec) * scale
         p = jnp.exp(s - lse[:, None])
         k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         if causal:
@@ -255,10 +264,10 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
             p = jnp.where(k_ids <= q_ids, p, 0.0)
         p = jnp.where(k_ids < kv_len, p, 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32, precision=prec)
         ds = (p * (dp - delta[:, None])).astype(q.dtype)
         dq_ref[0] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32) * scale
+                                         preferred_element_type=jnp.float32, precision=prec) * scale
 
     if causal:
         pl.when(qi * bq + bq - 1 + q_offset >= j * bk)(compute)

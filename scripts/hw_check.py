@@ -57,10 +57,13 @@ def flash_backward_vs_xla():
         return jnp.sum(_reference_attention(q, k, v, True, None, 0) ** 2)
 
     gf = jax.jit(jax.grad(lf, argnums=(0, 1, 2)))(q, k, v)
-    gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(q, k, v)
+    # pin the XLA reference to HIGHEST: its default f32 matmuls demote to bf16 passes
+    # on TPU (~1e-2 error) and would dominate the comparison
+    with jax.default_matmul_precision("highest"):
+        gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(q, k, v)
     for a, b in zip(gf, gr):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
-        assert rel < 5e-3, rel
+        assert rel < 5e-4, rel
 
 
 def pallas_mel_vs_xla():
