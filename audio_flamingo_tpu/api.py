@@ -85,14 +85,27 @@ class AudioFlamingo:
             ids = jnp.concatenate([ids, pad], axis=1)
             prompt_len = jnp.asarray(t, jnp.int32)
 
-        if (self.draft_params is not None and sampling.greedy and ids.shape[0] == 1
-                and prompt_len is None):
-            from audio_flamingo_tpu.runtime.speculative import generate_speculative
+        if (self.draft_params is not None and ids.shape[0] == 1
+                and prompt_len is None
+                and (sampling.greedy or sampling.repetition_penalty == 1.0)):
+            if sampling.greedy:
+                from audio_flamingo_tpu.runtime.speculative import generate_speculative
 
-            tokens, lengths = generate_speculative(
-                self.params, self.draft_params, self.cfg, self.draft_cfg, ids, mels,
-                k=self.spec_k, max_new_tokens=max_new_tokens,
-                eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
+                tokens, lengths = generate_speculative(
+                    self.params, self.draft_params, self.cfg, self.draft_cfg, ids,
+                    mels, k=self.spec_k, max_new_tokens=max_new_tokens,
+                    eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
+            else:
+                # Leviathan rejection sampling: same marginal law as target-only
+                # sampling (repetition penalty excluded — history-dependent p_t)
+                from audio_flamingo_tpu.runtime.speculative import (
+                    generate_speculative_sampled)
+
+                tokens, lengths = generate_speculative_sampled(
+                    self.params, self.draft_params, self.cfg, self.draft_cfg, ids,
+                    mels, rng=jax.random.PRNGKey(seed), sampling=sampling,
+                    k=self.spec_k, max_new_tokens=max_new_tokens,
+                    eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
             out_ids = np.asarray(tokens)[0][: int(lengths[0])]
             answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
             if chat:

@@ -42,6 +42,156 @@ def speculative_accept(rng: jax.Array, p_target: jnp.ndarray, p_draft: jnp.ndarr
     return jnp.where(accept, proposed, resampled), accept
 
 
+def _warped_probs(logits: jnp.ndarray, sampling) -> jnp.ndarray:
+    """Apply the sampling pipeline's distribution warp (temperature -> top-k -> top-p)
+    and return probabilities. Speculative sampling must warp BOTH the draft and target
+    distributions identically for the Leviathan rule to preserve the target law."""
+    from audio_flamingo_tpu.ops.sampling import apply_top_k, apply_top_p
+
+    lg = logits / jnp.maximum(sampling.temperature, 1e-6)
+    lg = apply_top_k(lg, sampling.top_k)
+    lg = apply_top_p(lg, sampling.top_p)
+    return jax.nn.softmax(lg, axis=-1)
+
+
+class SpecSampleState(NamedTuple):
+    t_cache: qwen2.KVCache
+    d_cache: qwen2.KVCache
+    cur_token: jnp.ndarray    # [1]
+    position: jnp.ndarray     # []
+    out_tokens: jnp.ndarray   # [1, max_new + k + 1]
+    n_out: jnp.ndarray        # []
+    done: jnp.ndarray         # [] bool
+    rng: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "sampling", "k",
+                                             "max_new_tokens", "capacity",
+                                             "eos_token_id", "compute_dtype"))
+def generate_speculative_sampled(params, draft_params, cfg: AF3Config,
+                                 draft_cfg: Qwen2Config, token_ids, mels=None, *,
+                                 rng: jax.Array, sampling, k: int = 4,
+                                 max_new_tokens: int = 64, capacity: int = 0,
+                                 eos_token_id: int = -1, compute_dtype=jnp.bfloat16):
+    """SAMPLING-mode speculative generation (Leviathan et al. rejection sampling).
+
+    Each round the draft SAMPLES k tokens from its warped distribution; the target
+    verifies them in one forward. Proposal i is accepted with prob
+    min(1, p_t(x_i)/p_d(x_i)); on the first rejection the token is resampled from the
+    renormalized residual max(p_t - p_d, 0), and if all k are accepted a bonus token is
+    sampled from p_t directly (the residual formula below covers both cases: the padded
+    draft row is zero, so residual == p_t). The emitted sequence's marginal law is
+    EXACTLY warped-target ancestral sampling — the one-token rule is unit-tested
+    analytically in tests/test_speculative.py.
+
+    Returns (tokens [1, max_new], lengths [1]). Repetition penalty is not supported in
+    speculative mode (it would make p_t history-dependent inside the verify step).
+    """
+    from audio_flamingo_tpu.runtime.generate import prefill
+
+    b, t = token_ids.shape
+    assert b == 1, "speculative decoding drives batch 1"
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens + k + 1) // 128) * 128
+
+    t_cache, t_logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    d_cache = qwen2.init_cache(draft_cfg, 1, capacity, dtype=compute_dtype)
+    d_embeds = qwen2.embed(draft_params, token_ids, dtype=compute_dtype)
+    d_pos = jnp.arange(t)[None]
+    _, d_cache = qwen2.forward(draft_params, draft_cfg, d_embeds, d_pos, cache=d_cache)
+
+    rng, k0 = jax.random.split(rng)
+    p_first = _warped_probs(t_logits.astype(jnp.float32), sampling)     # [1, V]
+    first = jax.random.categorical(k0, jnp.log(jnp.maximum(p_first, 1e-30)),
+                                   axis=-1).astype(jnp.int32)           # [1]
+    out0 = jnp.full((1, max_new_tokens + k + 1), eos_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(first)
+
+    state = SpecSampleState(t_cache, d_cache, first, jnp.asarray(t, jnp.int32), out0,
+                            jnp.asarray(1, jnp.int32), (first[0] == eos_token_id), rng)
+
+    def cond(s: SpecSampleState):
+        return jnp.logical_and(s.n_out < max_new_tokens, ~s.done)
+
+    nv = p_first.shape[-1]
+
+    def body(s: SpecSampleState):
+        rng, k_draft, k_accept, k_corr = jax.random.split(s.rng, 4)
+
+        # 1) draft SAMPLES k tokens, recording its warped distribution at each step
+        def draft_step(i, carry):
+            d_cache, tok, props, p_rows = carry
+            d_cache2, logits = _forward_tokens(draft_params, draft_cfg, d_cache,
+                                               tok[:, None], s.position + i,
+                                               compute_dtype)
+            p_d = _warped_probs(logits[:, 0].astype(jnp.float32), sampling)  # [1, V]
+            nxt = jax.random.categorical(
+                jax.random.fold_in(k_draft, i),
+                jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+            return (d_cache2, nxt, props.at[i].set(nxt[0]), p_rows.at[i].set(p_d[0]))
+
+        props0 = jnp.zeros((k,), jnp.int32)
+        pd0 = jnp.zeros((k, nv), jnp.float32)
+        d_cache, _, props, p_d = jax.lax.fori_loop(
+            0, k, draft_step, (s.d_cache, s.cur_token, props0, pd0))
+
+        # 2) target verifies [cur, p0..p_{k-1}] in one forward
+        seq = jnp.concatenate([s.cur_token, props])[None]               # [1, k+1]
+        t_cache, t_logits = _forward_tokens(params["lm"], cfg.lm, s.t_cache, seq,
+                                            s.position, compute_dtype)
+        p_t = _warped_probs(t_logits[0].astype(jnp.float32), sampling)  # [k+1, V]
+
+        # 3) Leviathan acceptance: u_i < min(1, p_t(x_i)/p_d(x_i)), prefix-accepted
+        idx_k = jnp.arange(k)
+        pt_x = p_t[idx_k, props]
+        pd_x = p_d[idx_k, props]
+        u = jax.random.uniform(k_accept, (k,))
+        accept = u < jnp.minimum(pt_x / jnp.maximum(pd_x, 1e-30), 1.0)
+        m = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))              # accepted count
+
+        # 4) correction: residual resample at m (m == k: p_d row is zero => residual=p_t)
+        p_d_ext = jnp.concatenate([p_d, jnp.zeros((1, nv), jnp.float32)], axis=0)
+        residual = jnp.maximum(p_t[m] - p_d_ext[m], 0.0)
+        rs = residual.sum()
+        residual = jnp.where(rs > 1e-30, residual / jnp.maximum(rs, 1e-30), p_t[m])
+        correction = jax.random.categorical(
+            k_corr, jnp.log(jnp.maximum(residual, 1e-30))).astype(jnp.int32)
+
+        emitted = jnp.where(jnp.arange(k + 1) == m, correction,
+                            jnp.concatenate([props, jnp.zeros((1,), jnp.int32)]))
+        emit_mask = jnp.arange(k + 1) <= m
+
+        idx = s.n_out + jnp.arange(k + 1)
+        seen_eos = jnp.cumsum((emitted == eos_token_id).astype(jnp.int32)) \
+            - (emitted == eos_token_id).astype(jnp.int32)
+        valid = emit_mask & (seen_eos == 0)
+        vals = jnp.where(valid, emitted, eos_token_id)
+        out = s.out_tokens.at[0, idx].set(
+            jnp.where(valid, vals, s.out_tokens[0, idx]))
+        n_emitted = jnp.sum(valid)
+
+        hit_eos = jnp.any((emitted == eos_token_id) & emit_mask)
+        new_pos = s.position + n_emitted
+        t_cache = t_cache._replace(index=new_pos)
+        d_cache = d_cache._replace(index=new_pos)
+        cur = emitted[jnp.minimum(n_emitted - 1, k)][None]
+        done = jnp.logical_or(hit_eos, s.n_out + n_emitted >= max_new_tokens)
+        return SpecSampleState(t_cache, d_cache, cur, new_pos, out,
+                               s.n_out + n_emitted, done, rng)
+
+    state = jax.lax.while_loop(cond, body, state)
+    out = state.out_tokens[:, :max_new_tokens]
+    lengths = jnp.minimum(state.n_out, max_new_tokens)[None]
+    pos_ids = jnp.arange(max_new_tokens)[None]
+    out = jnp.where(pos_ids < lengths, out, eos_token_id)
+    eos_cut = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
+    keep = (eos_cut == 0) | ((out == eos_token_id) & (eos_cut == 1))
+    out = jnp.where(keep, out, eos_token_id)
+    n_kept = jnp.sum(jnp.cumsum(out == eos_token_id, axis=1) == 0, axis=1) + \
+        jnp.any(out == eos_token_id, axis=1).astype(jnp.int32)
+    return out, jnp.minimum(n_kept, max_new_tokens)
+
+
 class SpecState(NamedTuple):
     t_cache: qwen2.KVCache
     d_cache: qwen2.KVCache

@@ -113,3 +113,96 @@ def test_speculative_accept_preserves_target_distribution():
         k, jnp.asarray(p_t), jnp.asarray(p_d), x))(keys, draft_draws)
     counts = np.bincount(np.asarray(toks), minlength=V) / n
     np.testing.assert_allclose(counts, p_t, atol=0.02)
+
+
+def test_speculative_sampled_greedy_limit(models):
+    """At near-zero temperature the sampled-mode loop must reproduce greedy speculative
+    output exactly (warp -> argmax; rejections resample a one-hot residual)."""
+    from audio_flamingo_tpu.runtime.speculative import generate_speculative_sampled
+
+    params, draft = models
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 120, size=(1, 6)))
+    ref, ref_len = generate_speculative(params, draft, CFG, DRAFT_CFG, ids, None, k=3,
+                                        max_new_tokens=12, eos_token_id=EOS,
+                                        capacity=256, compute_dtype=jnp.float32)
+    out, out_len = generate_speculative_sampled(
+        params, draft, CFG, DRAFT_CFG, ids, None, rng=jax.random.PRNGKey(0),
+        sampling=SamplingParams(greedy=False, temperature=1e-4), k=3,
+        max_new_tokens=12, eos_token_id=EOS, capacity=256, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert int(out_len[0]) == int(ref_len[0])
+
+
+def test_speculative_sampled_first_token_marginal(models):
+    """The first emitted token's empirical law matches the warped target softmax
+    (the exactness guarantee of Leviathan rejection sampling, end to end)."""
+    from audio_flamingo_tpu.runtime.generate import prefill
+    from audio_flamingo_tpu.runtime.speculative import (_warped_probs,
+                                                        generate_speculative_sampled)
+
+    params, draft = models
+    sampling = SamplingParams(greedy=False, temperature=1.3, top_k=20)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 120, size=(1, 5)))
+    _, logits = prefill(params, CFG, ids, None, 256, jnp.float32)
+    expected = np.asarray(_warped_probs(logits.astype(jnp.float32), sampling))[0]
+
+    n = 600
+    outs = jax.vmap(lambda key: generate_speculative_sampled(
+        params, draft, CFG, DRAFT_CFG, ids, None, rng=key, sampling=sampling, k=2,
+        max_new_tokens=1, eos_token_id=EOS, capacity=256,
+        compute_dtype=jnp.float32)[0][0, 0])(jax.random.split(jax.random.PRNGKey(4), n))
+    counts = np.bincount(np.asarray(outs), minlength=128)
+    emp = counts / n
+    # total-variation distance small (600 samples over <=20 support)
+    tv = 0.5 * np.abs(emp - expected).sum()
+    assert tv < 0.12, tv
+
+
+def test_speculative_sampled_deterministic_per_seed(models):
+    from audio_flamingo_tpu.runtime.speculative import generate_speculative_sampled
+
+    params, draft = models
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 120, size=(1, 6)))
+    kw = dict(rng=jax.random.PRNGKey(9),
+              sampling=SamplingParams(greedy=False, temperature=0.9, top_p=0.95), k=3,
+              max_new_tokens=10, eos_token_id=EOS, capacity=256,
+              compute_dtype=jnp.float32)
+    a, la = generate_speculative_sampled(params, draft, CFG, DRAFT_CFG, ids, None, **kw)
+    b, lb = generate_speculative_sampled(params, draft, CFG, DRAFT_CFG, ids, None, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(la[0]) == int(lb[0])
+
+
+def test_speculative_sampled_second_token_conditional_marginal(models):
+    """Conditional law of the SECOND token (which goes through draft-propose /
+    accept-or-residual-resample) matches the warped target distribution at that prefix."""
+    from audio_flamingo_tpu.models import qwen2 as q2
+    from audio_flamingo_tpu.runtime.generate import prefill
+    from audio_flamingo_tpu.runtime.speculative import (_warped_probs,
+                                                        generate_speculative_sampled)
+
+    params, draft = models
+    sampling = SamplingParams(greedy=False, temperature=0.8, top_k=4)
+    ids = jnp.asarray(np.random.default_rng(6).integers(0, 120, size=(1, 5)))
+
+    n = 1200
+    outs = jax.vmap(lambda key: generate_speculative_sampled(
+        params, draft, CFG, DRAFT_CFG, ids, None, rng=key, sampling=sampling, k=2,
+        max_new_tokens=2, eos_token_id=EOS, capacity=256,
+        compute_dtype=jnp.float32)[0][0])(jax.random.split(jax.random.PRNGKey(8), n))
+    outs = np.asarray(outs)                                   # [n, 2]
+
+    # condition on the most frequent first token
+    t0 = np.bincount(outs[:, 0], minlength=128).argmax()
+    sel = outs[outs[:, 0] == t0, 1]
+    assert len(sel) > 200
+
+    # expected: warped target next-token distribution after [ids, t0]
+    full = jnp.concatenate([ids, jnp.asarray([[t0]], jnp.int32)], axis=1)
+    logits = q2.logits_from_ids(params["lm"], CFG.lm, full)[:, -1]
+    expected = np.asarray(_warped_probs(logits.astype(jnp.float32), sampling))[0]
+
+    emp = np.bincount(sel, minlength=128) / len(sel)
+    tv = 0.5 * np.abs(emp - expected).sum()
+    assert tv < 0.15, tv
