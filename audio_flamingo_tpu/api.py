@@ -85,9 +85,11 @@ class AudioFlamingo:
             ids = jnp.concatenate([ids, pad], axis=1)
             prompt_len = jnp.asarray(t, jnp.int32)
 
+        # speculative routing requires repetition_penalty off in BOTH modes: the verify
+        # step can't apply a history-dependent warp, and the non-draft greedy path DOES
+        # apply it — so routing with a penalty would silently change outputs.
         if (self.draft_params is not None and ids.shape[0] == 1
-                and prompt_len is None
-                and (sampling.greedy or sampling.repetition_penalty == 1.0)):
+                and prompt_len is None and sampling.repetition_penalty == 1.0):
             if sampling.greedy:
                 from audio_flamingo_tpu.runtime.speculative import generate_speculative
 
@@ -303,6 +305,11 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = Fal
             num_kv_heads=txt.get("num_key_value_heads", 4),
             rope_theta=txt.get("rope_theta", 1e6),
             tie_word_embeddings=txt.get("tie_word_embeddings", False),
+            # HF nulls sliding_window unless use_sliding_window
+            # ([hf] configuration_qwen2.py:181); per-layer gate via max_window_layers
+            sliding_window=(txt.get("sliding_window", None)
+                            if txt.get("use_sliding_window", False) else None),
+            max_window_layers=txt.get("max_window_layers", 0),
         ),
         audio_token_id=raw.get("audio_token_id", raw.get("audio_token_index", 151_646)),
     )

@@ -86,6 +86,11 @@ class Qwen2Config:
     tie_word_embeddings: bool = False
     attention_bias: bool = True     # q/k/v bias=True, o_proj bias=False (Qwen2)
     sliding_window: int | None = None
+    # HF gates the window PER LAYER: layer i slides iff sliding_window is set and
+    # i >= max_window_layers ([hf] configuration_qwen2.py:204-207 layer_types; the
+    # use_sliding_window master switch is applied at import time by nulling
+    # sliding_window, mirroring [hf] configuration_qwen2.py:181).
+    max_window_layers: int = 0
     use_flash: bool = False         # Pallas flash attention for prefill (q_len > 1)
 
     def resolved_head_dim(self) -> int:

@@ -96,6 +96,9 @@ def save_safetensors(path: str, tensors: dict[str, np.ndarray], metadata: dict |
     offset = 0
     blobs = []
     for name, arr in tensors.items():
+        arr = np.asarray(arr)
+        if arr.dtype.name == "bfloat16":  # ml_dtypes bf16 (jax bf16 params): raw bytes
+            arr = arr.view(np.uint16)
         arr = np.ascontiguousarray(arr)
         if arr.dtype == np.dtype("uint16"):
             dt = "BF16"

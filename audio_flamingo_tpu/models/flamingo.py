@@ -283,8 +283,13 @@ def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
                            decode_media_mask=decode_mask)
 
     start = t if prompt_len is None else prompt_len
+    prompt_history = None
+    if sampling.repetition_penalty != 1.0:  # HF: penalty spans prompt + generated
+        valid = jnp.arange(t)[None] < (prompt_len if prompt_len is not None else t)
+        prompt_history = jnp.where(valid, token_ids, -1)
     return decode_loop(logits0, cache, start, decode_fn, max_new_tokens=max_new_tokens,
-                       eos_token_id=eos_token_id, sampling=sampling, rng=rng)
+                       eos_token_id=eos_token_id, sampling=sampling, rng=rng,
+                       prompt_history=prompt_history)
 
 
 def logits_with_media_mask(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,

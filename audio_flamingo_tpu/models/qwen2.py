@@ -136,11 +136,18 @@ def _linear(x, p):
     return y
 
 
-def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache_index=None):
+def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache_index=None,
+                   flash_ok: bool = False):
     """One decoder block. Returns (x, (new_k, new_v)) where new_k/v are this step's KV.
 
     If cache_kv=(ck, cv) is given, attention runs against the cache with this step's KV
     written at cache_index; otherwise against the step's own KV (pure prefill, no cache).
+    flash_ok (STATIC): caller certifies the flash fast path is semantically valid for
+    this call — multi-token block, purely-causal mask (no extra_mask, no sliding
+    window), and if a cache is present the block IS the whole attendable context
+    (fresh prefill at index 0). A warm cache (e.g. speculative verify of k+1 tokens,
+    runtime/speculative.py) must NOT set it: flash over only the new block would
+    ignore every cached prompt KV.
     """
     b, s, d = x.shape
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
@@ -152,7 +159,7 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     v = _linear(h, lp["v"]).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
-    use_flash_prefill = cfg.use_flash and s > 1
+    use_flash_prefill = flash_ok and s > 1
     if cache_kv is not None and len(cache_kv) == 4:
         # int8 KV cache: quantize this step's KV, dequantize the cache for attention
         ck, cv, ks, vs = cache_kv
@@ -176,8 +183,8 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
         if use_flash_prefill:
-            # fresh-prefill fast path (cache.index == 0 by construction in the runtime:
-            # every prefill starts a new cache): attend to this block's own KV
+            # fresh-prefill fast path (flash_ok certifies cache.index == 0, so this
+            # block's own KV is the whole attendable context)
             from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
 
             attn = flash_attention(q, k, v, causal=True)
@@ -234,7 +241,8 @@ def unembed(params: dict, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.ndarray,
-            cache: KVCache | None = None, extra_mask: jnp.ndarray | None = None):
+            cache: KVCache | None = None, extra_mask: jnp.ndarray | None = None,
+            is_prefill: bool = False):
     """Run the decoder stack on input embeddings.
 
     embeds: [batch, seq, hidden]; positions: [batch, seq] absolute positions.
@@ -242,60 +250,87 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
       cache (causal by absolute position). Returns (hidden, new_cache).
     extra_mask: optional [batch, 1, seq, kv_len] boolean AND-ed onto the causal mask
       (padding / media masking).
+    is_prefill (STATIC): caller certifies cache.index == 0 (a fresh prefill), enabling
+      the flash fast path over the block's own KV. Multi-token forwards against a WARM
+      cache (speculative verify) must leave this False or flash would drop cached KV.
     """
     b, s, _ = embeds.shape
     hd = cfg.resolved_head_dim()
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
 
+    # Per-layer sliding-window gating ([hf] configuration_qwen2.py:204-207): layer i
+    # slides iff sliding_window is set AND i >= max_window_layers. When any layer
+    # slides, both masks are built and scan selects per layer.
+    sliding_layers = (cfg.sliding_window is not None
+                      and cfg.max_window_layers < cfg.num_layers)
     if cache is not None:
         kv_len = cache.capacity
         kv_pos = jnp.arange(kv_len)[None, None, None, :]
         mask = kv_pos <= positions[:, None, :, None]  # causal by absolute position
         # slots >= filled+new are invalid (zeros); they are also > positions, so the causal
         # test already excludes them as long as slot == absolute position (contiguous fill).
-        if cfg.sliding_window is not None:
-            mask = jnp.logical_and(
+        if sliding_layers:
+            sw_mask = jnp.logical_and(
                 mask, kv_pos > positions[:, None, :, None] - cfg.sliding_window)
     else:
         kv_len = s
         mask = positions[:, None, :, None] >= positions[:, None, None, :]
-        if cfg.sliding_window is not None:
-            mask = jnp.logical_and(
+        if sliding_layers:
+            sw_mask = jnp.logical_and(
                 mask,
                 positions[:, None, None, :] > positions[:, None, :, None] - cfg.sliding_window)
     if extra_mask is not None:
         mask = jnp.logical_and(mask, extra_mask)
+        if sliding_layers:
+            sw_mask = jnp.logical_and(sw_mask, extra_mask)
+
+    # Flash requires a purely-causal full-attention context: no extra mask, no sliding
+    # layers, and (with a cache) a provably-fresh prefill.
+    flash_ok = (cfg.use_flash and extra_mask is None and not sliding_layers
+                and (cache is None or is_prefill))
+    if sliding_layers:
+        layer_slides = jnp.arange(cfg.num_layers) >= cfg.max_window_layers
+    else:
+        layer_slides = jnp.zeros((cfg.num_layers,), bool)
+
+    def pick_mask(slides):
+        return jnp.where(slides, sw_mask, mask) if sliding_layers else mask
 
     x = embeds
 
     if isinstance(cache, Q8KVCache):
         def body(carry, xs):
             h = carry
-            lp, ck, cv, ks, vs = xs
-            h, new = _layer_forward(h, lp, cfg, cos, sin, mask,
-                                    cache_kv=(ck, cv, ks, vs), cache_index=cache.index)
+            lp, ck, cv, ks, vs, slides = xs
+            h, new = _layer_forward(h, lp, cfg, cos, sin, pick_mask(slides),
+                                    cache_kv=(ck, cv, ks, vs), cache_index=cache.index,
+                                    flash_ok=flash_ok)
             return h, new
 
         x, (nk, nv, nks, nvs) = jax.lax.scan(
             body, x, (params["layers"], cache.k_q, cache.v_q, cache.k_scale,
-                      cache.v_scale))
+                      cache.v_scale, layer_slides))
         new_cache = Q8KVCache(nk, nv, nks, nvs, cache.index + s)
     elif cache is not None:
         def body(carry, xs):
             h = carry
-            lp, ck, cv = xs
-            h, (nk, nv) = _layer_forward(h, lp, cfg, cos, sin, mask,
-                                         cache_kv=(ck, cv), cache_index=cache.index)
+            lp, ck, cv, slides = xs
+            h, (nk, nv) = _layer_forward(h, lp, cfg, cos, sin, pick_mask(slides),
+                                         cache_kv=(ck, cv), cache_index=cache.index,
+                                         flash_ok=flash_ok)
             return h, (nk, nv)
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v, layer_slides))
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
     else:
-        def body(carry, lp):
-            h, _ = _layer_forward(carry, lp, cfg, cos, sin, mask)
+        def body(carry, xs):
+            lp, slides = xs
+            h, _ = _layer_forward(carry, lp, cfg, cos, sin, pick_mask(slides),
+                                  flash_ok=flash_ok)
             return h, None
 
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        x, _ = jax.lax.scan(body, x, (params["layers"], layer_slides))
         new_cache = None
 
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
@@ -312,37 +347,55 @@ def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
 
     No cache (training only). Linears/norms are token-local and shard trivially; RoPE
     uses the global `positions`, so each shard rotates with its absolute offsets.
-    attn_impl: "ring" (ppermute KV rotation, O(T/sp) memory) or "ulysses" (all_to_all on
-    heads; requires num_heads and num_kv_heads divisible by the axis size).
+    attn_impl: "ring" (ppermute KV rotation, O(T/sp) memory) or "ulysses" (all_to_all
+    on heads; requires num_heads % sp == 0, KV heads are GQA-expanded if needed).
+
+    Structure: ONE shard_map over the whole stack with a `lax.scan` over layer params
+    inside — trace/compile size is O(1) in depth (round-1 used a Python layer loop with
+    one nested shard_map per layer: O(L) trace, unusable at 28-32 layers). Params enter
+    the shard_map as replicated ARGUMENTS (never closed over — they would become compile
+    constants), so gradients flow and are psummed by shard_map's AD.
     """
-    from audio_flamingo_tpu.parallel.sequence import ring_attention, ulysses_attention
+    from jax.sharding import PartitionSpec as P
+
+    from audio_flamingo_tpu.parallel.sequence import (ring_attention_local,
+                                                      ulysses_attention_local)
 
     assert attn_impl in ("ring", "ulysses")
-    b, s, _ = embeds.shape
     hd = cfg.resolved_head_dim()
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
+    attn_local = ring_attention_local if attn_impl == "ring" else ulysses_attention_local
 
-    def body(x, lp):
-        bb, ss, d = x.shape
-        h = rms_norm(x, lp["ln1_w"], cfg.rms_norm_eps)
-        q = _linear(h, lp["q"]).reshape(bb, ss, cfg.num_heads, hd)
-        k = _linear(h, lp["k"]).reshape(bb, ss, cfg.num_kv_heads, hd)
-        v = _linear(h, lp["v"]).reshape(bb, ss, cfg.num_kv_heads, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        if attn_impl == "ring":
-            attn = ring_attention(q, k, v, mesh, axis=axis, causal=True)
-        else:
-            attn = ulysses_attention(q, k, v, mesh, axis=axis, causal=True)
-        x = x + _linear(attn.reshape(bb, ss, cfg.num_heads * hd), lp["o"])
-        h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
-        return x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in lp["mlp"].items()})
+    def stack(x, pos, layers, ln_f_w):
+        cos, sin = rope_cos_sin(pos, hd, cfg.rope_theta, dtype=jnp.float32)
 
-    x = embeds
-    # python loop (not scan): ring_attention's shard_map nests poorly under scan carry
-    for i in range(cfg.num_layers):
-        lp = jax.tree.map(lambda a: a[i], params["layers"])
-        x = body(x, lp)
-    return rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+        def body(h, lp):
+            bb, ss, _ = h.shape
+            hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
+            q = _linear(hn, lp["q"]).reshape(bb, ss, cfg.num_heads, hd)
+            k = _linear(hn, lp["k"]).reshape(bb, ss, cfg.num_kv_heads, hd)
+            v = _linear(hn, lp["v"]).reshape(bb, ss, cfg.num_kv_heads, hd)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = attn_local(q, k, v, axis, causal=True)
+            h = h + _linear(attn.reshape(bb, ss, cfg.num_heads * hd), lp["o"])
+            hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
+            h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in lp["mlp"].items()})
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, layers)
+        return rms_norm(x, ln_f_w, cfg.rms_norm_eps)
+
+    # batch stays sharded over the non-SP mesh axes (DP x SP composition: e.g. batch
+    # over ("data","fsdp"), sequence over "model")
+    other = tuple(n for n in mesh.axis_names if n != axis)
+    bspec = other if other else None
+    seq_spec = P(bspec, axis, None)
+    pos_spec = P(bspec, axis)
+    layer_specs = jax.tree.map(lambda _: P(), params["layers"])
+    return jax.shard_map(
+        stack, mesh=mesh,
+        in_specs=(seq_spec, pos_spec, layer_specs, P()),
+        out_specs=seq_spec,
+    )(embeds, positions, params["layers"], params["ln_f_w"])
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))

@@ -20,7 +20,7 @@ class SamplingParams(NamedTuple):
     top_k: int = 0                  # 0 = off
     top_p: float = 1.0              # 1.0 = off
     greedy: bool = True
-    repetition_penalty: float = 1.0  # 1.0 = off; applied over generated-token history
+    repetition_penalty: float = 1.0  # 1.0 = off; spans prompt+generated (HF input_ids)
 
 
 def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -66,8 +66,10 @@ def sample_token(rng: jax.Array, logits: jnp.ndarray, params: SamplingParams,
                  token_history: jnp.ndarray | None = None) -> jnp.ndarray:
     """[B, vocab] fp32 logits -> [B] int32 token ids.
 
-    token_history: optional [B, H] generated-so-far ids (-1 = empty) for the repetition
-    penalty (HF processor-pipeline order: penalty -> temperature -> top-k -> top-p).
+    token_history: optional [B, H] context ids (-1 = empty) for the repetition penalty.
+    HF's RepetitionPenaltyLogitsProcessor runs over the full input_ids — prompt AND
+    generated ([hf] generation/utils.py:1090 pipeline) — so callers must include both.
+    Pipeline order matches HF: penalty -> temperature -> top-k -> top-p.
     """
     if token_history is not None and params.repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, token_history,

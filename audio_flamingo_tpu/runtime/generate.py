@@ -51,7 +51,8 @@ def prefill(params, cfg: AF3Config, token_ids: jnp.ndarray, mels: jnp.ndarray | 
     embeds = af3.build_input_embeds(params, cfg, token_ids, mels, compute_dtype)
     pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     cache = qwen2.init_cache(cfg.lm, b, capacity, dtype=compute_dtype)
-    h, cache = qwen2.forward(params["lm"], cfg.lm, embeds, pos, cache=cache)
+    h, cache = qwen2.forward(params["lm"], cfg.lm, embeds, pos, cache=cache,
+                             is_prefill=True)
     if prompt_len is None:
         logits = qwen2.unembed(params["lm"], cfg.lm, h[:, -1])
         return cache, logits
@@ -74,15 +75,18 @@ def decode_step(params, cfg: AF3Config, cache: qwen2.KVCache, token: jnp.ndarray
 
 def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
                 max_new_tokens: int, eos_token_id: int, sampling: SamplingParams,
-                rng: jax.Array):
+                rng: jax.Array, prompt_history: jnp.ndarray | None = None):
     """Model-agnostic device-side sampling loop (traced inside a jit).
 
     decode_fn: (cache, token [B], position []) -> (cache, logits [B, vocab]).
+    prompt_history: optional [B, T] prompt ids (-1 = pad) — HF's repetition penalty
+    spans prompt AND generated tokens ([hf] generation/utils.py:1090 pipeline over
+    input_ids), so callers using repetition_penalty != 1.0 must pass it.
     Returns (tokens [B, max_new_tokens], lengths [B]).
     """
     b = first_logits.shape[0]
     rng, k0 = jax.random.split(rng)
-    first = sample_token(k0, first_logits, sampling)
+    first = sample_token(k0, first_logits, sampling, token_history=prompt_history)
 
     state = GenState(
         cache=cache,
@@ -101,8 +105,11 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
     def body(s: GenState):
         cache, logits = decode_fn(s.cache, s.cur_token, s.position)
         rng, k = jax.random.split(s.rng)
-        # history = tokens generated so far (untouched future slots hold eos; mask them)
+        # history = prompt + tokens generated so far (untouched future slots hold eos;
+        # mask them)
         hist = jnp.where(jnp.arange(max_new_tokens)[None] <= s.step, s.out_tokens, -1)
+        if prompt_history is not None:
+            hist = jnp.concatenate([prompt_history, hist], axis=1)
         nxt = sample_token(k, logits, sampling, token_history=hist)
         nxt = jnp.where(s.done, eos_token_id, nxt)
         step = s.step + 1
@@ -142,11 +149,17 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
                             prompt_len=prompt_len)
     start = t if prompt_len is None else prompt_len
 
+    prompt_history = None
+    if sampling.repetition_penalty != 1.0:
+        valid = jnp.arange(t)[None] < (prompt_len if prompt_len is not None else t)
+        prompt_history = jnp.where(valid, token_ids, -1)
+
     def decode_fn(cache, token, position):
         return decode_step(params, cfg, cache, token, position, compute_dtype)
 
     return decode_loop(logits, cache, start, decode_fn, max_new_tokens=max_new_tokens,
-                       eos_token_id=eos_token_id, sampling=sampling, rng=rng)
+                       eos_token_id=eos_token_id, sampling=sampling, rng=rng,
+                       prompt_history=prompt_history)
 
 
 def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
@@ -170,16 +183,28 @@ def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
 
     cache, logits = prefill(params, cfg, token_ids, mels, capacity, compute_dtype,
                             prompt_len=prompt_len)
+    import numpy as np  # local: host-side history only
+
+    true_len = t if prompt_len is None else int(prompt_len)
+    # repetition penalty spans prompt + generated (HF input_ids semantics)
+    history = [int(x) for x in np.asarray(token_ids[0, :true_len])] \
+        if sampling.repetition_penalty != 1.0 else None
+
+    def hist_arr():
+        return jnp.asarray(history, jnp.int32)[None] if history is not None else None
+
     rng, k = jax.random.split(rng)
-    token = sample_token(k, logits, sampling)
-    position = t if prompt_len is None else int(prompt_len)
+    token = sample_token(k, logits, sampling, token_history=hist_arr())
+    position = true_len
     for _ in range(max_new_tokens):
         tid = int(token[0])
         yield tid
         if tid == eos_token_id:
             return
+        if history is not None:
+            history.append(tid)
         cache, logits = decode_step(params, cfg, cache, token,
                                     jnp.asarray(position, jnp.int32), compute_dtype)
         rng, k = jax.random.split(rng)
-        token = sample_token(k, logits, sampling)
+        token = sample_token(k, logits, sampling, token_history=hist_arr())
         position += 1

@@ -98,7 +98,8 @@ def generate_speculative_sampled(params, draft_params, cfg: AF3Config,
     d_cache = qwen2.init_cache(draft_cfg, 1, capacity, dtype=compute_dtype)
     d_embeds = qwen2.embed(draft_params, token_ids, dtype=compute_dtype)
     d_pos = jnp.arange(t)[None]
-    _, d_cache = qwen2.forward(draft_params, draft_cfg, d_embeds, d_pos, cache=d_cache)
+    _, d_cache = qwen2.forward(draft_params, draft_cfg, d_embeds, d_pos, cache=d_cache,
+                               is_prefill=True)
 
     rng, k0 = jax.random.split(rng)
     p_first = _warped_probs(t_logits.astype(jnp.float32), sampling)     # [1, V]
@@ -240,7 +241,8 @@ def generate_speculative(params, draft_params, cfg: AF3Config, draft_cfg: Qwen2C
     d_cache = qwen2.init_cache(draft_cfg, 1, capacity, dtype=compute_dtype)
     d_embeds = qwen2.embed(draft_params, token_ids, dtype=compute_dtype)
     d_pos = jnp.arange(t)[None]
-    _, d_cache = qwen2.forward(draft_params, draft_cfg, d_embeds, d_pos, cache=d_cache)
+    _, d_cache = qwen2.forward(draft_params, draft_cfg, d_embeds, d_pos, cache=d_cache,
+                               is_prefill=True)
 
     first = jnp.argmax(t_logits, -1).astype(jnp.int32)          # [1]
     out0 = jnp.full((1, max_new_tokens + k + 1), eos_token_id, jnp.int32)

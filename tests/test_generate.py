@@ -151,3 +151,57 @@ def test_right_padded_prompt_matches_unpadded(params):
                                 prompt_len=jnp.asarray(t, jnp.int32))
     np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
                                   np.asarray(ref)[0][: int(ref_len[0])])
+
+
+def test_repetition_penalty_matches_hf_generate(hf_model, params):
+    """Token-exact greedy + repetition penalty vs HF generate: HF's processor penalizes
+    over the FULL input_ids (prompt AND generated), [hf] generation/utils.py:1090."""
+    ids, mels, frames = _prompt()
+    with torch.no_grad():
+        ref = hf_model.generate(
+            input_ids=torch.from_numpy(ids),
+            input_features=torch.from_numpy(mels[0].transpose(0, 2, 1)),
+            feature_attention_mask=torch.ones((1, frames), dtype=torch.long),
+            max_new_tokens=12, do_sample=False, repetition_penalty=1.8,
+        ).numpy()[0, ids.shape[1]:]
+
+    tokens, lengths = gen.generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mels), max_new_tokens=12,
+        eos_token_id=EOS,
+        sampling=SamplingParams(greedy=True, repetition_penalty=1.8),
+        compute_dtype=jnp.float32,
+    )
+    ours = np.asarray(tokens)[0][: int(lengths[0])]
+    np.testing.assert_array_equal(ours[: len(ref)], ref[: len(ours)])
+
+
+def test_repetition_penalty_padded_prompt_matches_unpadded(params):
+    """Right-padded prompts must not leak pad ids into the penalty history."""
+    ids, mels, _ = _prompt()
+    sp = SamplingParams(greedy=True, repetition_penalty=1.5)
+    ref, ref_len = gen.generate(params, CFG, jnp.asarray(ids), jnp.asarray(mels),
+                                max_new_tokens=8, eos_token_id=EOS, capacity=64,
+                                sampling=sp, compute_dtype=jnp.float32)
+    t = ids.shape[1]
+    padded = np.concatenate([ids, np.full((1, 32 - t), 3, np.int32)], axis=1)
+    out, out_len = gen.generate(params, CFG, jnp.asarray(padded), jnp.asarray(mels),
+                                max_new_tokens=8, eos_token_id=EOS, capacity=64,
+                                sampling=sp, compute_dtype=jnp.float32,
+                                prompt_len=jnp.asarray(t, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
+                                  np.asarray(ref)[0][: int(ref_len[0])])
+
+
+def test_stream_matches_while_loop_with_penalty(params):
+    ids, mels, _ = _prompt()
+    sp = SamplingParams(greedy=True, repetition_penalty=1.5)
+    tokens, lengths = gen.generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mels), max_new_tokens=10,
+        eos_token_id=EOS, sampling=sp, compute_dtype=jnp.float32,
+    )
+    streamed = list(gen.generate_stream(
+        params, CFG, jnp.asarray(ids), jnp.asarray(mels), max_new_tokens=10,
+        eos_token_id=EOS, sampling=sp, compute_dtype=jnp.float32,
+    ))
+    dev = list(np.asarray(tokens)[0][: int(lengths[0])])
+    assert streamed[: len(dev)] == [int(t) for t in dev][: len(streamed)]

@@ -133,3 +133,73 @@ def test_sliding_window_attention():
         h, cache = qwen2.forward(params, cfg, x, jnp.array([[t]]), cache=cache)
         np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)[:, 0]),
                                    np.asarray(full[:, t]), atol=1e-4, rtol=1e-4)
+
+
+def test_sliding_window_per_layer_gating_matches_hf():
+    """HF gates the window PER LAYER: layer i slides iff i >= max_window_layers
+    ([hf] configuration_qwen2.py:204-207). Golden logits vs HF with a mixed stack
+    (layer 0 full attention, layer 1 sliding)."""
+    from transformers.models.qwen2.configuration_qwen2 import Qwen2Config as HFConfig
+    from transformers.models.qwen2.modeling_qwen2 import Qwen2ForCausalLM
+    import dataclasses
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, rope_theta=1e6,
+        tie_word_embeddings=False, attention_dropout=0.0,
+        use_sliding_window=True, sliding_window=4, max_window_layers=1,
+    )
+    assert hf_cfg.layer_types == ["full_attention", "sliding_attention"]
+    torch.manual_seed(3)
+    hf = Qwen2ForCausalLM(hf_cfg).eval()
+
+    cfg = dataclasses.replace(CFG, sliding_window=4, max_window_layers=1)
+    params = import_qwen2({k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(qwen2.logits_from_ids(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
+
+    # and cache decode consistency with the mixed stack
+    full = qwen2.logits_from_ids(params, cfg, jnp.asarray(ids[:1]))
+    cache = qwen2.init_cache(cfg, 1, 16, dtype=jnp.float32)
+    x = qwen2.embed(params, jnp.asarray(ids[:1, :8]))
+    h, cache = qwen2.forward(params, cfg, x, jnp.arange(8)[None], cache=cache)
+    np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)),
+                               np.asarray(full[:, :8]), atol=1e-4, rtol=1e-4)
+    for t in range(8, 12):
+        x = qwen2.embed(params, jnp.asarray(ids[:1, t: t + 1]))
+        h, cache = qwen2.forward(params, cfg, x, jnp.array([[t]]), cache=cache)
+        np.testing.assert_allclose(np.asarray(qwen2.unembed(params, cfg, h)[:, 0]),
+                                   np.asarray(full[:, t]), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_with_extra_mask_falls_back(params):
+    """use_flash must NOT silently drop extra_mask (padding/media masks): flash is
+    bypassed whenever extra_mask is given, so results equal the XLA-mask path."""
+    import dataclasses
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(9)
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 16)))
+    x = qwen2.embed(params, ids)
+    pos = jnp.arange(16)[None]
+    # mask off positions 4..8 as if they were padding
+    extra = jnp.ones((1, 1, 16, 16), bool).at[:, :, :, 4:8].set(False)
+
+    cfg_flash = dataclasses.replace(CFG, use_flash=True)
+    ref, _ = qwen2.forward(params, CFG, x, pos, extra_mask=extra)
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        out, _ = qwen2.forward(params, cfg_flash, x, pos, extra_mask=extra)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)

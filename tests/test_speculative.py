@@ -206,3 +206,37 @@ def test_speculative_sampled_second_token_conditional_marginal(models):
     emp = np.bincount(sel, minlength=128) / len(sel)
     tv = 0.5 * np.abs(emp - expected).sum()
     assert tv < 0.15, tv
+
+
+def test_speculative_greedy_exact_with_flash(models):
+    """Regression (round-1 advisor HIGH): with cfg.use_flash=True the verify step runs
+    k+1 tokens against a WARM cache — the flash fast path must not be taken there
+    (it would attend only the verify block and drop all cached prompt KV)."""
+    import dataclasses
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    params, draft = models
+    cfg_flash = dataclasses.replace(
+        CFG, lm=dataclasses.replace(CFG.lm, use_flash=True))
+    rng = np.random.default_rng(13)
+    ids = jnp.asarray(rng.integers(0, 120, size=(1, 9)))
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        ref, ref_len = gen.generate(params, cfg_flash, ids, None, max_new_tokens=14,
+                                    eos_token_id=EOS,
+                                    sampling=SamplingParams(greedy=True),
+                                    capacity=256, compute_dtype=jnp.float32)
+        out, out_len = generate_speculative(params, draft, cfg_flash, DRAFT_CFG, ids,
+                                            None, k=3, max_new_tokens=14,
+                                            eos_token_id=EOS, capacity=256,
+                                            compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out)[0][: int(out_len[0])],
+                                  np.asarray(ref)[0][: int(ref_len[0])])
+    assert int(out_len[0]) == int(ref_len[0])
