@@ -86,11 +86,9 @@ def logits(params: dict, cfg: AF3Config, token_ids: jnp.ndarray,
     return qwen2.unembed(params["lm"], cfg.lm, h)
 
 
-def loss(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
-         mels: jnp.ndarray | None = None, compute_dtype=jnp.float32):
+def _shifted_ce(lg: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Shifted CE over label positions >= 0 (prompt/audio positions are -100-masked),
     matching [hf] modeling_qwen2_audio.py:853-866 semantics."""
-    lg = logits(params, cfg, token_ids, mels, compute_dtype)
     shift_logits = lg[:, :-1]
     shift_labels = labels[:, 1:]
     valid = shift_labels >= 0
@@ -99,3 +97,33 @@ def loss(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarr
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def loss(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
+         mels: jnp.ndarray | None = None, compute_dtype=jnp.float32):
+    """Dense training loss (see _shifted_ce for semantics)."""
+    return _shifted_ce(logits(params, cfg, token_ids, mels, compute_dtype), labels)
+
+
+def loss_sp(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
+            mels: jnp.ndarray | None = None, *, mesh, axis: str = "model",
+            attn_impl: str = "ring", compute_dtype=jnp.float32):
+    """Sequence-parallel training loss for context-extension stages (AF3 stage 3.5 /
+    Music Flamingo full-song training, SURVEY.md §2.9 SP row): the LM runs with the
+    token axis sharded over `axis` (ring or Ulysses attention inside, see
+    qwen2.forward_sp), so activation memory per device is O(T/sp).
+
+    Numerically identical to `loss` (gradient-parity tested on the fake 8-CPU mesh).
+    The audio encoder runs window-parallel as usual (windows are a batch axis); embed,
+    scatter, unembed and the CE are token-local, so XLA keeps them sequence-sharded.
+    Requires T % sp == 0 (pad the token bucket; -100 labels mask the pads).
+    """
+    b, t = token_ids.shape
+    sp = mesh.shape[axis]
+    assert t % sp == 0, (t, sp)
+    x = build_input_embeds(params, cfg, token_ids, mels, compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    h = qwen2.forward_sp(params["lm"], cfg.lm, x, pos, mesh, axis=axis,
+                         attn_impl=attn_impl)
+    lg = qwen2.unembed(params["lm"], cfg.lm, h)
+    return _shifted_ce(lg, labels)

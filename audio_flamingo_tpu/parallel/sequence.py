@@ -10,12 +10,18 @@ ring+Ulysses, SURVEY.md §2.9 SP row) with XLA-collective implementations:
   `ppermute` with online-softmax accumulation (flash-style, O(T/sp) memory per device).
   Causal masking uses absolute block offsets.
 
-Both are exact (== full attention) — tested on the 8-fake-device CPU mesh.
+Both are exact (== full attention) — tested on the 8-fake-device CPU mesh, forward AND
+backward.
+
+Two call styles:
+- `*_local(q, k, v, axis, ...)`: for code ALREADY inside a `shard_map` over `axis`
+  (the whole-LM-stack SP forward, models/qwen2.py forward_sp — lets the layer loop be a
+  single `lax.scan` inside one shard_map instead of L nested shard_maps).
+- `ring_attention(q, k, v, mesh, axis, ...)` / `ulysses_attention(...)`: standalone
+  wrappers that open their own shard_map (op-level tests, ad-hoc use).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -24,32 +30,96 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from audio_flamingo_tpu.ops.attention import NEG_INF, gqa_attention
 
 
+def ulysses_attention_local(q, k, v, axis: str, causal: bool = False) -> jnp.ndarray:
+    """Ulysses attention for callers already inside a shard_map over `axis`.
+
+    q [B, T/sp, H, D], k/v [B, T/sp, Hkv, D] are the LOCAL sequence shards. all_to_all
+    swaps the sequence shard for a head shard, full-sequence attention runs on H/sp
+    heads per device, and a second all_to_all swaps back. Requires H % sp == 0; if
+    Hkv % sp != 0, KV heads are first repeated up to H (GQA expansion — extra comms,
+    exact numerics).
+    """
+    sp = jax.lax.axis_size(axis)
+    h, hkv = q.shape[2], k.shape[2]
+    assert h % sp == 0, (h, sp)
+    if hkv % sp != 0:  # padding fallback: expand GQA groups so heads split evenly
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    # [B, T/sp, H, D] -> [B, T, H/sp, D]
+    q = jax.lax.all_to_all(q, axis, split_axis=2, concat_axis=1, tiled=True)
+    k = jax.lax.all_to_all(k, axis, split_axis=2, concat_axis=1, tiled=True)
+    v = jax.lax.all_to_all(v, axis, split_axis=2, concat_axis=1, tiled=True)
+    mask = None
+    if causal:
+        tt = q.shape[1]
+        ids = jnp.arange(tt)
+        mask = (ids[None, :] <= ids[:, None])[None, None]
+    out = gqa_attention(q, k, v, mask=mask)
+    return jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=2, tiled=True)
+
+
+def ring_attention_local(q, k, v, axis: str, causal: bool = False) -> jnp.ndarray:
+    """Ring attention for callers already inside a shard_map over `axis`.
+
+    q [B, T/sp, H, D], k/v [B, T/sp, Hkv, D] local sequence shards; KV rotates around
+    the ring via ppermute with online-softmax accumulation. Exact == full attention.
+    """
+    sp = jax.lax.axis_size(axis)
+    b, block, h, d = q.shape
+    hkv = k.shape[2]
+    g = h // hkv
+
+    idx = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    qf = q.astype(jnp.float32)
+    # accumulators derived arithmetically from qf so they carry qf's device-varying
+    # type through the fori carry (no jax.lax.pvary — deprecated)
+    m = qf[..., :1] * 0.0 + NEG_INF          # [b, block, h, 1]
+    l = qf[..., :1] * 0.0
+    acc = qf * 0.0
+    q_ids = idx * block + jnp.arange(block)
+
+    def step(i, carry):
+        m, l, acc, k_blk, v_blk = carry
+        src = (idx - i) % sp  # which sequence block this KV shard holds now
+        # scores for this block: [b, block_q, h, block_k]
+        qg = qf.reshape(b, block, hkv, g, d)
+        s = jnp.einsum("bqkgd,bskd->bqkgs", qg, k_blk.astype(jnp.float32))
+        s = s.reshape(b, block, h, block) * (d ** -0.5)
+        if causal:
+            k_ids = src * block + jnp.arange(block)
+            allowed = k_ids[None, None, None, :] <= q_ids[None, :, None, None]
+            s = jnp.where(allowed, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pg = p.reshape(b, block, hkv, g, block)
+        upd = jnp.einsum("bqkgs,bskd->bqkgd", pg, v_blk.astype(jnp.float32))
+        acc_new = acc * alpha + upd.reshape(b, block, h, d)
+        # rotate KV to the next device
+        k_nxt = jax.lax.ppermute(k_blk, axis, perm)
+        v_nxt = jax.lax.ppermute(v_blk, axis, perm)
+        return m_new, l_new, acc_new, k_nxt, v_nxt
+
+    m, l, acc, _, _ = jax.lax.fori_loop(0, sp, step, (m, l, acc, k, v))
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
 def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "model",
                       causal: bool = False) -> jnp.ndarray:
     """q [B, T, H, D], k/v [B, T, Hkv, D] sharded on T over `axis` -> same sharding out.
 
-    Requires H % sp == 0 and Hkv % sp == 0 (pad KV heads upstream if needed).
+    Standalone wrapper: opens its own shard_map. Requires H % sp == 0 (Hkv is expanded
+    if it does not divide, see ulysses_attention_local).
     """
-    sp = mesh.shape[axis]
-    b, t, h, d = q.shape
-    assert h % sp == 0 and k.shape[2] % sp == 0, (h, k.shape[2], sp)
-
-    def inner(q, k, v):
-        # [B, T/sp, H, D] -> [B, T, H/sp, D]
-        q = jax.lax.all_to_all(q, axis, split_axis=2, concat_axis=1, tiled=True)
-        k = jax.lax.all_to_all(k, axis, split_axis=2, concat_axis=1, tiled=True)
-        v = jax.lax.all_to_all(v, axis, split_axis=2, concat_axis=1, tiled=True)
-        mask = None
-        if causal:
-            tt = q.shape[1]
-            ids = jnp.arange(tt)
-            mask = (ids[None, :] <= ids[:, None])[None, None]
-        out = gqa_attention(q, k, v, mask=mask)
-        return jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=2, tiled=True)
-
     spec = P(None, axis, None, None)
-    return jax.shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)(
-        q, k, v)
+    return jax.shard_map(
+        lambda q, k, v: ulysses_attention_local(q, k, v, axis, causal=causal),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "model",
@@ -57,53 +127,12 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "model",
     """Ring attention with ppermute KV rotation and online softmax.
 
     q [B, T, H, D], k/v [B, T, Hkv, D] sharded on T over `axis`. Exact == full attention.
+    Standalone wrapper: opens its own shard_map.
     """
-    sp = mesh.shape[axis]
-    b, t, h, d = q.shape
-    hkv = k.shape[2]
-    g = h // hkv
-    block = t // sp
-
-    def inner(q, k, v):
-        idx = jax.lax.axis_index(axis)
-        perm = [(i, (i + 1) % sp) for i in range(sp)]
-
-        qf = q.astype(jnp.float32)
-        # initial accumulators must be 'varying' over the ring axis for the fori carry
-        m = jax.lax.pvary(jnp.full((b, block, h, 1), NEG_INF, jnp.float32), (axis,))
-        l = jax.lax.pvary(jnp.zeros((b, block, h, 1), jnp.float32), (axis,))
-        acc = jax.lax.pvary(jnp.zeros((b, block, h, d), jnp.float32), (axis,))
-        q_ids = idx * block + jnp.arange(block)
-
-        def step(i, carry):
-            m, l, acc, k_blk, v_blk = carry
-            src = (idx - i) % sp  # which sequence block this KV shard holds now
-            # scores for this block: [b, block_q, h, block_k]
-            qg = qf.reshape(b, block, hkv, g, d)
-            s = jnp.einsum("bqkgd,bskd->bqkgs", qg, k_blk.astype(jnp.float32))
-            s = s.reshape(b, block, h, block) * (d ** -0.5)
-            if causal:
-                k_ids = src * block + jnp.arange(block)
-                allowed = k_ids[None, None, None, :] <= q_ids[None, :, None, None]
-                s = jnp.where(allowed, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pg = p.reshape(b, block, hkv, g, block)
-            upd = jnp.einsum("bqkgs,bskd->bqkgd", pg, v_blk.astype(jnp.float32))
-            acc_new = acc * alpha + upd.reshape(b, block, h, d)
-            # rotate KV to the next device
-            k_nxt = jax.lax.ppermute(k_blk, axis, perm)
-            v_nxt = jax.lax.ppermute(v_blk, axis, perm)
-            return m_new, l_new, acc_new, k_nxt, v_nxt
-
-        m, l, acc, _, _ = jax.lax.fori_loop(0, sp, step, (m, l, acc, k, v))
-        return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
-
     spec = P(None, axis, None, None)
-    return jax.shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)(
-        q, k, v)
+    return jax.shard_map(
+        lambda q, k, v: ring_attention_local(q, k, v, axis, causal=causal),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
 
 
 def shard_windows(mels: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:

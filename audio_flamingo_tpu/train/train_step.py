@@ -49,14 +49,24 @@ def init_state(params, stage: Stage, **opt_kwargs) -> tuple[TrainState, optax.Gr
 
 
 def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
-               opt: optax.GradientTransformation, compute_dtype=jnp.bfloat16):
+               opt: optax.GradientTransformation, compute_dtype=jnp.bfloat16,
+               sp_mesh=None, sp_axis: str = "model", sp_attn: str = "ring"):
     """One step. batch: {'ids': [B,T], 'labels': [B,T], 'mels': [B,W,F,M] | None}.
 
     Pure function of (state, batch) — jit/pjit it with donated state. Under a sharded
     batch axis the loss mean already averages across devices (XLA inserts the psum).
+
+    sp_mesh: if given, the LM forward runs SEQUENCE-PARALLEL over `sp_axis` of that
+    mesh (af3.loss_sp — ring/Ulysses attention, O(T/sp) activation memory/device) for
+    context-extension stages (AF3 stage 3.5 / MF full-song, SURVEY.md §2.9 SP row).
+    Freeze masks apply unchanged (they live in the optimizer, not the loss).
     """
 
     def loss_fn(params):
+        if sp_mesh is not None:
+            return af3.loss_sp(params, cfg, batch["ids"], batch["labels"],
+                               batch.get("mels"), mesh=sp_mesh, axis=sp_axis,
+                               attn_impl=sp_attn, compute_dtype=compute_dtype)
         return af3.loss(params, cfg, batch["ids"], batch["labels"], batch.get("mels"),
                         compute_dtype=compute_dtype)
 
@@ -68,10 +78,15 @@ def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
 
 
 def make_jit_train_step(cfg: AF3Config, opt, mesh=None, state_sharding=None,
-                        batch_sharding=None, compute_dtype=jnp.bfloat16):
-    """Compiled train step; with a mesh, in/out shardings pin params/opt-state placement."""
-    step = partial(train_step, cfg=cfg, opt=opt, compute_dtype=compute_dtype)
+                        batch_sharding=None, compute_dtype=jnp.bfloat16,
+                        sp: bool = False, sp_axis: str = "model", sp_attn: str = "ring"):
+    """Compiled train step; with a mesh, in/out shardings pin params/opt-state placement.
+
+    sp=True (requires mesh): run the LM forward sequence-parallel over `sp_axis`."""
+    step = partial(train_step, cfg=cfg, opt=opt, compute_dtype=compute_dtype,
+                   sp_mesh=(mesh if sp else None), sp_axis=sp_axis, sp_attn=sp_attn)
     if mesh is None:
+        assert not sp, "sequence parallelism needs a mesh"
         return jax.jit(step, donate_argnums=0)
     return jax.jit(step, donate_argnums=0,
                    in_shardings=(state_sharding, batch_sharding),
