@@ -1,0 +1,193 @@
+"""Pallas TPU paged-attention decode kernel: K/V read THROUGH the block table.
+
+Round-1's paged path gathered ALL max_blocks pages per row per layer per step with
+jnp.take (a dense [B, max_blocks*block, nkv, hd] temp), so per-step HBM traffic equaled
+the contiguous slot cache. This kernel is the real thing (vLLM-style paged attention,
+semantic model [hf] cache_utils.py:1031 StaticCache -> pages):
+
+- grid (B, max_pages); at step (b, j) the BlockSpec index_map fetches physical page
+  `tables[b, j]` of THIS layer straight from the [L, num_blocks, block, nkv, hd] pool —
+  no XLA-level gather, no per-layer pool copy;
+- pages past a row's length are CLAMPED to the row's last valid page: Pallas skips the
+  DMA when the block index repeats, so per-row HBM traffic is ceil(len/block) pages,
+  not max_blocks — short rows stop reading where their context ends;
+- online softmax across that row's pages (m/l/acc resident in the revisited output
+  blocks), normalized on the final grid step.
+
+The kernel attends the PAGED context only (positions < lengths[b]). The current token's
+(k, v) — not yet written to the pool — is merged by the caller with one more online-
+softmax step (`merge_current_token`), keeping the pool write OUTSIDE the layer scan so
+the decode step's donation structure stays simple.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _dot_precision(dtype):
+    """f32 callers pin HIGHEST or Mosaic demotes MXU dots to bf16 passes (CLAUDE.md
+    rule 4); bf16 callers stay native."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def _paged_kernel(layer_ref, tables_ref, len_ref,        # scalar prefetch
+                  q_ref, k_ref, v_ref,                   # blocks
+                  o_ref, m_ref, l_ref, *,                # outputs (revisited)
+                  block: int, max_pages: int, scale: float):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    prec = _dot_precision(q_ref.dtype)
+    nkv, g, hd = q_ref.shape[1:]
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    kv_len = len_ref[b]
+    num_pages = (kv_len + block - 1) // block
+
+    @pl.when(j < num_pages)
+    def _compute():
+        q = q_ref[0]                                       # [nkv, g, hd]
+        k = jnp.transpose(k_ref[0, 0], (1, 0, 2))          # [nkv, block, hd]
+        v = jnp.transpose(v_ref[0, 0], (1, 0, 2))
+        # [nkv, g, block] = batched q @ k^T over the kv-head axis
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        k_ids = j * block + jax.lax.broadcasted_iota(jnp.int32, (nkv, g, block), 2)
+        s = jnp.where(k_ids < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[0]                                  # [nkv, g]
+        l_prev = l_ref[0]
+        acc = o_ref[0]                                     # unnormalized [nkv, g, hd]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m_prev - m_new)
+        upd = jax.lax.dot_general(
+            p.astype(q_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)   # [nkv, g, hd]
+        o_ref[0] = acc * alpha[..., None] + upd
+        m_ref[0] = m_new
+        l_ref[0] = l_prev * alpha + jnp.sum(p, axis=-1)
+
+
+def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
+                    block_tables: jnp.ndarray, lengths: jnp.ndarray,
+                    layer_idx: jnp.ndarray, *, scale: float | None = None):
+    """Decode attention over paged KV for one layer of a stacked pool.
+
+    q:            [B, nkv, g, hd] one query token per row, GQA-grouped (head h of the
+                  flat [H] layout maps to (h // g, h % g) — repeat_kv order).
+    k/v_pool:     [L, num_blocks, block, nkv, hd] physical page pool (ALL layers; the
+                  kernel reads only layer `layer_idx` pages, no per-layer slice copy).
+    block_tables: [B, max_pages] int32 physical page ids (-1 = unmapped).
+    lengths:      [B] int32 tokens already in pages for each row (current token
+                  excluded — merge it with merge_current_token).
+    layer_idx:    [] int32 which layer of the pool to read.
+
+    Returns (o, m, l): o [B, nkv, g, hd] f32 UNNORMALIZED accumulator; m, l [B, nkv, g]
+    f32 online-softmax stats — feed to merge_current_token, or normalize as o/l.
+    """
+    bsz, nkv, g, hd = q.shape
+    _, _, block, _, _ = k_pool.shape
+    max_pages = block_tables.shape[1]
+    if scale is None:
+        scale = hd ** -0.5
+
+    # clamp unmapped/past-length pages to the row's last valid page: a repeated block
+    # index means Pallas skips the re-fetch, so per-row DMA == ceil(len/block) pages
+    num_pages = jnp.maximum((lengths + block - 1) // block, 1)
+    page_pos = jnp.minimum(jnp.arange(max_pages)[None], num_pages[:, None] - 1)
+    phys = jnp.maximum(jnp.take_along_axis(block_tables, page_pos, axis=1), 0)
+
+    kernel = functools.partial(_paged_kernel, block=block, max_pages=max_pages,
+                               scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bsz, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, nkv, g, hd), lambda b, j, lr, tr, nr: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, block, nkv, hd),
+                         lambda b, j, lr, tr, nr: (lr[0], tr[b, j], 0, 0, 0)),
+            pl.BlockSpec((1, 1, block, nkv, hd),
+                         lambda b, j, lr, tr, nr: (lr[0], tr[b, j], 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nkv, g, hd), lambda b, j, lr, tr, nr: (b, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, g), lambda b, j, lr, tr, nr: (b, 0, 0)),
+            pl.BlockSpec((1, nkv, g), lambda b, j, lr, tr, nr: (b, 0, 0)),
+        ],
+    )
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nkv, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nkv, g), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nkv, g), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), phys.astype(jnp.int32),
+      lengths.astype(jnp.int32), q, k_pool, v_pool)
+    return o, m, l
+
+
+def merge_current_token(q, k_cur, v_cur, o, m, l, *, scale: float | None = None):
+    """One more online-softmax step folding the CURRENT token's (k, v) into the paged
+    accumulator — the self-attention term for the token being decoded, whose KV has not
+    been written to the pool yet.
+
+    q, k_cur, v_cur: [B, nkv, g, hd] / [B, nkv, hd] / [B, nkv, hd].
+    o, m, l: paged_attention outputs. Returns normalized attention [B, nkv, g, hd] f32.
+    """
+    hd = q.shape[-1]
+    if scale is None:
+        scale = hd ** -0.5
+    s_c = jnp.einsum("bkgd,bkd->bkg", q.astype(jnp.float32),
+                     k_cur.astype(jnp.float32)) * scale           # [B, nkv, g]
+    m2 = jnp.maximum(m, s_c)
+    alpha = jnp.exp(m - m2)
+    w_c = jnp.exp(s_c - m2)
+    l2 = l * alpha + w_c
+    acc = o * alpha[..., None] + w_c[..., None] * v_cur[:, :, None, :].astype(jnp.float32)
+    return acc / jnp.maximum(l2, 1e-30)[..., None]
+
+
+def paged_attention_reference(q, k_pool, v_pool, block_tables, lengths, layer_idx, *,
+                              scale: float | None = None):
+    """XLA dense-gather reference (round-1 semantics) for kernel parity tests: gathers
+    every mapped page and masks. Returns the same (o, m, l) triple."""
+    bsz, nkv, g, hd = q.shape
+    block = k_pool.shape[2]
+    max_pages = block_tables.shape[1]
+    if scale is None:
+        scale = hd ** -0.5
+    kb = k_pool[layer_idx]
+    vb = v_pool[layer_idx]
+    idx = jnp.maximum(block_tables, 0)                            # [B, P]
+    k_seq = kb[idx].reshape(bsz, max_pages * block, nkv, hd)      # [B, T, nkv, hd]
+    v_seq = vb[idx].reshape(bsz, max_pages * block, nkv, hd)
+    s = jnp.einsum("bkgd,btkd->bkgt", q.astype(jnp.float32),
+                   k_seq.astype(jnp.float32)) * scale
+    valid = jnp.arange(max_pages * block)[None] < lengths[:, None]
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bkgt,btkd->bkgd", p, v_seq.astype(jnp.float32))
+    return o, m, l

@@ -79,54 +79,51 @@ class BlockAllocator:
                 self.free.append(int(b))
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_kernel"),
+         donate_argnames=("cache",))
 def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndarray,
-                      compute_dtype=jnp.bfloat16):
+                      compute_dtype=jnp.bfloat16, use_kernel: bool = True):
     """One decode step for ALL rows: tokens [B] at positions cache.lengths.
 
-    Returns (cache, logits [B, vocab] fp32). Rows write into their mapped blocks and
-    attend over their gathered pages (masked to their length).
+    Returns (cache, logits [B, vocab] fp32). Attention reads K/V THROUGH the block
+    table with the Pallas paged-attention kernel (ops/pallas/paged_attention.py): per
+    row only ceil(len/block) pages of HBM traffic, no [B, max_blocks*block] dense
+    gather (the round-1 approach — kept as use_kernel=False for comparison). The
+    current token's KV is merged with one extra online-softmax step and written to its
+    page after the layer scan.
     """
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        merge_current_token, paged_attention, paged_attention_reference)
+
     b = tokens.shape[0]
     hd = cfg.resolved_head_dim()
+    nkv = cfg.num_kv_heads
+    g = cfg.num_heads // nkv
     positions = cache.lengths
     cos, sin = rope_cos_sin(positions[:, None], hd, cfg.rope_theta)
     x = qwen2.embed(params, tokens[:, None], dtype=compute_dtype)
 
-    kv_len = cache.max_blocks * cache.block_size
-    kv_pos = jnp.arange(kv_len)[None, None, None, :]
-    mask = kv_pos <= positions[:, None, None, None]
+    # destination page of this step's KV (same for every layer)
+    bs = cache.block_size
+    block_ids = jnp.maximum(
+        jnp.take_along_axis(cache.block_tables, (positions // bs)[:, None], axis=1)[:, 0], 0)
+    offs = positions % bs
+    attend = paged_attention if use_kernel else paged_attention_reference
 
     def body(carry, xs):
         h = carry
         lp, layer_idx = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
         q = qwen2._linear(hn, lp["q"]).reshape(b, 1, cfg.num_heads, hd)
-        k = qwen2._linear(hn, lp["k"]).reshape(b, 1, cfg.num_kv_heads, hd)
-        v = qwen2._linear(hn, lp["v"]).reshape(b, 1, cfg.num_kv_heads, hd)
+        k = qwen2._linear(hn, lp["k"]).reshape(b, 1, nkv, hd)
+        v = qwen2._linear(hn, lp["v"]).reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        # gather pages per row for THIS layer: [B, kv_len, nkv, hd]
-        kb = cache.k[layer_idx]
-        vb = cache.v[layer_idx]
-
-        def row_kv(table, kk, vv, pos):
-            bs = kb.shape[1]
-            idx = jnp.maximum(table, 0)
-            k_seq = jnp.take(kb, idx, axis=0).reshape(-1, cfg.num_kv_heads, hd)
-            v_seq = jnp.take(vb, idx, axis=0).reshape(-1, cfg.num_kv_heads, hd)
-            # write this step's kv at pos
-            block_id = jnp.maximum(table[pos // bs], 0)
-            off = pos % bs
-            k_seq = k_seq.at[pos].set(kk[0])
-            v_seq = v_seq.at[pos].set(vv[0])
-            return k_seq, v_seq, block_id, off
-
-        k_seq, v_seq, block_ids, offs = jax.vmap(row_kv)(cache.block_tables,
-                                                         k.astype(cache.k.dtype),
-                                                         v.astype(cache.v.dtype),
-                                                         positions)
-        attn = gqa_attention(q, k_seq.astype(q.dtype), v_seq.astype(q.dtype), mask=mask)
-        h = h + qwen2._linear(attn.reshape(b, 1, cfg.num_heads * hd), lp["o"])
+        qg = q[:, 0].reshape(b, nkv, g, hd)
+        o, m, l = attend(qg, cache.k, cache.v, cache.block_tables, cache.lengths,
+                         layer_idx)
+        attn = merge_current_token(qg, k[:, 0], v[:, 0], o, m, l)   # [b, nkv, g, hd]
+        attn = attn.reshape(b, 1, cfg.num_heads * hd).astype(h.dtype)
+        h = h + qwen2._linear(attn, lp["o"])
         hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
         mlp = lp["mlp"]
         if isinstance(mlp["gate"], dict):
@@ -138,16 +135,16 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
             from audio_flamingo_tpu.ops import swiglu_mlp
 
             h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in mlp.items()})
-        return h, (k.astype(cache.k.dtype), v.astype(cache.v.dtype), block_ids, offs)
+        return h, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
     layer_ids = jnp.arange(cfg.num_layers)
-    x, (ks, vs, block_ids, offs) = jax.lax.scan(body, x, (params["layers"], layer_ids))
-    # physical writes: ks [L, B, 1, nkv, hd] at (layer, block_ids[L,B], offs[L,B])
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], layer_ids))
+    # physical writes: ks [L, B, 1, nkv, hd] at (layer, block_ids[B], offs[B])
     l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
-    b_flat = block_ids.reshape(-1)
-    o_flat = offs.reshape(-1)
-    k_new = cache.k.at[l_idx, b_flat, o_flat].set(ks.reshape(-1, cfg.num_kv_heads, hd))
-    v_new = cache.v.at[l_idx, b_flat, o_flat].set(vs.reshape(-1, cfg.num_kv_heads, hd))
+    b_flat = jnp.tile(block_ids, cfg.num_layers)
+    o_flat = jnp.tile(offs, cfg.num_layers)
+    k_new = cache.k.at[l_idx, b_flat, o_flat].set(ks.reshape(-1, nkv, hd))
+    v_new = cache.v.at[l_idx, b_flat, o_flat].set(vs.reshape(-1, nkv, hd))
 
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
     logits = qwen2.unembed(params, cfg, x[:, 0])
@@ -190,14 +187,19 @@ def paged_install_prefill(cache: PagedKV, row: jnp.ndarray, sub_k: jnp.ndarray,
                           compute_dtype=jnp.bfloat16):
     """Install a contiguous prefill cache ([L, 1, C, nkv, hd]) into mapped pages.
 
-    C must be max_blocks*block_size; table_row lists the destination physical blocks.
+    C may be ANY multiple of block_size up to max_blocks*block_size (the prefill shape
+    bucket is decoupled from the worst case — round-1 required equality): only the
+    C/block_size leading entries of table_row are written; table_row entries beyond
+    them stay -1 until decode grows into fresh pages.
     """
     l, _, c, nkv, hd = sub_k.shape
     bs = cache.block_size
-    n_blocks = cache.max_blocks
-    k_pages = sub_k[:, 0].reshape(l, n_blocks, bs, nkv, hd)
-    v_pages = sub_v[:, 0].reshape(l, n_blocks, bs, nkv, hd)
-    idx = jnp.maximum(table_row, 0)
+    assert c % bs == 0, (c, bs)
+    n_pages = c // bs
+    assert n_pages <= cache.max_blocks, (n_pages, cache.max_blocks)
+    k_pages = sub_k[:, 0].reshape(l, n_pages, bs, nkv, hd)
+    v_pages = sub_v[:, 0].reshape(l, n_pages, bs, nkv, hd)
+    idx = jnp.maximum(table_row[:n_pages], 0)
     k_new = cache.k.at[:, idx].set(k_pages.astype(cache.k.dtype))
     v_new = cache.v.at[:, idx].set(v_pages.astype(cache.v.dtype))
     tables = cache.block_tables.at[row].set(table_row)

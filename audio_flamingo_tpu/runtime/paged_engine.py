@@ -4,6 +4,14 @@ Unlike runtime/engine.py (one fixed-capacity cache row per slot), rows here map 
 from a shared pool via the BlockAllocator — long and short requests coexist without
 per-slot worst-case reservation, and freed pages are immediately reusable
 (BASELINE.json "paged KV cache for prefill/decode").
+
+Round-2 scheduler semantics (true paging, not just a pooled allocator):
+- admission maps only ceil(prompt_bucket/block) pages and prefills at the BUCKET
+  capacity (not the per-row worst case) — short prompts cost short prefills;
+- rows GROW lazily: before each decode chunk, every active row is topped up with just
+  enough pages to cover the next chunk (one batched block-table update per chunk);
+- if the pool is exhausted a growing row is finished early with what it has (documented
+  eviction policy; preemption/swap is out of scope at this pool scale).
 """
 
 from __future__ import annotations
@@ -65,30 +73,38 @@ class PagedEngine:
         for row in range(self.num_rows):
             if row in self.active or not self.queue:
                 continue
-            if len(self.allocator.free) < self.max_blocks_per_seq:
-                return  # pool exhausted; wait for releases
-            req = self.queue.popleft()
-            blocks = self.allocator.alloc(self.max_blocks_per_seq)
-            mels = jnp.asarray(req.mels) if req.mels is not None else None
+            req = self.queue[0]
             from audio_flamingo_tpu.train.data import bucket_tokens
 
+            t = req.ids.shape[1]
+            bucket = min(max(bucket_tokens(t), self.block_size), self.capacity)
+            bucket = -(-bucket // self.block_size) * self.block_size
+            n_prompt = bucket // self.block_size
+            # +1 page of headroom so the first decode chunk can start immediately
+            headroom = 1 if n_prompt < self.max_blocks_per_seq else 0
+            if len(self.allocator.free) < n_prompt + headroom:
+                return  # pool exhausted; wait for releases
+            self.queue.popleft()
+            blocks = self.allocator.alloc(n_prompt)
+            mels = jnp.asarray(req.mels) if req.mels is not None else None
             ids = jnp.asarray(req.ids)
-            t = ids.shape[1]
-            bucket = min(bucket_tokens(t), self.capacity)
             prompt_len = None
             if bucket != t:
                 ids = jnp.concatenate(
                     [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
                     axis=1)
                 prompt_len = jnp.asarray(t, jnp.int32)
+            # prefill at the BUCKET capacity: pages beyond the prompt stay unmapped
             sub_cache, logits = prefill(self.params, self.cfg, ids, mels,
-                                        self.capacity, self.compute_dtype,
+                                        bucket, self.compute_dtype,
                                         prompt_len=prompt_len)
             if prompt_len is not None:
                 sub_cache = sub_cache._replace(index=prompt_len)
+            table_row = np.full((self.max_blocks_per_seq,), -1, np.int32)
+            table_row[:n_prompt] = blocks
             self.cache = paged_install_prefill(
                 self.cache, jnp.asarray(row), sub_cache.k, sub_cache.v,
-                jnp.asarray(np.asarray(blocks, np.int32)),
+                jnp.asarray(table_row),
                 jnp.asarray(req.ids.shape[1]), self.cfg.lm,
                 compute_dtype=self.compute_dtype)
             self.rng, k = jax.random.split(self.rng)
@@ -102,8 +118,47 @@ class PagedEngine:
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks)
 
+    def _grow_pages(self) -> list[int]:
+        """Top up every active row with pages covering the next chunk (one batched
+        block-table update). Returns rows that could NOT grow (pool exhausted)."""
+        lengths = np.asarray(self.cache.lengths)
+        rows_idx: list[int] = []
+        slot_idx: list[int] = []
+        vals: list[int] = []
+        starved: list[int] = []
+        for row, (req, blocks) in self.active.items():
+            needed = -(-(int(lengths[row]) + self.chunk + 1) // self.block_size)
+            needed = min(needed, self.max_blocks_per_seq)
+            while len(blocks) < needed and self.allocator.free:
+                nb = self.allocator.alloc(1)[0]
+                rows_idx.append(row)
+                slot_idx.append(len(blocks))
+                vals.append(nb)
+                blocks.append(nb)
+            if len(blocks) < needed:
+                starved.append(row)
+        if rows_idx:
+            self.cache = self.cache._replace(
+                block_tables=self.cache.block_tables.at[
+                    jnp.asarray(rows_idx), jnp.asarray(slot_idx)
+                ].set(jnp.asarray(vals, jnp.int32)))
+        return starved
+
+    def _finish_row(self, row: int) -> None:
+        req, blocks = self.active.pop(row)
+        req.done = True
+        self.finished[req.request_id] = req.tokens
+        self.allocator.release(blocks)
+        self.done = self.done.at[row].set(True)
+        # point the dead row at the trash page so any residual in-chunk writes
+        # cannot touch re-allocated blocks
+        self.cache = self.cache._replace(
+            block_tables=self.cache.block_tables.at[row].set(-1))
+
     def step(self) -> None:
         self._admit()
+        for row in self._grow_pages():  # eviction policy: starved rows finish early
+            self._finish_row(row)
         if not self.active:
             return
         self.cache, self.tokens, self.done, self.rng, out = paged_decode_chunk(
@@ -121,15 +176,7 @@ class PagedEngine:
             req.tokens.extend(emitted)
             full = lengths[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
-                req.done = True
-                self.finished[req.request_id] = req.tokens
-                self.allocator.release(blocks)
-                del self.active[row]
-                self.done = self.done.at[row].set(True)
-                # point the dead row at the trash page so any residual in-chunk writes
-                # cannot touch re-allocated blocks
-                self.cache = self.cache._replace(
-                    block_tables=self.cache.block_tables.at[row].set(-1))
+                self._finish_row(row)
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
         rounds = 0

@@ -91,6 +91,42 @@ def quant_matmul_kernel():
     assert d < 0.02, d
 
 
+def paged_attention_kernel():
+    """Compiled-mode check of the paged decode kernel at 7B-like dims (nkv=4, g=7,
+    hd=128, 128-token pages), mixed row lengths incl. empty and partial pages."""
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        merge_current_token, paged_attention, paged_attention_reference)
+
+    rng = np.random.default_rng(5)
+    L, num_blocks, block = 2, 64, 128
+    nkv, g, hd = 4, 7, 128
+    B, max_pages = 4, 16
+    k_pool = jnp.asarray(rng.normal(size=(L, num_blocks, block, nkv, hd)), jnp.bfloat16)
+    v_pool = jnp.asarray(rng.normal(size=(L, num_blocks, block, nkv, hd)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(B, nkv, g, hd)), jnp.bfloat16)
+    lengths = jnp.asarray([0, 130, 1000, 2048], jnp.int32)
+    tables = np.full((B, max_pages), -1, np.int32)
+    ids = rng.permutation(np.arange(1, num_blocks))
+    ptr = 0
+    for b in range(B):
+        n = int(np.ceil(int(lengths[b]) / block))
+        tables[b, :n] = ids[ptr: ptr + n]
+        ptr += n
+    tables = jnp.asarray(tables)
+    k_cur = jnp.asarray(rng.normal(size=(B, nkv, hd)), jnp.bfloat16)
+    v_cur = jnp.asarray(rng.normal(size=(B, nkv, hd)), jnp.bfloat16)
+
+    o, m, l = paged_attention(q, k_pool, v_pool, tables, lengths, jnp.asarray(0))
+    got = np.asarray(merge_current_token(q, k_cur, v_cur, o, m, l))
+    with jax.default_matmul_precision("highest"):
+        o_r, m_r, l_r = paged_attention_reference(q, k_pool, v_pool, tables, lengths,
+                                                  jnp.asarray(0))
+        want = np.asarray(merge_current_token(q, k_cur, v_cur, o_r, m_r, l_r))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02, rel
+    assert np.isfinite(got).all()
+
+
 def tiny_e2e_generate():
     from audio_flamingo_tpu.api import AudioFlamingo
 
@@ -107,5 +143,6 @@ if __name__ == "__main__":
     check("flash_fused_backward", flash_backward_vs_xla)
     check("pallas_fused_mel", pallas_mel_vs_xla)
     check("w8a16_quant_matmul", quant_matmul_kernel)
+    check("paged_attention_kernel", paged_attention_kernel)
     check("tiny_e2e_generate", tiny_e2e_generate)
     sys.exit(1 if FAILED else 0)

@@ -169,3 +169,134 @@ def test_paged_engine_matches_single_request():
         got = results[f"p{i}"]
         n = min(len(r), len(got))
         assert got[:n] == r[:n], (i, got, r)
+
+
+# ---------------------------------------------------------------- pallas paged kernel
+
+def test_paged_attention_kernel_matches_reference():
+    """Pallas paged-attention kernel (block-table reads, online softmax) == XLA
+    dense-gather reference, including rows with partial last pages and len=0."""
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        merge_current_token, paged_attention, paged_attention_reference)
+
+    rng = np.random.default_rng(0)
+    L, num_blocks, block, nkv, hd = 3, 16, 128, 2, 128
+    B, g = 4, 3
+    max_pages = 6
+    k_pool = jnp.asarray(rng.normal(size=(L, num_blocks, block, nkv, hd)), jnp.float32)
+    v_pool = jnp.asarray(rng.normal(size=(L, num_blocks, block, nkv, hd)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, nkv, g, hd)), jnp.float32)
+    # rows: empty, one partial page, several full + partial, all pages full
+    lengths = jnp.asarray([0, 70, 300, max_pages * block], jnp.int32)
+    tables = np.full((B, max_pages), -1, np.int32)
+    pool_ids = rng.permutation(np.arange(1, num_blocks))
+    ptr = 0
+    for b in range(B):
+        n = int(np.ceil(int(lengths[b]) / block))
+        tables[b, :n] = pool_ids[ptr: ptr + n]
+        ptr += n
+    tables = jnp.asarray(tables)
+
+    for layer in range(L):
+        o, m, l = paged_attention(q, k_pool, v_pool, tables, lengths,
+                                  jnp.asarray(layer))
+        o_r, m_r, l_r = paged_attention_reference(q, k_pool, v_pool, tables, lengths,
+                                                  jnp.asarray(layer))
+        # normalized outputs must agree on rows with content
+        got = np.asarray(o / np.maximum(np.asarray(l)[..., None], 1e-30))
+        want = np.asarray(o_r / np.maximum(np.asarray(l_r)[..., None], 1e-30))
+        np.testing.assert_allclose(got[1:], want[1:], atol=1e-5, rtol=1e-5)
+        # merged with a current token, every row (incl. len=0) must be finite and match
+        k_cur = jnp.asarray(rng.normal(size=(B, nkv, hd)), jnp.float32)
+        v_cur = jnp.asarray(rng.normal(size=(B, nkv, hd)), jnp.float32)
+        full = merge_current_token(q, k_cur, v_cur, o, m, l)
+        full_r = merge_current_token(q, k_cur, v_cur, o_r, m_r, l_r)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(full_r),
+                                   atol=1e-5, rtol=1e-5)
+        assert np.isfinite(np.asarray(full)).all()
+
+
+def test_merge_current_token_equals_full_attention():
+    """paged kernel + current-token merge == ordinary causal attention over the same
+    sequence laid out contiguously."""
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        merge_current_token, paged_attention)
+
+    rng = np.random.default_rng(1)
+    block, nkv, g, hd = 128, 2, 2, 128
+    T = 200                                # context already in pages
+    num_blocks, max_pages = 8, 4
+    # build a pool holding the sequence in shuffled pages
+    k_seq = rng.normal(size=(T, nkv, hd)).astype(np.float32)
+    v_seq = rng.normal(size=(T, nkv, hd)).astype(np.float32)
+    n = int(np.ceil(T / block))
+    table = rng.permutation(np.arange(1, num_blocks))[:n]
+    k_pool = np.zeros((1, num_blocks, block, nkv, hd), np.float32)
+    v_pool = np.zeros((1, num_blocks, block, nkv, hd), np.float32)
+    pad = n * block - T
+    k_pad = np.concatenate([k_seq, np.zeros((pad, nkv, hd), np.float32)])
+    v_pad = np.concatenate([v_seq, np.zeros((pad, nkv, hd), np.float32)])
+    k_pool[0, table] = k_pad.reshape(n, block, nkv, hd)
+    v_pool[0, table] = v_pad.reshape(n, block, nkv, hd)
+    tables = np.full((1, max_pages), -1, np.int32)
+    tables[0, :n] = table
+
+    q = rng.normal(size=(1, nkv, g, hd)).astype(np.float32)
+    k_cur = rng.normal(size=(1, nkv, hd)).astype(np.float32)
+    v_cur = rng.normal(size=(1, nkv, hd)).astype(np.float32)
+
+    o, m, l = paged_attention(jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+                              jnp.asarray(tables), jnp.asarray([T], jnp.int32),
+                              jnp.asarray(0))
+    got = np.asarray(merge_current_token(jnp.asarray(q), jnp.asarray(k_cur),
+                                         jnp.asarray(v_cur), o, m, l))[0]
+
+    # reference: plain softmax attention over [k_seq; k_cur]
+    ks = np.concatenate([k_seq, k_cur[0][None]], axis=0)     # [T+1, nkv, hd]
+    vs = np.concatenate([v_seq, v_cur[0][None]], axis=0)
+    s = np.einsum("kgd,tkd->kgt", q[0], ks) * (hd ** -0.5)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("kgt,tkd->kgd", p, vs)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_paged_engine_lazy_growth_beats_worst_case_reservation():
+    """Rows admit with bucket-sized page maps and GROW as they decode: a pool smaller
+    than rows x max_blocks_per_seq still serves long generations correctly (the round-1
+    engine reserved the worst case up front and could not admit here at all)."""
+    from audio_flamingo_tpu.config import AF3Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.runtime import generate as gen
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    acfg = AF3Config(
+        encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1,
+                                     num_heads=4, ffn_dim=64, max_source_positions=12),
+        lm=CFG, audio_token_id=90)
+    params = af3.init(jax.random.PRNGKey(2), acfg)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, 90, size=(1, 5 + i)).astype(np.int32) for i in range(2)]
+
+    # worst case would need 2 rows x 16 blocks = 32; pool has only 11 usable pages.
+    # prompt bucket = 128 tokens = 4 pages; 160-token contexts need ceil(165/32)=6.
+    engine = PagedEngine(params=params, cfg=acfg, num_rows=2, num_blocks=12,
+                         block_size=32, max_blocks_per_seq=16, chunk=8,
+                         eos_token_id=127, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"p{i}", ids=p, max_new_tokens=40))
+    results = engine.run_until_done()
+    assert set(results) == {"p0", "p1"}
+    assert len(engine.allocator.free) == 11  # everything released
+    for i, p in enumerate(prompts):
+        ref, ref_len = gen.generate(params, acfg, jnp.asarray(p), None,
+                                    max_new_tokens=40, eos_token_id=127,
+                                    sampling=SamplingParams(greedy=True),
+                                    capacity=512, compute_dtype=jnp.float32)
+        r = [int(t) for t in np.asarray(ref)[0][: int(ref_len[0])]]
+        got = results[f"p{i}"]
+        n = min(len(r), len(got))
+        assert got[:n] == r[:n], (i, got, r)
