@@ -20,14 +20,15 @@ import wave
 import numpy as np
 
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
-_SO_PATH = os.path.join(_CPP_DIR, "libaudioio.so")
+# versioned artifact name: a stale pre-FLAC build must never be dlopen'd from cache
+_SO_PATH = os.path.join(_CPP_DIR, "libaudioio2.so")
 _lib = None
 
 
 def _build_lib() -> bool:
-    src = os.path.join(_CPP_DIR, "audioio.cpp")
+    srcs = [os.path.join(_CPP_DIR, "audioio.cpp"), os.path.join(_CPP_DIR, "flac.cpp")]
     try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO_PATH],
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", *srcs, "-o", _SO_PATH],
                        check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -47,6 +48,8 @@ def get_lib():
                                   ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
                                   ctypes.POINTER(ctypes.c_uint64),
                                   ctypes.POINTER(ctypes.c_int)]
+    lib.af_decode_flac.restype = ctypes.c_int
+    lib.af_decode_flac.argtypes = lib.af_decode_wav.argtypes
     lib.af_resample.restype = ctypes.c_int
     lib.af_resample.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
@@ -150,9 +153,35 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int, zeros: int = 16,
     return arr
 
 
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC decode: native C++ (audio/cpp/flac.cpp) with the pure-Python decoder
+    (audio/flac_ref.py) as fallback/cross-check."""
+    lib = get_lib()
+    if lib is not None:
+        out = ctypes.POINTER(ctypes.c_float)()
+        n = ctypes.c_uint64()
+        sr = ctypes.c_int()
+        rc = lib.af_decode_flac(data, len(data), ctypes.byref(out), ctypes.byref(n),
+                                ctypes.byref(sr))
+        if rc == 0:
+            arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+            lib.af_free(out)
+            return arr, sr.value
+    from audio_flamingo_tpu.audio.flac_ref import decode_flac_np
+
+    return decode_flac_np(data)
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Container dispatch by magic: RIFF/WAVE or native FLAC -> (mono f32, sr)."""
+    if data[:4] == b"fLaC":
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 def load_audio(path: str, target_sr: int = 16_000) -> np.ndarray:
-    """Decode an audio file to mono float32 at target_sr."""
+    """Decode an audio file (WAV or FLAC) to mono float32 at target_sr."""
     with open(path, "rb") as f:
         data = f.read()
-    wav, sr = decode_wav(data)
+    wav, sr = decode_audio(data)
     return resample(wav, sr, target_sr)
