@@ -95,13 +95,47 @@ def jtree_layer(layers: dict, i: int) -> dict:
 
 
 def save_pretrained(path: str, params: dict, cfg: AF3Config,
-                    tokenizer=None) -> None:
-    """Write an HF-layout checkpoint dir loadable by api.load (and torch)."""
+                    tokenizer=None, *, dtype: str | None = None,
+                    max_shard_bytes: int | None = None) -> None:
+    """Write an HF-layout checkpoint dir loadable by api.load (and torch).
+
+    dtype="bf16" casts float tensors to bfloat16 (the dtype the NVIDIA '-hf' releases
+    ship, README.md:79-84). max_shard_bytes splits the weights across
+    model-XXXXX-of-YYYYY.safetensors shards with a model.safetensors.index.json
+    weight_map — the exact sharded layout of the released checkpoints.
+    """
     from audio_flamingo_tpu.io.safetensors import save_safetensors
 
     os.makedirs(path, exist_ok=True)
     sd = export_af3_state_dict(params, cfg)
-    save_safetensors(os.path.join(path, "model.safetensors"), sd, metadata={"format": "pt"})
+    if dtype == "bf16":
+        import ml_dtypes
+
+        sd = {k: (v.astype(ml_dtypes.bfloat16) if v.dtype.kind == "f" else v)
+              for k, v in sd.items()}
+    if max_shard_bytes is None:
+        save_safetensors(os.path.join(path, "model.safetensors"), sd,
+                         metadata={"format": "pt"})
+    else:
+        shards: list[dict] = [{}]
+        sizes = [0]
+        for k, v in sd.items():
+            nb = v.nbytes
+            if sizes[-1] and sizes[-1] + nb > max_shard_bytes:
+                shards.append({})
+                sizes.append(0)
+            shards[-1][k] = v
+            sizes[-1] += nb
+        n = len(shards)
+        weight_map: dict[str, str] = {}
+        for i, shard in enumerate(shards):
+            fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_safetensors(os.path.join(path, fname), shard, metadata={"format": "pt"})
+            for k in shard:
+                weight_map[k] = fname
+        index = {"metadata": {"total_size": int(sum(sizes))}, "weight_map": weight_map}
+        with open(os.path.join(path, "model.safetensors.index.json"), "w") as f:
+            json.dump(index, f, indent=1)
     config = {
         "model_type": "qwen2_audio",
         "audio_token_id": cfg.audio_token_id,

@@ -104,3 +104,42 @@ def test_load_with_quantize_lm(tmp_path, params):
     out_d = dense.generate(prompt="test", max_new_tokens=4)
     out_q = q8.generate(prompt="test", max_new_tokens=4)
     assert isinstance(out_d, str) and isinstance(out_q, str)
+
+
+def test_sharded_bf16_checkpoint_loads_like_nvidia_release(tmp_path, params):
+    """The released '-hf' checkpoints ship as bf16 safetensors SHARDS with a
+    model.safetensors.index.json weight_map (README.md:79-84). Write that exact layout
+    from a tiny model and load it end-to-end through api.load, dense and int8."""
+    import json
+    import os
+
+    from audio_flamingo_tpu.api import load
+    from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer, train_bpe
+
+    vocab, merges = train_bpe(["sharded load"], 120)
+    tok = BBPETokenizer(vocab, merges)
+    save_pretrained(str(tmp_path), params, CFG, tokenizer=tok, dtype="bf16",
+                    max_shard_bytes=64 * 1024)
+    # layout facts: no single model.safetensors; several shards + an index
+    assert not os.path.exists(tmp_path / "model.safetensors")
+    with open(tmp_path / "model.safetensors.index.json") as f:
+        index = json.load(f)
+    shards = sorted(set(index["weight_map"].values()))
+    assert len(shards) >= 2, shards
+    assert all(s.startswith("model-") and s.endswith(".safetensors") for s in shards)
+    assert index["metadata"]["total_size"] > 0
+
+    # loads + generates; logits match an f32 single-file export within bf16 tolerance
+    model = load(str(tmp_path), compute_dtype=jnp.float32, use_flash=False)
+    q8 = load(str(tmp_path), compute_dtype=jnp.float32, quantize_lm=True,
+              use_flash=False)
+    assert isinstance(model.generate(prompt="hi", max_new_tokens=3), str)
+    assert q8.params["lm"]["layers"]["q"]["w_q"].dtype == jnp.int8
+
+    dense_dir = tmp_path / "dense"
+    save_pretrained(str(dense_dir), params, CFG, tokenizer=tok)
+    ref = load(str(dense_dir), compute_dtype=jnp.float32, use_flash=False)
+    ids = np.array([[5, 6, 7, 9]])
+    la = np.asarray(af3.logits(model.params, model.cfg, jnp.asarray(ids)))
+    lb = np.asarray(af3.logits(ref.params, ref.cfg, jnp.asarray(ids)))
+    assert np.abs(la - lb).max() / (np.abs(lb).max() + 1e-9) < 0.02  # bf16 cast error
