@@ -42,13 +42,18 @@ def init_slot_cache(cfg, batch: int, capacity: int, dtype=jnp.bfloat16) -> SlotC
 
 
 def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
-    """Decode forward with PER-ROW cache offsets. embeds [B,1,d], positions [B]."""
-    b = embeds.shape[0]
-    hd = cfg.resolved_head_dim()
-    cos, sin = rope_cos_sin(positions[:, None], hd, cfg.rope_theta)
+    """Decode forward with PER-ROW cache offsets. embeds [B,s,d], positions [B].
 
-    kv_pos = jnp.arange(cache.k.shape[2])[None, None, None, :]
-    mask = kv_pos <= positions[:, None, None, None]
+    Token i of row b lands at cache position positions[b]+i and attends kv
+    positions <= positions[b]+i (writes happen before the attention read, so
+    multi-token blocks — speculative verify — are causally exact per row)."""
+    b, s, _ = embeds.shape
+    hd = cfg.resolved_head_dim()
+    pos_grid = positions[:, None] + jnp.arange(s, dtype=positions.dtype)[None]  # [B,s]
+    cos, sin = rope_cos_sin(pos_grid, hd, cfg.rope_theta)
+
+    kv_pos = jnp.arange(cache.k.shape[2])
+    mask = kv_pos[None, None, None, :] <= pos_grid[:, None, :, None]  # [B,1,s,C]
 
     def write_rows(c, kk, idx):
         return jax.vmap(lambda cr, kr, i: jax.lax.dynamic_update_slice(cr, kr, (i, 0, 0))
@@ -60,16 +65,16 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
         h = carry
         lp, ck, cv = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
-        q = qwen2._linear(hn, lp["q"]).reshape(b, 1, cfg.num_heads, hd)
-        k = qwen2._linear(hn, lp["k"]).reshape(b, 1, cfg.num_kv_heads, hd)
-        v = qwen2._linear(hn, lp["v"]).reshape(b, 1, cfg.num_kv_heads, hd)
+        q = qwen2._linear(hn, lp["q"]).reshape(b, s, cfg.num_heads, hd)
+        k = qwen2._linear(hn, lp["k"]).reshape(b, s, cfg.num_kv_heads, hd)
+        v = qwen2._linear(hn, lp["v"]).reshape(b, s, cfg.num_kv_heads, hd)
         from audio_flamingo_tpu.ops import apply_rope, gqa_attention
 
         q, k = apply_rope(q, k, cos, sin)
         ck = write_rows(ck, k.astype(ck.dtype), positions)
         cv = write_rows(cv, v.astype(cv.dtype), positions)
         attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
-        h = h + qwen2._linear(attn.reshape(b, 1, cfg.num_heads * hd), lp["o"])
+        h = h + qwen2._linear(attn.reshape(b, s, cfg.num_heads * hd), lp["o"])
         hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
         mlp = lp["mlp"]
         if isinstance(mlp["gate"], dict):
@@ -117,6 +122,116 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
     return cache, tokens, done, rng, out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
+                                             "eos_token_id", "compute_dtype"),
+                   donate_argnames=("cache", "d_k", "d_v"))
+def decode_spec_chunk(params, draft_params, cfg: AF3Config, draft_cfg, cache: SlotCache,
+                      d_k, d_v, tokens, done, *, k: int, rounds: int,
+                      eos_token_id: int, compute_dtype=jnp.bfloat16):
+    """Batched GREEDY speculative decoding: advance ALL slots `rounds` draft/verify
+    rounds in ONE device dispatch (amortizes the ~40 ms host sync like decode_chunk).
+
+    Per round, the draft proposes k tokens per row autoregressively; the target
+    verifies each row's [cur, p0..p_{k-1}] block in one multi-token `_rows_forward`
+    at that row's own cache offset. Acceptance/rollback is PER ROW: row b keeps its
+    longest matching prefix m_b, emits m_b+1 tokens (proposals + the target's
+    correction), and rolls back simply by advancing `lengths[b]` by the emitted
+    count — rejected cache slots are overwritten before they are ever attended
+    (mask is kv_pos <= position). Emitted tokens equal target-only greedy decoding
+    exactly (tests/test_engine_speculative.py).
+
+    Returns (cache, d_k, d_v, tokens, done, out [B, rounds*(k+1)], valid same shape):
+    `out[b][valid[b]]` is the ordered token stream row b emitted this dispatch.
+    The draft cache is passed as bare (d_k, d_v); both caches share `cache.lengths`
+    as the single per-row offset (passing two SlotCaches would donate the shared
+    lengths buffer twice).
+    """
+    b = tokens.shape[0]
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    ar = jnp.arange(k + 1)[None]
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid = carry
+
+        # 1) draft proposes k tokens per row (positions lengths..lengths+k-1)
+        def draft_step(i, dc):
+            d_cache, tok_i, props = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            nxt = jnp.argmax(qwen2.unembed(draft_params, draft_cfg, h[:, 0]),
+                             axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt)
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        d_cache, _, props = jax.lax.fori_loop(0, k, draft_step, (d_cache, tok, props0))
+
+        # 2) target verifies the k+1 block per row at its own offset
+        seq = jnp.concatenate([tok[:, None], props], axis=1)           # [B, k+1]
+        x = qwen2.embed(params["lm"], seq, dtype=compute_dtype)
+        h, cache = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
+        greedy = jnp.argmax(qwen2.unembed(params["lm"], cfg.lm, h),
+                            axis=-1).astype(jnp.int32)                 # [B, k+1]
+
+        # 3) per-row longest accepted prefix + correction token
+        match = props == greedy[:, :k]
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)   # [B]
+        correction = jnp.take_along_axis(greedy, m[:, None], axis=1)[:, 0]
+        emitted = jnp.where(ar == m[:, None], correction[:, None],
+                            jnp.concatenate([props, jnp.zeros((b, 1), jnp.int32)], 1))
+        emit_mask = (ar <= m[:, None]) & ~done[:, None]
+        is_eos = emitted == eos_token_id
+        seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32)
+        ok = emit_mask & (seen_eos == 0)
+        n_emitted = jnp.sum(ok.astype(jnp.int32), axis=1)              # [B]
+
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        hit_eos = jnp.any(is_eos & emit_mask, axis=1)
+        new_lengths = cache.lengths + n_emitted
+        cache = SlotCache(cache.k, cache.v, new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid
+
+    cache, d_cache, tokens, done, out, valid = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0))
+    return cache, d_cache.k, d_cache.v, tokens, done, out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("draft_cfg", "slot_capacity",
+                                             "compute_dtype"),
+                   donate_argnames=("d_cache",))
+def draft_prefill_into_slot(draft_params, draft_cfg, d_cache: SlotCache, slot,
+                            token_ids, *, slot_capacity: int,
+                            compute_dtype=jnp.bfloat16):
+    """Prefill the DRAFT LM on one request's token ids and install its KV into `slot`.
+
+    The draft is text-only (audio embeds live in the target prompt; ids are shared,
+    speculative.py:238). Right-padded prompts are safe: pad-position KV is written
+    but decode overwrites every slot before attending it (generate.prefill contract).
+    """
+    t = token_ids.shape[1]
+    sub = qwen2.init_cache(draft_cfg, 1, slot_capacity, dtype=compute_dtype)
+    embeds = qwen2.embed(draft_params, token_ids, dtype=compute_dtype)
+    pos = jnp.arange(t)[None]
+    _, sub = qwen2.forward(draft_params, draft_cfg, embeds, pos, cache=sub,
+                           is_prefill=True)
+    kk = jax.lax.dynamic_update_slice(
+        d_cache.k, sub.k.astype(d_cache.k.dtype), (0, slot, 0, 0, 0))
+    vv = jax.lax.dynamic_update_slice(
+        d_cache.v, sub.v.astype(d_cache.v.dtype), (0, slot, 0, 0, 0))
+    return SlotCache(kk, vv, d_cache.lengths)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "slot_capacity", "compute_dtype"),
                    donate_argnames=("cache",))
 def prefill_into_slot(params, cfg: AF3Config, cache: SlotCache, slot, token_ids, mels,
@@ -154,7 +269,12 @@ class Request:
 
 @dataclass
 class BatchEngine:
-    """Host-side scheduler over the jitted prefill/decode-chunk pair."""
+    """Host-side scheduler over the jitted prefill/decode-chunk pair.
+
+    Attach `draft_params`/`draft_cfg` to enable BATCHED speculative decoding:
+    greedy requests then advance via decode_spec_chunk (per-row accept/rollback)
+    while emitting exactly the target-only greedy stream. Non-greedy sampling or
+    repetition penalty fall back to the plain decode_chunk path automatically."""
 
     params: dict
     cfg: AF3Config
@@ -165,6 +285,10 @@ class BatchEngine:
     sampling: SamplingParams = SamplingParams()
     compute_dtype: object = jnp.bfloat16
     seed: int = 0
+    draft_params: dict | None = None
+    draft_cfg: object = None
+    spec_k: int = 4
+    spec_rounds: int = 4
 
     def __post_init__(self):
         self.cache = init_slot_cache(self.cfg.lm, self.num_slots, self.capacity,
@@ -175,6 +299,15 @@ class BatchEngine:
         self.queue: deque[Request] = deque()
         self.active: dict[int, Request] = {}
         self.finished: dict[str, list[int]] = {}
+        self.d_cache = None
+        if self.draft_params is not None:
+            assert self.draft_cfg is not None
+            self.d_cache = init_slot_cache(self.draft_cfg, self.num_slots,
+                                           self.capacity, self.compute_dtype)
+
+    def _speculating(self) -> bool:
+        return (self.draft_params is not None and self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0)
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
@@ -208,6 +341,10 @@ class BatchEngine:
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 continue
+            if self._speculating():
+                self.d_cache = draft_prefill_into_slot(
+                    self.draft_params, self.draft_cfg, self.d_cache, slot, ids,
+                    slot_capacity=self.capacity, compute_dtype=self.compute_dtype)
             self.tokens = self.tokens.at[slot].set(first)
             self.done = self.done.at[slot].set(False)
             self.active[slot] = req
@@ -217,21 +354,38 @@ class BatchEngine:
         self._fill_slots()
         if not self.active:
             return
-        self.cache, self.tokens, self.done, self.rng, out = decode_chunk(
-            self.params, self.cfg, self.cache, self.tokens, self.done, self.rng,
-            chunk=self.chunk, sampling=self.sampling, eos_token_id=self.eos_token_id,
-            compute_dtype=self.compute_dtype)
-        out = np.asarray(out)
+        if self._speculating():
+            self.cache, d_k, d_v, self.tokens, self.done, out, valid = \
+                decode_spec_chunk(
+                    self.params, self.draft_params, self.cfg, self.draft_cfg,
+                    self.cache, self.d_cache.k, self.d_cache.v,
+                    self.tokens, self.done,
+                    k=self.spec_k, rounds=self.spec_rounds,
+                    eos_token_id=self.eos_token_id,
+                    compute_dtype=self.compute_dtype)
+            self.d_cache = SlotCache(d_k, d_v, self.d_cache.lengths)
+            out = np.asarray(out)
+            valid = np.asarray(valid)
+            row_tokens = [out[s][valid[s]].tolist() for s in range(self.num_slots)]
+            step_budget = self.spec_rounds * (self.spec_k + 1)
+        else:
+            self.cache, self.tokens, self.done, self.rng, out = decode_chunk(
+                self.params, self.cfg, self.cache, self.tokens, self.done, self.rng,
+                chunk=self.chunk, sampling=self.sampling,
+                eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
+            out = np.asarray(out)
+            row_tokens = [out[s].tolist() for s in range(self.num_slots)]
+            step_budget = self.chunk
         done = np.asarray(self.done)
         lengths = np.asarray(self.cache.lengths)
         for slot, req in list(self.active.items()):
             budget = req.max_new_tokens - len(req.tokens)
-            emitted = [int(t) for t in out[slot][:budget]]
+            emitted = [int(t) for t in row_tokens[slot][:budget]]
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
             # capacity guard: evict before per-row writes would clamp at the last slot
-            if lengths[slot] >= self.capacity - self.chunk - 1:
+            if lengths[slot] >= self.capacity - step_budget - 1:
                 done[slot] = True
             if done[slot] or len(req.tokens) >= req.max_new_tokens:
                 req.done = True

@@ -1,0 +1,116 @@
+"""Batched speculative decoding in the slot engine.
+
+Exactness contract: with a draft attached, the engine's greedy output must equal
+target-only greedy decoding TOKEN FOR TOKEN regardless of the draft's quality —
+a perfect draft (the target itself) exercises the all-accept path, an independent
+random draft exercises per-row rejection/rollback. Semantic model:
+[hf] generation/candidate_generator.py assisted decoding (greedy acceptance rule),
+re-designed as a single-device-dispatch fori_loop over per-row cache offsets.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+from audio_flamingo_tpu.models import af3, qwen2
+from audio_flamingo_tpu.ops.sampling import SamplingParams
+from audio_flamingo_tpu.runtime import generate as gen
+from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+EOS = 127
+CFG = AF3Config(
+    encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1, num_heads=4,
+                                 ffn_dim=64, max_source_positions=12),
+    lm=Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96, num_layers=2,
+                   num_heads=4, num_kv_heads=2, tie_word_embeddings=True),
+    audio_token_id=120,
+)
+DRAFT_CFG = Qwen2Config(vocab_size=128, hidden_size=32, intermediate_size=64,
+                        num_layers=1, num_heads=4, num_kv_heads=2,
+                        tie_word_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return af3.init(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def draft_params():
+    return qwen2.init(jax.random.PRNGKey(7), DRAFT_CFG)
+
+
+def _reference_tokens(params, ids, max_new):
+    tokens, lengths = gen.generate(params, CFG, jnp.asarray(ids), None,
+                                   max_new_tokens=max_new, eos_token_id=EOS,
+                                   sampling=SamplingParams(greedy=True),
+                                   capacity=256, compute_dtype=jnp.float32)
+    return [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]]
+
+
+def _run_engine(params, prompts, max_new, **kw):
+    engine = BatchEngine(params=params, cfg=CFG, capacity=256,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32, **kw)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p.astype(np.int32),
+                              max_new_tokens=max_new))
+    return engine.run_until_done()
+
+
+def _check_vs_reference(params, prompts, results, max_new):
+    for i, p in enumerate(prompts):
+        ref = _reference_tokens(params, p.astype(np.int32), max_new)
+        got = results[f"r{i}"]
+        n = min(len(ref), len(got))
+        assert got[:n] == ref[:n], (i, got, ref)
+
+
+def test_spec_engine_perfect_draft(params):
+    """Draft == target LM: every proposal accepted; output still exactly greedy."""
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 120, size=(1, 5 + i)) for i in range(4)]
+    results = _run_engine(params, prompts, 12, num_slots=2,
+                          draft_params=params["lm"], draft_cfg=CFG.lm,
+                          spec_k=3, spec_rounds=2)
+    assert set(results) == {f"r{i}" for i in range(4)}
+    _check_vs_reference(params, prompts, results, 12)
+
+
+def test_spec_engine_random_draft(params, draft_params):
+    """Independent random draft: near-zero acceptance; rollback must keep exactness."""
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 120, size=(1, 4 + 2 * i)) for i in range(3)]
+    results = _run_engine(params, prompts, 10, num_slots=3,
+                          draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                          spec_k=4, spec_rounds=3)
+    _check_vs_reference(params, prompts, results, 10)
+
+
+def test_spec_engine_slot_reuse(params, draft_params):
+    """More requests than slots: reused slots must not leak draft or target KV."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 120, size=(1, 6)) for _ in range(4)]
+    results = _run_engine(params, prompts, 8, num_slots=1,
+                          draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                          spec_k=2, spec_rounds=2)
+    _check_vs_reference(params, prompts, results, 8)
+
+
+def test_spec_engine_sampling_falls_back(params, draft_params):
+    """Non-greedy sampling must route to the plain decode_chunk path and complete."""
+    engine = BatchEngine(params=params, cfg=CFG, num_slots=1, capacity=256,
+                         eos_token_id=EOS,
+                         sampling=SamplingParams(greedy=False, temperature=0.8),
+                         compute_dtype=jnp.float32,
+                         draft_params=draft_params, draft_cfg=DRAFT_CFG)
+    assert not engine._speculating()
+    engine.submit(Request(request_id="s", ids=np.arange(1, 7, dtype=np.int32)[None],
+                          max_new_tokens=6))
+    results = engine.run_until_done()
+    assert len(results["s"]) >= 1
