@@ -1,0 +1,334 @@
+"""Neural mel->waveform vocoder: HiFi-GAN-style generator, TPU-native.
+
+Production voice-output path behind the streaming TTS head (reference ships a
+trained streaming TTS module, README.md:109; the branch code is unmounted so this
+is an original TPU-first design). Generator-only: trained with the Parallel-
+WaveGAN-style auxiliary objective (multi-resolution STFT loss + waveform L1) on a
+procedurally generated speech-like corpus — self-contained in this no-network
+environment, and the training loop doubles as the fine-tune path for real data.
+
+TPU-first design notes:
+- every conv is an NWC `conv_general_dilated` (XLA tiles them onto the MXU);
+- upsampling is a transposed conv expressed via `lhs_dilation` (no gather);
+- static shapes; the whole generator jits to one fused program;
+- streaming: `stream_synthesize` emits chunk-by-chunk with a receptive-field
+  overlap and matches the full-utterance pass exactly in the interior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_flamingo_tpu.audio.clap_mel import frame_signal
+from audio_flamingo_tpu.audio.mel import _windowed_dft_basis, mel_filter_bank
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    n_mels: int = 80
+    hop: int = 160                       # total upsampling factor (== mel hop)
+    upsample: tuple = (5, 4, 4, 2)       # per-stage strides; product == hop
+    channels: int = 192                  # width before the first upsample
+    res_kernels: tuple = (3, 7)          # multi-receptive-field kernel sizes
+    res_dilations: tuple = (1, 3)
+    sr: int = 16_000
+    n_fft: int = 400                     # analysis params for mel_spectrogram
+
+    def stage_channels(self, i: int) -> int:
+        return max(self.channels // (2 ** (i + 1)), 8)
+
+    @property
+    def receptive_frames(self) -> int:
+        """Mel frames of one-sided receptive field (for streaming overlap).
+
+        pre conv k=7 contributes +-3 frames; each stage adds its transposed-conv
+        reach plus the widest res block (k=7: +-3 dil 1 then +-9 dil 3 = +-12)
+        divided back to frame rate by the cumulative upsample factor:
+        3 + (2 + 12)/5 + 14/20 + 14/80 + 14/160 ~= 6.7; 12 over-covers."""
+        return 12
+
+
+def _conv_init(rng, k, cin, cout):
+    scale = (1.0 / (k * cin)) ** 0.5
+    return {"w": jax.random.uniform(rng, (k, cin, cout), jnp.float32, -scale, scale),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def init(rng: jax.Array, cfg: VocoderConfig) -> dict:
+    n_stages = len(cfg.upsample)
+    keys = iter(jax.random.split(rng, 4 + n_stages * (1 + 2 * len(cfg.res_kernels)
+                                                      * len(cfg.res_dilations))))
+    params = {"pre": _conv_init(next(keys), 7, cfg.n_mels, cfg.channels)}
+    ups, res = [], []
+    cin = cfg.channels
+    for i, u in enumerate(cfg.upsample):
+        cout = cfg.stage_channels(i)
+        ups.append(_conv_init(next(keys), 2 * u, cin, cout))
+        blocks = []
+        for k in cfg.res_kernels:
+            for d in cfg.res_dilations:
+                blocks.append({"c1": _conv_init(next(keys), k, cout, cout),
+                               "c2": _conv_init(next(keys), k, cout, cout)})
+        res.append(blocks)
+        cin = cout
+    params["ups"] = ups
+    params["res"] = res
+    params["post"] = _conv_init(next(keys), 7, cin, 1)
+    return params
+
+
+def _conv(x, p, *, dilation: int = 1):
+    """NWC same-padded conv."""
+    k = p["w"].shape[0]
+    pad = (k - 1) * dilation // 2
+    dn = jax.lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NWC", "WIO", "NWC"))
+    y = jax.lax.conv_general_dilated(x, p["w"].astype(x.dtype), (1,),
+                                     ((pad, (k - 1) * dilation - pad),),
+                                     rhs_dilation=(dilation,), dimension_numbers=dn)
+    return y + p["b"].astype(x.dtype)
+
+
+def _conv_transpose(x, p, stride: int):
+    """Stride-u transposed conv with kernel 2u (output length = input*u)."""
+    k = p["w"].shape[0]
+    dn = jax.lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NWC", "WIO", "NWC"))
+    pad = k - 1 - (stride // 2)
+    y = jax.lax.conv_general_dilated(x, p["w"].astype(x.dtype), (1,),
+                                     ((pad, k - 1 - pad + stride - 1),),
+                                     lhs_dilation=(stride,), dimension_numbers=dn)
+    return y[:, : x.shape[1] * stride] + p["b"].astype(x.dtype)
+
+
+def _leaky(x):
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def apply(params: dict, cfg: VocoderConfig, log_mel: jnp.ndarray) -> jnp.ndarray:
+    """[B, frames, n_mels] log10-mel -> waveform [B, frames*hop] in (-1, 1)."""
+    x = _conv(log_mel, params["pre"])
+    for i, u in enumerate(cfg.upsample):
+        x = _conv_transpose(_leaky(x), params["ups"][i], u)
+        acc = None
+        for blk in params["res"][i]:
+            # two stacked dilated convs per multi-receptive-field block
+            h = x + _conv(_leaky(_conv(_leaky(x), blk["c1"],
+                                       dilation=cfg.res_dilations[0])),
+                          blk["c2"], dilation=cfg.res_dilations[-1])
+            acc = h if acc is None else acc + h
+        x = acc / len(params["res"][i])
+    wav = jnp.tanh(_conv(_leaky(x), params["post"]))
+    return wav[..., 0]
+
+
+# --------------------------------------------------------------------------------------
+# Analysis side: mel_spectrogram matching GriffinLim's conventions (log10, slaney)
+# --------------------------------------------------------------------------------------
+
+
+class VocoderMel:
+    """wav -> [frames, n_mels] log10-mel with the SAME filterbank/scale GriffinLim
+    inverts — so Griffin-Lim and the neural vocoder are drop-in alternatives."""
+
+    def __init__(self, cfg: VocoderConfig = VocoderConfig(),
+                 fmin: float = 0.0, fmax: float = 8000.0):
+        self.cfg = cfg
+        mel = mel_filter_bank(cfg.n_fft // 2 + 1, cfg.n_mels, fmin, fmax, cfg.sr)
+        self.mel = jnp.asarray(mel, jnp.float32)
+        c, s = _windowed_dft_basis(cfg.n_fft)
+        self.C = jnp.asarray(c, jnp.float32)
+        self.S = jnp.asarray(s, jnp.float32)
+
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """wav [B, T] (T a multiple of hop) -> [B, T//hop, n_mels]."""
+        cfg = self.cfg
+        num_frames = wav.shape[-1] // cfg.hop
+        half = cfg.n_fft // 2
+        padded = jnp.pad(wav, ((0, 0), (half, half)), mode="reflect")
+        frames = frame_signal(padded, cfg.n_fft, cfg.hop, num_frames)
+        power = (frames @ self.C) ** 2 + (frames @ self.S) ** 2
+        melspec = jnp.maximum(power @ self.mel, 1e-10)
+        return jnp.log10(melspec)
+
+
+# --------------------------------------------------------------------------------------
+# Training: multi-resolution STFT + waveform loss on a synthetic voice-like corpus
+# --------------------------------------------------------------------------------------
+
+_STFT_RESOLUTIONS = ((512, 128), (1024, 256), (256, 64))
+
+
+def _stft_mag(wav: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    num_frames = (wav.shape[-1] - n_fft) // hop + 1
+    frames = frame_signal(wav, n_fft, hop, num_frames)
+    win = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    spec = jnp.fft.rfft(frames * win, axis=-1)
+    return jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+
+
+def multires_stft_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Parallel-WaveGAN auxiliary loss: spectral convergence + log-magnitude L1."""
+    total = 0.0
+    for n_fft, hop in _STFT_RESOLUTIONS:
+        pm = _stft_mag(pred, n_fft, hop)
+        tm = _stft_mag(target, n_fft, hop)
+        sc = jnp.linalg.norm(pm - tm) / jnp.maximum(jnp.linalg.norm(tm), 1e-6)
+        mag = jnp.mean(jnp.abs(jnp.log(pm) - jnp.log(tm)))
+        total = total + sc + mag
+    return total / len(_STFT_RESOLUTIONS)
+
+
+def loss(params: dict, cfg: VocoderConfig, log_mel: jnp.ndarray,
+         target_wav: jnp.ndarray) -> jnp.ndarray:
+    pred = apply(params, cfg, log_mel)
+    return multires_stft_loss(pred, target_wav) + \
+        2.0 * jnp.mean(jnp.abs(pred - target_wav))
+
+
+def synthetic_voice_batch(rng: np.random.Generator, batch: int, seconds: float,
+                          sr: int = 16_000) -> tuple[np.ndarray, np.ndarray]:
+    """Procedural speech-like corpus: harmonic stacks with vibrato + drifting f0,
+    spectral rolloff, amplitude envelope, and breath noise. Returns (wav [B,T], f0 [B])."""
+    t = np.arange(int(seconds * sr)) / sr
+    wavs, f0s = [], []
+    for _ in range(batch):
+        f0 = rng.uniform(90.0, 320.0)
+        vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
+        drift = 1.0 + 0.03 * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t)
+        phase = 2 * np.pi * np.cumsum(f0 * vib * drift) / sr
+        wav = np.zeros_like(t)
+        for h in range(1, 12):
+            if h * f0 > sr / 2 - 200:
+                break
+            amp = h ** -rng.uniform(0.8, 1.6)
+            wav += amp * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+        env = 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * rng.uniform(1.5, 4.0) * t
+                                        + rng.uniform(0, np.pi)))
+        wav = wav * env + 0.01 * rng.normal(size=t.shape)
+        wav = 0.6 * wav / np.max(np.abs(wav))
+        wavs.append(wav.astype(np.float32))
+        f0s.append(f0)
+    return np.stack(wavs), np.asarray(f0s, np.float32)
+
+
+def train(rng: jax.Array, cfg: VocoderConfig, *, steps: int = 300, batch: int = 8,
+          seconds: float = 0.5, lr: float = 2e-4, seed: int = 0,
+          log_every: int = 0) -> tuple[dict, list[float]]:
+    """Train the generator on the synthetic corpus. Returns (params, loss history)."""
+    import optax
+
+    params = init(rng, cfg)
+    mel_fe = VocoderMel(cfg)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def update(params, opt_state, mels, wavs):
+        l, grads = jax.value_and_grad(loss)(params, cfg, mels, wavs)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    np_rng = np.random.default_rng(seed)
+    history = []
+    for step in range(steps):
+        wavs, _ = synthetic_voice_batch(np_rng, batch, seconds, cfg.sr)
+        wavs_j = jnp.asarray(wavs)
+        mels = mel_fe(wavs_j)
+        params, opt_state, l = update(params, opt_state, mels, wavs_j)
+        history.append(float(l))
+        if log_every and step % log_every == 0:
+            print(f"vocoder step {step}: loss {float(l):.4f}", flush=True)
+    return params, history
+
+
+# --------------------------------------------------------------------------------------
+# Objective evaluation: mel reconstruction MSE + F0 tracking on a held-out corpus
+# --------------------------------------------------------------------------------------
+
+
+def estimate_f0(wav: np.ndarray, sr: int = 16_000,
+                fmin: float = 60.0, fmax: float = 420.0) -> float:
+    """Median autocorrelation pitch over 40 ms frames (voiced synthetic signals)."""
+    frame, hop = int(0.04 * sr), int(0.02 * sr)
+    lo, hi = int(sr / fmax), int(sr / fmin)
+    f0s = []
+    for start in range(0, len(wav) - frame, hop):
+        x = wav[start: start + frame]
+        x = x - x.mean()
+        if np.max(np.abs(x)) < 1e-3:
+            continue
+        ac = np.correlate(x, x, mode="full")[frame - 1:]
+        seg = ac[lo:hi]
+        if seg.size == 0 or ac[0] <= 0:
+            continue
+        lag = lo + int(np.argmax(seg))
+        if ac[lag] / ac[0] > 0.3:
+            f0s.append(sr / lag)
+    return float(np.median(f0s)) if f0s else 0.0
+
+
+def evaluate(params: dict, cfg: VocoderConfig, *, n: int = 8, seconds: float = 0.5,
+             seed: int = 123) -> dict:
+    """Held-out objective eval: {mel_mse, f0_mae_hz} (VERDICT #9 done criterion)."""
+    mel_fe = VocoderMel(cfg)
+    np_rng = np.random.default_rng(seed)
+    wavs, f0s = synthetic_voice_batch(np_rng, n, seconds, cfg.sr)
+    mels = mel_fe(jnp.asarray(wavs))
+    pred = apply(params, cfg, mels)
+    pred_mels = mel_fe(pred)
+    mel_mse = float(jnp.mean((pred_mels - mels) ** 2))
+    f0_err = [abs(estimate_f0(np.asarray(pred[i]), cfg.sr) - f0s[i]) for i in range(n)]
+    return {"mel_mse": mel_mse, "f0_mae_hz": float(np.mean(f0_err))}
+
+
+# --------------------------------------------------------------------------------------
+# Streaming synthesis + runtime adapter
+# --------------------------------------------------------------------------------------
+
+
+def stream_synthesize(params: dict, cfg: VocoderConfig, mel_chunks,
+                      ctx_frames: int | None = None):
+    """Generator over waveform chunks given an iterator of [frames, n_mels] chunks.
+
+    The generator's convs are non-causal (SAME padding), so each emitted sample
+    needs `ctx_frames` of mel context on BOTH sides: the stream holds back a
+    ctx-frame lookahead (~ctx*hop/sr seconds of latency, 120 ms at defaults) and
+    re-runs a ctx-frame left overlap, making every emitted sample equal to the
+    full-utterance pass (tests/test_neural_vocoder.py)."""
+    ctx = cfg.receptive_frames if ctx_frames is None else ctx_frames
+    buf = None          # retained mel frames; buf[0] is absolute frame `base`
+    base = 0
+    emitted = 0         # absolute frames emitted so far
+
+    for chunk in mel_chunks:
+        chunk = jnp.asarray(chunk)
+        buf = chunk if buf is None else jnp.concatenate([buf, chunk], axis=0)
+        ready = base + buf.shape[0] - ctx      # frames with full right context
+        if ready > emitted:
+            lo = max(emitted - ctx, 0)
+            wav = apply(params, cfg, buf[None, lo - base:])[0]
+            out = np.asarray(wav[(emitted - lo) * cfg.hop: (ready - lo) * cfg.hop])
+            emitted = ready
+            keep = max(emitted - ctx, 0)
+            buf, base = buf[keep - base:], keep
+            yield out
+    if buf is not None and base + buf.shape[0] > emitted:
+        lo = max(emitted - ctx, 0)
+        window = buf[lo - base:]
+        wav = apply(params, cfg, window[None])[0]
+        yield np.asarray(wav[(emitted - lo) * cfg.hop:])
+
+
+class NeuralVocoder:
+    """Drop-in alternative to audio.vocoder.GriffinLim for runtime/voice.py."""
+
+    def __init__(self, params: dict, cfg: VocoderConfig = VocoderConfig()):
+        self.params, self.cfg = params, cfg
+
+    def mel_to_waveform(self, log_mel: jnp.ndarray, seed: int = 0) -> np.ndarray:
+        return np.asarray(apply(self.params, self.cfg, jnp.asarray(log_mel)[None])[0])

@@ -34,6 +34,9 @@ class TTSConfig:
     chunk_tokens: int = 16          # text tokens consumed per step
     frames_per_chunk: int = 64      # mel frames emitted per step (~0.64 s at 10 ms hop)
     state_frames: int = 8           # trailing frames fed back for continuity
+    num_speakers: int = 0           # >0: learned speaker-embedding conditioning token
+    rvq_quantizers: int = 0         # >0: ALSO emit RVQ code logits (audio/rvq.py codec)
+    rvq_codebook: int = 256
 
 
 def _lin(rng, a, b_, bias=True):
@@ -56,9 +59,9 @@ def _block_init(rng, cfg: TTSConfig):
 
 
 def init(rng: jax.Array, cfg: TTSConfig) -> dict:
-    keys = jax.random.split(rng, cfg.num_layers + 4)
+    keys = jax.random.split(rng, cfg.num_layers + 6)
     blocks = [_block_init(keys[i], cfg) for i in range(cfg.num_layers)]
-    return {
+    params = {
         "embed": jax.random.normal(keys[-1], (cfg.vocab_size, cfg.d_model)) * 0.02,
         "queries": jax.random.normal(keys[-2], (cfg.frames_per_chunk, cfg.d_model)) * 0.02,
         "state_proj": _lin(keys[-3], cfg.n_mels, cfg.d_model),
@@ -66,6 +69,13 @@ def init(rng: jax.Array, cfg: TTSConfig) -> dict:
         "ln_f_w": jnp.ones((cfg.d_model,)), "ln_f_b": jnp.zeros((cfg.d_model,)),
         "mel_out": _lin(keys[-4], cfg.d_model, cfg.n_mels),
     }
+    if cfg.num_speakers > 0:
+        params["speaker"] = jax.random.normal(
+            keys[-5], (cfg.num_speakers, cfg.d_model)) * 0.02
+    if cfg.rvq_quantizers > 0:
+        params["rvq_out"] = _lin(keys[-6], cfg.d_model,
+                                 cfg.rvq_quantizers * cfg.rvq_codebook)
+    return params
 
 
 def _block(x, bp, nh):
@@ -86,28 +96,94 @@ def _block(x, bp, nh):
                             "fc2": bp["fc2"]["w"], "fc2_b": bp["fc2"]["b"]})
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def synthesize_chunk(params: dict, cfg: TTSConfig, token_ids: jnp.ndarray,
-                     prev_mel: jnp.ndarray) -> jnp.ndarray:
-    """[B, chunk_tokens] token ids + [B, state_frames, n_mels] continuity state
-    -> [B, frames_per_chunk, n_mels] log-mel frames."""
+def _trunk(params: dict, cfg: TTSConfig, token_ids: jnp.ndarray,
+           prev_mel: jnp.ndarray, speaker: jnp.ndarray | None) -> jnp.ndarray:
+    """Shared transformer trunk -> per-frame query hidden states [B, frames, D].
+
+    Sequence = [speaker?, text tokens, continuity state frames, frame queries];
+    the speaker conditioning token (cfg.num_speakers > 0) is attended by every
+    query, so voice identity modulates the whole chunk."""
     b = token_ids.shape[0]
     tok = params["embed"][token_ids]                                  # [B, C, D]
     state = jnp.dot(prev_mel, params["state_proj"]["w"]) + params["state_proj"]["b"]
     queries = jnp.broadcast_to(params["queries"][None], (b, cfg.frames_per_chunk,
                                                          cfg.d_model))
-    x = jnp.concatenate([tok, state, queries], axis=1)
+    parts = [tok, state, queries]
+    if speaker is not None:
+        assert cfg.num_speakers > 0, "cfg.num_speakers must be set for speaker ids"
+        parts.insert(0, params["speaker"][speaker][:, None])          # [B, 1, D]
+    x = jnp.concatenate(parts, axis=1)
 
     def body(h, bp):
         return _block(h, bp, cfg.num_heads), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = layer_norm(x, params["ln_f_w"], params["ln_f_b"])
-    out = x[:, -cfg.frames_per_chunk:]
+    return x[:, -cfg.frames_per_chunk:]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def synthesize_chunk(params: dict, cfg: TTSConfig, token_ids: jnp.ndarray,
+                     prev_mel: jnp.ndarray,
+                     speaker: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[B, chunk_tokens] token ids + [B, state_frames, n_mels] continuity state
+    (+ optional [B] speaker ids) -> [B, frames_per_chunk, n_mels] log-mel frames."""
+    out = _trunk(params, cfg, token_ids, prev_mel, speaker)
     return jnp.dot(out, params["mel_out"]["w"]) + params["mel_out"]["b"]
 
 
-def synthesize(params: dict, cfg: TTSConfig, token_ids, pad_id: int = 0):
+@partial(jax.jit, static_argnames=("cfg",))
+def rvq_chunk_logits(params: dict, cfg: TTSConfig, token_ids: jnp.ndarray,
+                     prev_mel: jnp.ndarray,
+                     speaker: jnp.ndarray | None = None) -> jnp.ndarray:
+    """RVQ-token decoder head: -> [B, frames_per_chunk, quantizers, codebook] logits
+    over audio/rvq.py codes (discrete mel-codec targets)."""
+    assert cfg.rvq_quantizers > 0
+    out = _trunk(params, cfg, token_ids, prev_mel, speaker)
+    logits = jnp.dot(out, params["rvq_out"]["w"]) + params["rvq_out"]["b"]
+    b = token_ids.shape[0]
+    return logits.reshape(b, cfg.frames_per_chunk, cfg.rvq_quantizers,
+                          cfg.rvq_codebook)
+
+
+def rvq_loss(params: dict, cfg: TTSConfig, rvq_params: dict, rvq_cfg,
+             token_ids: jnp.ndarray, prev_mel: jnp.ndarray,
+             target_mel: jnp.ndarray, speaker: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Cross-entropy on teacher codes: the codec (audio/rvq.py) encodes the target
+    mel into discrete codes, the head is trained to predict them."""
+    from audio_flamingo_tpu.audio import rvq as rvq_mod
+
+    codes = rvq_mod.encode(rvq_params, rvq_cfg, target_mel)   # [B, F, Q]
+    logits = rvq_chunk_logits(params, cfg, token_ids, prev_mel, speaker)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def synthesize_rvq(params: dict, cfg: TTSConfig, rvq_params: dict, rvq_cfg,
+                   token_ids, pad_id: int = 0, speaker=None):
+    """Whole-utterance RVQ-mode synthesis: argmax codes -> codec decode -> mel.
+    Returns [frames, n_mels] (feed to a vocoder)."""
+    import numpy as np
+
+    from audio_flamingo_tpu.audio import rvq as rvq_mod
+
+    ids = list(token_ids)
+    n_chunks = max(1, -(-len(ids) // cfg.chunk_tokens))
+    ids = ids + [pad_id] * (n_chunks * cfg.chunk_tokens - len(ids))
+    state = jnp.zeros((1, cfg.state_frames, cfg.n_mels), jnp.float32)
+    mels = []
+    for c in range(n_chunks):
+        chunk = jnp.asarray([ids[c * cfg.chunk_tokens: (c + 1) * cfg.chunk_tokens]])
+        logits = rvq_chunk_logits(params, cfg, chunk, state, speaker)
+        codes = jnp.argmax(logits, axis=-1)
+        mel = rvq_mod.decode(rvq_params, rvq_cfg, codes)
+        state = mel[:, -cfg.state_frames:]
+        mels.append(np.asarray(mel[0]))
+    return np.concatenate(mels, axis=0)
+
+
+def synthesize(params: dict, cfg: TTSConfig, token_ids, pad_id: int = 0, speaker=None):
     """Whole-utterance synthesis: chunk the token stream and emit mel chunk-by-chunk.
 
     token_ids: [T] python list / 1-D array. Returns [frames, n_mels].
@@ -121,20 +197,21 @@ def synthesize(params: dict, cfg: TTSConfig, token_ids, pad_id: int = 0):
     mels = []
     for c in range(n_chunks):
         chunk = jnp.asarray([ids[c * cfg.chunk_tokens: (c + 1) * cfg.chunk_tokens]])
-        mel = synthesize_chunk(params, cfg, chunk, state)
+        mel = synthesize_chunk(params, cfg, chunk, state, speaker)
         state = mel[:, -cfg.state_frames:]
         mels.append(np.asarray(mel[0]))
     return np.concatenate(mels, axis=0)
 
 
 def loss(params: dict, cfg: TTSConfig, token_ids: jnp.ndarray, prev_mel: jnp.ndarray,
-         target_mel: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+         target_mel: jnp.ndarray, mask: jnp.ndarray | None = None,
+         speaker: jnp.ndarray | None = None) -> jnp.ndarray:
     """Voice-to-voice training loss (AF3 stage 4): L1+L2 on predicted log-mel frames.
 
     token_ids [B, chunk_tokens]; prev_mel [B, state_frames, n_mels];
     target_mel [B, frames_per_chunk, n_mels]; mask [B, frames_per_chunk] optional.
     """
-    pred = synthesize_chunk(params, cfg, token_ids, prev_mel)
+    pred = synthesize_chunk(params, cfg, token_ids, prev_mel, speaker)
     diff = pred - target_mel
     per = jnp.abs(diff) + diff ** 2
     if mask is not None:

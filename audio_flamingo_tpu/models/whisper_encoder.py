@@ -96,9 +96,11 @@ def _layer_forward(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.n
     if cfg.use_flash:
         from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
 
-        # block_k=2048 clamps to the padded window length (1536 for 30 s windows):
-        # a single KV block per program measured fastest for this shape
-        attn = flash_attention(q, k, v, scale=1.0, block_k=2048).reshape(b, s, d)
+        # block_q=512, block_k=2048: one KV block per program (T=1500 pads to 1536)
+        # with 512-row q tiles — fastest measured config on v5e; see
+        # docs/ENCODER_PERF.md for the block sweep and MXU-utilization roofline
+        attn = flash_attention(q, k, v, scale=1.0, block_q=512,
+                               block_k=2048).reshape(b, s, d)
     else:
         attn = gqa_attention(q, k, v, scale=1.0).reshape(b, s, d)
     x = x + _linear(attn, lp["o"])

@@ -23,14 +23,17 @@ from audio_flamingo_tpu.models.tts import TTSConfig, synthesize_chunk
 class StreamingTTSSession:
     tts_params: dict
     tts_cfg: TTSConfig
-    vocoder: GriffinLim
-    pad_id: int = 0
+    vocoder: GriffinLim            # or audio.neural_vocoder.NeuralVocoder (duck-typed
+    pad_id: int = 0                # on .mel_to_waveform(log_mel))
+    speaker: int | None = None     # voice id when tts_cfg.num_speakers > 0
     _buf: list = field(default_factory=list)
     _state: object = None
 
     def __post_init__(self):
         self._state = jnp.zeros((1, self.tts_cfg.state_frames, self.tts_cfg.n_mels),
                                 jnp.float32)
+        self._speaker = (None if self.speaker is None
+                         else jnp.asarray([self.speaker], jnp.int32))
 
     def feed(self, token_id: int) -> np.ndarray | None:
         """Add one LM token; returns a waveform chunk when a full token chunk is ready."""
@@ -48,7 +51,8 @@ class StreamingTTSSession:
 
     def _emit(self, chunk: list[int], flush_len: int | None) -> np.ndarray:
         ids = jnp.asarray([chunk], jnp.int32)
-        mel = synthesize_chunk(self.tts_params, self.tts_cfg, ids, self._state)
+        mel = synthesize_chunk(self.tts_params, self.tts_cfg, ids, self._state,
+                               self._speaker)
         self._state = mel[:, -self.tts_cfg.state_frames:]
         self._buf = self._buf[self.tts_cfg.chunk_tokens:] if flush_len is None else []
         return self.vocoder.mel_to_waveform(mel[0])

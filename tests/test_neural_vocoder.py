@@ -1,0 +1,73 @@
+"""Neural vocoder: shape/streaming contracts, training progress, and the objective
+eval (mel MSE + F0 tracking) that VERDICT #9 requires beyond tone recovery."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.audio import neural_vocoder as nv
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+TINY = nv.VocoderConfig(channels=64)
+
+
+def test_apply_shape_and_range():
+    params = nv.init(jax.random.PRNGKey(0), TINY)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 24, TINY.n_mels))
+    wav = nv.apply(params, TINY, mel)
+    assert wav.shape == (2, 24 * TINY.hop)
+    assert float(jnp.max(jnp.abs(wav))) <= 1.0
+    # deterministic
+    wav2 = nv.apply(params, TINY, mel)
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))
+
+
+def test_mel_frontend_matches_griffinlim_convention():
+    """VocoderMel log10-mel must be the exact scale GriffinLim.mel_to_waveform
+    inverts (same filterbank, same basis)."""
+    from audio_flamingo_tpu.audio.vocoder import GriffinLim
+
+    gl = GriffinLim()
+    fe = nv.VocoderMel()
+    t = np.arange(8000) / 16_000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    mel = fe(jnp.asarray(wav[None]))[0]
+    # round-trip through Griffin-Lim recovers the tone
+    rec = gl.mel_to_waveform(mel)
+    f0 = nv.estimate_f0(rec)
+    assert abs(f0 - 220.0) < 12.0, f0
+
+
+def test_streaming_matches_full_pass():
+    """Lookahead + overlap streaming must reproduce the full-utterance pass
+    sample-for-sample (up to conv-split f32 reassociation)."""
+    params = nv.init(jax.random.PRNGKey(0), TINY)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (64, TINY.n_mels))
+    full = np.asarray(nv.apply(params, TINY, mel[None])[0])
+    chunks = [mel[i: i + 16] for i in range(0, 64, 16)]
+    stream = np.concatenate(list(nv.stream_synthesize(params, TINY, chunks)))
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=5e-5)
+
+
+def test_estimate_f0_on_known_tone():
+    t = np.arange(8000) / 16_000
+    for f in (110.0, 220.0, 330.0):
+        wav = np.sin(2 * np.pi * f * t).astype(np.float32)
+        assert abs(nv.estimate_f0(wav) - f) < 5.0
+
+
+def test_training_improves_objective_eval():
+    """A short training run must cut the loss and beat the untrained net on the
+    held-out mel-MSE + F0 corpus (the VERDICT #9 objective eval)."""
+    params0 = nv.init(jax.random.PRNGKey(3), TINY)
+    ev0 = nv.evaluate(params0, TINY, n=4, seconds=0.4)
+    params, hist = nv.train(jax.random.PRNGKey(3), TINY, steps=200, batch=4,
+                            seconds=0.4, lr=5e-4)
+    ev1 = nv.evaluate(params, TINY, n=4, seconds=0.4)
+    first, last = float(np.mean(hist[:10])), float(np.mean(hist[-10:]))
+    assert last < 0.8 * first, (first, last)
+    assert ev1["mel_mse"] < ev0["mel_mse"], (ev0, ev1)
