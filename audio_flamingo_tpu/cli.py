@@ -105,6 +105,19 @@ def cmd_train(args):
     print(f"done: step {int(state.step)}, last loss {metrics.latest('loss')}")
 
 
+def cmd_demo(args):
+    from audio_flamingo_tpu.serve.demo import main as demo_main
+
+    argv = ["--host", args.host, "--port", str(args.port)]
+    if args.model:
+        argv += ["--model", args.model]
+    else:
+        argv += ["--random-tiny"]
+    if args.quantize_lm:
+        argv += ["--quantize-lm"]
+    demo_main(argv)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="audio_flamingo_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -138,6 +151,13 @@ def main(argv=None):
     sp.add_argument("--tokenizer", default=None, help="tokenizer dir (vocab/merges)")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("demo", help="interactive browser demo (audio upload + chat)")
+    sp.add_argument("--model", default=None, help="HF-layout checkpoint dir")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=7860)
+    sp.add_argument("--quantize-lm", action="store_true")
+    sp.set_defaults(fn=cmd_demo)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -291,6 +291,11 @@ class BatchEngine:
     spec_rounds: int = 4
 
     def __post_init__(self):
+        # engines keep no per-row token history on device; a repetition penalty would
+        # be silently skipped (sample_token only applies it WITH history) — refuse
+        # loudly and point at the path that supports it
+        assert self.sampling.repetition_penalty == 1.0, \
+            "engines do not support repetition_penalty; use runtime.generate"
         self.cache = init_slot_cache(self.cfg.lm, self.num_slots, self.capacity,
                                      self.compute_dtype)
         self.tokens = jnp.full((self.num_slots,), self.eos_token_id, jnp.int32)

@@ -192,6 +192,8 @@ class FlamingoEngine:
     windows_per_media: int = 1
 
     def __post_init__(self):
+        assert self.sampling.repetition_penalty == 1.0, \
+            "engines do not support repetition_penalty; use runtime.generate"
         lcfg = self.cfg.lm
         if flamingo._is_opt(self.cfg):
             hd = lcfg.hidden_size // lcfg.num_heads

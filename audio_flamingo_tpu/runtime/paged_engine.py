@@ -49,6 +49,8 @@ class PagedEngine:
     seed: int = 0
 
     def __post_init__(self):
+        assert self.sampling.repetition_penalty == 1.0, \
+            "engines do not support repetition_penalty; use runtime.generate"
         self.cache = init_paged(self.cfg.lm, self.num_rows, self.num_blocks,
                                 self.block_size, self.max_blocks_per_seq,
                                 self.compute_dtype)
