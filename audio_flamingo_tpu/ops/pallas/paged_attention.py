@@ -42,7 +42,7 @@ def _dot_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
-def _paged_kernel(layer_ref, tables_ref, len_ref,        # scalar prefetch
+def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
                   q_ref, k_ref, v_ref,                   # blocks
                   o_ref, m_ref, l_ref, *,                # outputs (revisited)
                   block: int, max_pages: int, scale: float):
@@ -62,49 +62,60 @@ def _paged_kernel(layer_ref, tables_ref, len_ref,        # scalar prefetch
 
     @pl.when(j < num_pages)
     def _compute():
+        # Mosaic cannot lower BATCHED tpu.matmul ("Bad lhs type" on hardware; the
+        # batch axis only works in interpret mode), so the nkv axis is a static
+        # Python unroll of plain 2D MXU dots — nkv is 4 for the AF3 LM, and decode
+        # is HBM-bound on the page reads, not these small dots.
         q = q_ref[0]                                       # [nkv, g, hd]
-        k = jnp.transpose(k_ref[0, 0], (1, 0, 2))          # [nkv, block, hd]
-        v = jnp.transpose(v_ref[0, 0], (1, 0, 2))
-        # [nkv, g, block] = batched q @ k^T over the kv-head axis
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec) * scale
-        k_ids = j * block + jax.lax.broadcasted_iota(jnp.int32, (nkv, g, block), 2)
-        s = jnp.where(k_ids < kv_len, s, NEG_INF)
+        k = k_ref[0]                                       # [block, nkv, hd]
+        v = v_ref[0]
+        k_ids = j * block + jax.lax.broadcasted_iota(jnp.int32, (g, block), 1)
+        for kv in range(nkv):
+            s = jax.lax.dot_general(
+                q[kv], k[:, kv, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec) * scale  # [g, block]
+            s = jnp.where(k_ids < kv_len, s, NEG_INF)
 
-        m_prev = m_ref[0]                                  # [nkv, g]
-        l_prev = l_ref[0]
-        acc = o_ref[0]                                     # unnormalized [nkv, g, hd]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[..., None])
-        alpha = jnp.exp(m_prev - m_new)
-        upd = jax.lax.dot_general(
-            p.astype(q_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec)   # [nkv, g, hd]
-        o_ref[0] = acc * alpha[..., None] + upd
-        m_ref[0] = m_new
-        l_ref[0] = l_prev * alpha + jnp.sum(p, axis=-1)
+            m_prev = m_ref[0, kv]                          # [g]
+            l_prev = l_ref[0, kv]
+            acc = o_ref[0, kv]                             # unnormalized [g, hd]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[:, None])
+            alpha = jnp.exp(m_prev - m_new)
+            upd = jax.lax.dot_general(
+                p.astype(q_ref.dtype), v[:, kv, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)   # [g, hd]
+            o_ref[0, kv] = acc * alpha[:, None] + upd
+            m_ref[0, kv] = m_new
+            l_ref[0, kv] = l_prev * alpha + jnp.sum(p, axis=-1)
 
 
 def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
                     block_tables: jnp.ndarray, lengths: jnp.ndarray,
-                    layer_idx: jnp.ndarray, *, scale: float | None = None):
-    """Decode attention over paged KV for one layer of a stacked pool.
+                    layer_idx: jnp.ndarray | None = None, *,
+                    scale: float | None = None):
+    """Decode attention over paged KV for one layer.
 
     q:            [B, nkv, g, hd] one query token per row, GQA-grouped (head h of the
                   flat [H] layout maps to (h // g, h % g) — repeat_kv order).
-    k/v_pool:     [L, num_blocks, block, nkv, hd] physical page pool (ALL layers; the
-                  kernel reads only layer `layer_idx` pages, no per-layer slice copy).
+    k/v_pool:     EITHER one layer's pool [num_blocks, block, nkv, hd] (layer_idx
+                  unused), OR the stacked pool [L, num_blocks, block, nkv, hd] with
+                  `layer_idx` selecting the layer (sliced OUTSIDE the kernel — one
+                  dynamic-index per layer, cheaper than handing Mosaic the whole
+                  multi-layer operand).
     block_tables: [B, max_pages] int32 physical page ids (-1 = unmapped).
     lengths:      [B] int32 tokens already in pages for each row (current token
                   excluded — merge it with merge_current_token).
-    layer_idx:    [] int32 which layer of the pool to read.
 
     Returns (o, m, l): o [B, nkv, g, hd] f32 UNNORMALIZED accumulator; m, l [B, nkv, g]
     f32 online-softmax stats — feed to merge_current_token, or normalize as o/l.
     """
+    if k_pool.ndim == 5:
+        assert layer_idx is not None
+        k_pool = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
+        v_pool = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)
     bsz, nkv, g, hd = q.shape
-    _, _, block, _, _ = k_pool.shape
+    _, block, _, _ = k_pool.shape
     max_pages = block_tables.shape[1]
     if scale is None:
         scale = hd ** -0.5
@@ -118,19 +129,17 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
     kernel = functools.partial(_paged_kernel, block=block, max_pages=max_pages,
                                scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(bsz, max_pages),
         in_specs=[
-            pl.BlockSpec((1, nkv, g, hd), lambda b, j, lr, tr, nr: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, block, nkv, hd),
-                         lambda b, j, lr, tr, nr: (lr[0], tr[b, j], 0, 0, 0)),
-            pl.BlockSpec((1, 1, block, nkv, hd),
-                         lambda b, j, lr, tr, nr: (lr[0], tr[b, j], 0, 0, 0)),
+            pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
+            pl.BlockSpec((1, block, nkv, hd), lambda b, j, tr, nr: (tr[b, j], 0, 0, 0)),
+            pl.BlockSpec((1, block, nkv, hd), lambda b, j, tr, nr: (tr[b, j], 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, nkv, g, hd), lambda b, j, lr, tr, nr: (b, 0, 0, 0)),
-            pl.BlockSpec((1, nkv, g), lambda b, j, lr, tr, nr: (b, 0, 0)),
-            pl.BlockSpec((1, nkv, g), lambda b, j, lr, tr, nr: (b, 0, 0)),
+            pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr: (b, 0, 0)),
+            pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr: (b, 0, 0)),
         ],
     )
     o, m, l = pl.pallas_call(
@@ -142,8 +151,7 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
             jax.ShapeDtypeStruct((bsz, nkv, g), jnp.float32),
         ],
         interpret=_interpret(),
-    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), phys.astype(jnp.int32),
-      lengths.astype(jnp.int32), q, k_pool, v_pool)
+    )(phys.astype(jnp.int32), lengths.astype(jnp.int32), q, k_pool, v_pool)
     return o, m, l
 
 
@@ -168,17 +176,22 @@ def merge_current_token(q, k_cur, v_cur, o, m, l, *, scale: float | None = None)
     return acc / jnp.maximum(l2, 1e-30)[..., None]
 
 
-def paged_attention_reference(q, k_pool, v_pool, block_tables, lengths, layer_idx, *,
+def paged_attention_reference(q, k_pool, v_pool, block_tables, lengths,
+                              layer_idx: jnp.ndarray | None = None, *,
                               scale: float | None = None):
     """XLA dense-gather reference (round-1 semantics) for kernel parity tests: gathers
     every mapped page and masks. Returns the same (o, m, l) triple."""
     bsz, nkv, g, hd = q.shape
-    block = k_pool.shape[2]
+    if k_pool.ndim == 5:
+        assert layer_idx is not None
+        k_pool = k_pool[layer_idx]
+        v_pool = v_pool[layer_idx]
+    block = k_pool.shape[1]
     max_pages = block_tables.shape[1]
     if scale is None:
         scale = hd ** -0.5
-    kb = k_pool[layer_idx]
-    vb = v_pool[layer_idx]
+    kb = k_pool
+    vb = v_pool
     idx = jnp.maximum(block_tables, 0)                            # [B, P]
     k_seq = kb[idx].reshape(bsz, max_pages * block, nkv, hd)      # [B, T, nkv, hd]
     v_seq = vb[idx].reshape(bsz, max_pages * block, nkv, hd)

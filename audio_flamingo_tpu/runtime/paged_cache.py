@@ -112,15 +112,19 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
     def body(carry, xs):
         h = carry
-        lp, layer_idx = xs
+        # the layer's PAGE POOL rides the scan xs: lax.scan slices one
+        # [num_blocks, block, nkv, hd] layer per iteration, so the Pallas call's
+        # operand is exactly the pages it may read — handing it the whole
+        # [L, ...] pool made XLA materialize a fresh layout copy of the full
+        # pool per layer per step (~2x slower engine than the slot cache)
+        lp, k_layer, v_layer = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
         q = qwen2._linear(hn, lp["q"]).reshape(b, 1, cfg.num_heads, hd)
         k = qwen2._linear(hn, lp["k"]).reshape(b, 1, nkv, hd)
         v = qwen2._linear(hn, lp["v"]).reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         qg = q[:, 0].reshape(b, nkv, g, hd)
-        o, m, l = attend(qg, cache.k, cache.v, cache.block_tables, cache.lengths,
-                         layer_idx)
+        o, m, l = attend(qg, k_layer, v_layer, cache.block_tables, cache.lengths)
         attn = merge_current_token(qg, k[:, 0], v[:, 0], o, m, l)   # [b, nkv, g, hd]
         attn = attn.reshape(b, 1, cfg.num_heads * hd).astype(h.dtype)
         h = h + qwen2._linear(attn, lp["o"])
@@ -137,8 +141,7 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
             h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in mlp.items()})
         return h, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
-    layer_ids = jnp.arange(cfg.num_layers)
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], layer_ids))
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
     # physical writes: ks [L, B, 1, nkv, hd] at (layer, block_ids[B], offs[B])
     l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
     b_flat = jnp.tile(block_ids, cfg.num_layers)
@@ -205,3 +208,20 @@ def paged_install_prefill(cache: PagedKV, row: jnp.ndarray, sub_k: jnp.ndarray,
     tables = cache.block_tables.at[row].set(table_row)
     lengths = cache.lengths.at[row].set(length)
     return PagedKV(k_new, v_new, tables, lengths)
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
+def paged_install_pages(cache: PagedKV, sub_k: jnp.ndarray, sub_v: jnp.ndarray,
+                        page_ids: jnp.ndarray, cfg: Qwen2Config,
+                        compute_dtype=jnp.bfloat16):
+    """Write a prefill's KV into physical pages ONLY (tables/lengths live on the
+    HOST in PagedEngine — device-side table updates compiled a fresh scatter per
+    page-count and cost a dispatch+sync every scheduling round)."""
+    l, _, c, nkv, hd = sub_k.shape
+    bs = cache.block_size
+    n_pages = c // bs
+    k_pages = sub_k[:, 0].reshape(l, n_pages, bs, nkv, hd)
+    v_pages = sub_v[:, 0].reshape(l, n_pages, bs, nkv, hd)
+    k_new = cache.k.at[:, page_ids].set(k_pages.astype(cache.k.dtype))
+    v_new = cache.v.at[:, page_ids].set(v_pages.astype(cache.v.dtype))
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths)

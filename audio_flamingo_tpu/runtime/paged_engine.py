@@ -30,7 +30,7 @@ from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
     init_paged,
     paged_decode_chunk,
-    paged_install_prefill,
+    paged_install_pages,
 )
 
 
@@ -55,6 +55,11 @@ class PagedEngine:
                                 self.block_size, self.max_blocks_per_seq,
                                 self.compute_dtype)
         self.allocator = BlockAllocator(self.num_blocks, reserve=1)  # block 0 = trash page
+        # tables + lengths are HOST state (numpy), shipped to the device once per
+        # decode chunk: device-side .at[].set updates compiled a fresh scatter for
+        # every distinct page-grant count and cost a dispatch+sync per round
+        self.tables_np = np.full((self.num_rows, self.max_blocks_per_seq), -1, np.int32)
+        self.lengths_np = np.zeros((self.num_rows,), np.int32)
         self.tokens = jnp.full((self.num_rows,), self.eos_token_id, jnp.int32)
         self.done = jnp.ones((self.num_rows,), bool)
         self.rng = jax.random.PRNGKey(self.seed)
@@ -100,15 +105,13 @@ class PagedEngine:
             sub_cache, logits = prefill(self.params, self.cfg, ids, mels,
                                         bucket, self.compute_dtype,
                                         prompt_len=prompt_len)
-            if prompt_len is not None:
-                sub_cache = sub_cache._replace(index=prompt_len)
-            table_row = np.full((self.max_blocks_per_seq,), -1, np.int32)
-            table_row[:n_prompt] = blocks
-            self.cache = paged_install_prefill(
-                self.cache, jnp.asarray(row), sub_cache.k, sub_cache.v,
-                jnp.asarray(table_row),
-                jnp.asarray(req.ids.shape[1]), self.cfg.lm,
+            self.cache = paged_install_pages(
+                self.cache, sub_cache.k, sub_cache.v,
+                jnp.asarray(blocks, jnp.int32), self.cfg.lm,
                 compute_dtype=self.compute_dtype)
+            self.tables_np[row] = -1
+            self.tables_np[row, :n_prompt] = blocks
+            self.lengths_np[row] = req.ids.shape[1]
             self.rng, k = jax.random.split(self.rng)
             first = sample_token(k, logits, self.sampling)[0]
             req.tokens.append(int(first))
@@ -121,29 +124,18 @@ class PagedEngine:
             self.active[row] = (req, blocks)
 
     def _grow_pages(self) -> list[int]:
-        """Top up every active row with pages covering the next chunk (one batched
-        block-table update). Returns rows that could NOT grow (pool exhausted)."""
-        lengths = np.asarray(self.cache.lengths)
-        rows_idx: list[int] = []
-        slot_idx: list[int] = []
-        vals: list[int] = []
+        """Top up every active row with pages covering the next chunk (host-side
+        numpy table edits only). Returns rows that could NOT grow (pool exhausted)."""
         starved: list[int] = []
         for row, (req, blocks) in self.active.items():
-            needed = -(-(int(lengths[row]) + self.chunk + 1) // self.block_size)
+            needed = -(-(int(self.lengths_np[row]) + self.chunk + 1) // self.block_size)
             needed = min(needed, self.max_blocks_per_seq)
             while len(blocks) < needed and self.allocator.free:
                 nb = self.allocator.alloc(1)[0]
-                rows_idx.append(row)
-                slot_idx.append(len(blocks))
-                vals.append(nb)
+                self.tables_np[row, len(blocks)] = nb
                 blocks.append(nb)
             if len(blocks) < needed:
                 starved.append(row)
-        if rows_idx:
-            self.cache = self.cache._replace(
-                block_tables=self.cache.block_tables.at[
-                    jnp.asarray(rows_idx), jnp.asarray(slot_idx)
-                ].set(jnp.asarray(vals, jnp.int32)))
         return starved
 
     def _finish_row(self, row: int) -> None:
@@ -154,8 +146,8 @@ class PagedEngine:
         self.done = self.done.at[row].set(True)
         # point the dead row at the trash page so any residual in-chunk writes
         # cannot touch re-allocated blocks
-        self.cache = self.cache._replace(
-            block_tables=self.cache.block_tables.at[row].set(-1))
+        self.tables_np[row] = -1
+        self.lengths_np[row] = 0
 
     def step(self) -> None:
         self._admit()
@@ -163,20 +155,22 @@ class PagedEngine:
             self._finish_row(row)
         if not self.active:
             return
+        cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
+                                    lengths=jnp.asarray(self.lengths_np))
         self.cache, self.tokens, self.done, self.rng, out = paged_decode_chunk(
-            self.params["lm"], self.cfg.lm, self.cache, self.tokens, self.done, self.rng,
+            self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,
             chunk=self.chunk, sampling=self.sampling, eos_token_id=self.eos_token_id,
             compute_dtype=self.compute_dtype)
         out = np.asarray(out)
         done = np.asarray(self.done)
-        lengths = np.asarray(self.cache.lengths)
+        self.lengths_np = np.asarray(self.cache.lengths).copy()
         for row, (req, blocks) in list(self.active.items()):
             budget = req.max_new_tokens - len(req.tokens)
             emitted = [int(t) for t in out[row][:budget]]
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
-            full = lengths[row] >= self.capacity - self.chunk - 1
+            full = self.lengths_np[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)
 

@@ -116,6 +116,223 @@ def bench_decode() -> dict:
             "decode_capacity": capacity}
 
 
+def bench_decode_matrix() -> dict:
+    """Decode tok/s matrix: batch {1,8,32} x cache capacity {1k,8k,16k}, int8 KV.
+
+    The slot cache reads its whole padded capacity every step, so capacity (not
+    fill level) sets the attention cost — each (batch, capacity) point is the
+    steady-state decode rate for contexts up to that capacity. b32@16k is skipped:
+    int8 weights (~7.6 GB) + 15 GB int8 KV exceed one v5e's 16 GB HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+
+    cfg = Qwen2Config.qwen25_7b()
+    log("bench_decode_matrix: init 7B int8 params on device...")
+    params = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), cfg))()
+    _ = float(params["ln_f_w"].astype(jnp.float32).sum())
+    n_steps = 32
+    results = {}
+
+    for batch in (1, 8, 32):
+        for cap in (1024, 8192, 16384):
+            if batch == 32 and cap == 16384:
+                continue
+
+            def decode_n(params, cache, token, batch=batch):
+                def body(carry):
+                    cache, token, i = carry
+                    x = qwen2.embed(params, token[:, None], dtype=jnp.bfloat16)
+                    pos = jnp.full((batch, 1), cache.index, jnp.int32)
+                    h, cache = qwen2.forward(params, cfg, x, pos, cache=cache)
+                    nxt = jnp.argmax(qwen2.unembed(params, cfg, h[:, 0]),
+                                     axis=-1).astype(jnp.int32)
+                    return cache, nxt, i + 1
+
+                cache, token, _ = jax.lax.while_loop(
+                    lambda c: c[2] < n_steps, body,
+                    (cache, token, jnp.zeros((), jnp.int32)))
+                return cache, token
+
+            key = f"b{batch}_c{cap}"
+            try:
+                decode_jit = jax.jit(decode_n, donate_argnums=1)
+                log(f"bench_decode_matrix: compile b{batch} cap{cap}...")
+                cache = qwen2.init_cache_q8(cfg, batch, cap)
+                token = jnp.zeros((batch,), jnp.int32)
+                cache, token = decode_jit(params, cache, token)
+                _ = int(token[0])
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    cache, token = decode_jit(params, cache, token)
+                    _ = int(token[0])
+                    times.append(time.perf_counter() - t0)
+                dt = float(np.median(times)) / n_steps
+                results[key] = round(batch / dt, 1)
+                log(f"bench_decode_matrix: {key}: {dt*1e3:.2f} ms/step -> "
+                    f"{batch/dt:.1f} tok/s total")
+                del cache
+            except Exception as e:  # noqa: BLE001 — e.g. HBM OOM at the largest point
+                log(f"bench_decode_matrix: {key} failed: {type(e).__name__}")
+                results[key] = None
+    return results
+
+
+def bench_engines_mixed() -> dict:
+    """Slot vs paged engine aggregate tok/s on a mixed 512/3.8k-prompt workload.
+
+    The paged pool holds 88 blocks (11.3k tokens) vs the slot engine's 4x4096
+    worst-case reservation (16.4k tokens) — the paged engine must match or beat
+    slot throughput while using ~2/3 the KV memory (VERDICT #2 done criterion).
+    (4x8192 bf16 slots + int8 7B weights exceed the 15.75 GB usable HBM of one
+    v5e, so the mixed workload tops out at 4k contexts on a single chip.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    lm_cfg = Qwen2Config.qwen25_7b()
+    cfg = AF3Config(lm=lm_cfg)
+    log("bench_engines_mixed: init 7B int8 params...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+    params = {"lm": lm_p}
+
+    rng = np.random.default_rng(0)
+    max_new = 48
+
+    def workload():
+        reqs = []
+        for i in range(3):
+            reqs.append(Request(request_id=f"s{i}",
+                                ids=rng.integers(0, 150_000, (1, 500)).astype(np.int32),
+                                max_new_tokens=max_new))
+            reqs.append(Request(request_id=f"l{i}",
+                                ids=rng.integers(0, 150_000, (1, 3800)).astype(np.int32),
+                                max_new_tokens=max_new))
+        return reqs
+
+    def run(engine_fn):
+        # warmup instance triggers every compile (prefill buckets + decode chunk)
+        warm = engine_fn()
+        for r in workload()[:2]:
+            warm.submit(r)
+        warm.run_until_done()
+        eng = engine_fn()
+        reqs = workload()
+        for r in reqs:
+            eng.submit(r)
+        t0 = time.perf_counter()
+        results = eng.run_until_done()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in results.values())
+        return total / dt, total, dt
+
+    log("bench_engines_mixed: slot engine (4 x 4096 slots)...")
+    slot_tps, n1, t1 = run(lambda: BatchEngine(
+        params=params, cfg=cfg, num_slots=4, capacity=4096, chunk=16,
+        eos_token_id=151_645, sampling=SamplingParams(greedy=True)))
+    log(f"bench_engines_mixed: slot {slot_tps:.1f} tok/s ({n1} tok / {t1:.1f} s)")
+    log("bench_engines_mixed: paged engine (88-block pool)...")
+    paged_tps, n2, t2 = run(lambda: PagedEngine(
+        params=params, cfg=cfg, num_rows=4, num_blocks=88, block_size=128,
+        max_blocks_per_seq=32, chunk=16,
+        eos_token_id=151_645, sampling=SamplingParams(greedy=True)))
+    log(f"bench_engines_mixed: paged {paged_tps:.1f} tok/s ({n2} tok / {t2:.1f} s)")
+    return {"slot_tps_mixed": round(slot_tps, 1),
+            "paged_tps_mixed": round(paged_tps, 1),
+            "paged_vs_slot": round(paged_tps / slot_tps, 3)}
+
+
+def bench_spec_engine() -> dict:
+    """Batch-8 speculative engine component latencies (7B int8 target + 0.5B draft).
+
+    Random weights give ~0 draft/target agreement, so the measured tok/s is the
+    WORST case; per-round latency is acceptance-independent (k draft steps + one
+    verify always run), so tok/s at any acceptance a is
+    (1 + sum_i a^i) * B / round_latency — reported at a=0 (measured floor) and
+    a=0.8 (typical trained draft), with the breakeven a for 1.5x over the plain
+    chunked engine.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+
+    lm_cfg = Qwen2Config.qwen25_7b()
+    draft_cfg = Qwen2Config.qwen25_0_5b()
+    cfg = AF3Config(lm=lm_cfg)
+    log("bench_spec_engine: init 7B int8 target + 0.5B bf16 draft...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    draft_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           qwen2.init(jax.random.PRNGKey(1), draft_cfg))
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+    params = {"lm": lm_p}
+
+    rng = np.random.default_rng(0)
+    k, rounds, max_new = 4, 3, 48
+
+    def run(with_draft: bool):
+        kw = dict(draft_params=draft_p, draft_cfg=draft_cfg, spec_k=k,
+                  spec_rounds=rounds) if with_draft else {}
+        def make():
+            return BatchEngine(params=params, cfg=cfg, num_slots=8, capacity=1024,
+                               chunk=16, eos_token_id=151_645,
+                               sampling=SamplingParams(greedy=True), **kw)
+        warm = make()
+        warm.submit(Request(request_id="w",
+                            ids=rng.integers(0, 150_000, (1, 500)).astype(np.int32),
+                            max_new_tokens=8))
+        warm.run_until_done()
+        eng = make()
+        for i in range(8):
+            eng.submit(Request(request_id=f"r{i}",
+                               ids=rng.integers(0, 150_000, (1, 500)).astype(np.int32),
+                               max_new_tokens=max_new))
+        t0 = time.perf_counter()
+        results = eng.run_until_done()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in results.values())
+        return total / dt, dt
+
+    log("bench_spec_engine: plain chunked engine, batch 8...")
+    plain_tps, _ = run(False)
+    log(f"bench_spec_engine: plain {plain_tps:.1f} tok/s")
+    log("bench_spec_engine: speculative engine, batch 8 (random draft, a~0)...")
+    spec_tps_a0, spec_dt = run(True)
+    log(f"bench_spec_engine: spec@a=0 {spec_tps_a0:.1f} tok/s")
+
+    # acceptance-independent round latency: at a~0 each round emits exactly 1
+    # token/row, so round_ms = B / (spec_tps_a0) * 1000 per emitted token * 1
+    round_s_per_row_token = 1.0 / spec_tps_a0 * 8  # seconds per round (B rows)
+
+    def tps_at(a: float) -> float:
+        exp_tokens = 1 + sum(a ** i for i in range(1, k + 1))
+        return 8 * exp_tokens / round_s_per_row_token
+
+    # breakeven acceptance for 1.5x plain throughput
+    br = next((a / 100 for a in range(0, 101)
+               if tps_at(a / 100) >= 1.5 * plain_tps), None)
+    return {"plain_b8_tps": round(plain_tps, 1),
+            "spec_b8_tps_accept0": round(spec_tps_a0, 1),
+            "spec_b8_tps_accept0.8_projected": round(tps_at(0.8), 1),
+            "spec_breakeven_accept_for_1.5x": br}
+
+
 def bench_ttft() -> dict:
     """p50 TTFT on a 10-min clip: mel -> encode -> 15k-token 7B-int8 prefill -> 1st token."""
     import dataclasses
@@ -163,7 +380,11 @@ def bench_ttft() -> dict:
         embeds = af3.scatter_audio_embeds(embeds, ids, flat, audio_id)
         pos = jnp.arange(prompt_len)[None]
         cache = qwen2.init_cache(lm_cfg, 1, cap, dtype=jnp.bfloat16)
-        h, cache = qwen2.forward(lm_p, lm_cfg, embeds, pos, cache=cache)
+        # is_prefill certifies the fresh cache so the flash fast path applies —
+        # without it the post-round-1 safe default is dense attention, whose
+        # [1, nkv, G, 15k, 16k] f32 scores tensor cannot fit HBM
+        h, cache = qwen2.forward(lm_p, lm_cfg, embeds, pos, cache=cache,
+                                 is_prefill=True)
         return jnp.argmax(qwen2.unembed(lm_p, lm_cfg, h[:, -1]), -1).astype(jnp.int32)
 
     log("bench_ttft: compiling...")
@@ -184,10 +405,22 @@ def bench_ttft() -> dict:
     return {"ttft_10min_s": dt}
 
 
+def _safe(fn, fallback: dict) -> dict:
+    """A failed secondary section must not cost the whole BENCH artifact."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        log(f"{fn.__name__} FAILED: {type(e).__name__}: {e}")
+        return fallback
+
+
 def main():
     enc = bench_encoder()
     dec = bench_decode()
     ttft = bench_ttft()
+    matrix = _safe(bench_decode_matrix, {})
+    engines = _safe(bench_engines_mixed, {})
+    spec = _safe(bench_spec_engine, {})
     rtfx = enc["encode_rtfx_10min"]
     line = {
         "metric": "encode_rtfx_10min",
@@ -200,6 +433,9 @@ def main():
             "decode_vs_target_30tps": round(dec["decode_tps_7b_int8_b1"] / 30.0, 2),
             "encode_s_10min": round(enc["encode_s_10min"], 4),
             "p50_ttft_10min_s": round(ttft["ttft_10min_s"], 3),
+            "decode_matrix_int8kv_tps": matrix,
+            **engines,
+            **spec,
         },
     }
     print(json.dumps(line))
