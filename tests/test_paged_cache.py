@@ -300,3 +300,47 @@ def test_paged_engine_lazy_growth_beats_worst_case_reservation():
         got = results[f"p{i}"]
         n = min(len(r), len(got))
         assert got[:n] == r[:n], (i, got, r)
+
+
+def test_paged_engine_pool_exhaustion_evicts_gracefully():
+    """When the pool starves, growing rows finish early with what they have; other
+    rows are unaffected and remain exact; every page is released afterwards."""
+    from audio_flamingo_tpu.config import AF3Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.runtime import generate as gen
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    acfg = AF3Config(
+        encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1,
+                                     num_heads=4, ffn_dim=64, max_source_positions=12),
+        lm=CFG, audio_token_id=90)
+    params = af3.init(jax.random.PRNGKey(1), acfg)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 90, size=(1, 6)).astype(np.int32) for _ in range(3)]
+
+    # pool of 5 usable pages, 3 rows wanting 2+ pages each: someone must starve
+    engine = PagedEngine(params=params, cfg=acfg, num_rows=3, num_blocks=6,
+                         block_size=BLOCK, max_blocks_per_seq=MAX_BLOCKS, chunk=4,
+                         eos_token_id=127, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"p{i}", ids=p,
+                              max_new_tokens=3 * BLOCK))  # wants to outgrow the pool
+    results = engine.run_until_done()
+    # every request finished (some evicted early), nothing crashed, pool restored
+    assert set(results) == {f"p{i}" for i in range(3)}
+    assert all(len(v) >= 1 for v in results.values())
+    assert len(engine.allocator.free) == 5
+    # emitted prefixes are exact vs single-request decode
+    for i, p in enumerate(prompts):
+        ref, ref_len = gen.generate(params, acfg, jnp.asarray(p), None,
+                                    max_new_tokens=3 * BLOCK, eos_token_id=127,
+                                    sampling=SamplingParams(greedy=True),
+                                    capacity=MAX_BLOCKS * BLOCK,
+                                    compute_dtype=jnp.float32)
+        r = [int(t) for t in np.asarray(ref)[0][: int(ref_len[0])]]
+        got = results[f"p{i}"]
+        n = min(len(r), len(got))
+        assert got[:n] == r[:n], (i, got, r)
