@@ -43,9 +43,12 @@ def _dot_precision(dtype):
 
 
 def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
-                  q_ref, k_ref, v_ref,                   # blocks
-                  o_ref, m_ref, l_ref, *,                # outputs (revisited)
-                  block: int, max_pages: int, scale: float):
+                  q_ref, k_ref, v_ref, *rest,            # blocks (+scales if int8)
+                  block: int, max_pages: int, scale: float, quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref = rest
+    else:
+        o_ref, m_ref, l_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     prec = _dot_precision(q_ref.dtype)
@@ -71,9 +74,20 @@ def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
         v = v_ref[0]
         k_ids = j * block + jax.lax.broadcasted_iota(jnp.int32, (g, block), 1)
         for kv in range(nkv):
+            kkv = k[:, kv, :]
+            vkv = v[:, kv, :]
+            if quantized:
+                # int8 pages: dots run on the RAW int8 values (cast to the query
+                # dtype); per-token dequant scales fold into the SMALL tensors —
+                # score columns for K, probability columns for V — instead of
+                # rescaling the [block, hd] tiles
+                kkv = kkv.astype(q_ref.dtype)
+                vkv = vkv.astype(q_ref.dtype)
             s = jax.lax.dot_general(
-                q[kv], k[:, kv, :], (((1,), (1,)), ((), ())),
+                q[kv], kkv, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec) * scale  # [g, block]
+            if quantized:
+                s = s * ks_ref[0, :, kv][None, :]
             s = jnp.where(k_ids < kv_len, s, NEG_INF)
 
             m_prev = m_ref[0, kv]                          # [g]
@@ -82,8 +96,9 @@ def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
             p = jnp.exp(s - m_new[:, None])
             alpha = jnp.exp(m_prev - m_new)
+            pv = p * vs_ref[0, :, kv][None, :] if quantized else p
             upd = jax.lax.dot_general(
-                p.astype(q_ref.dtype), v[:, kv, :], (((1,), (0,)), ((), ())),
+                pv.astype(q_ref.dtype), vkv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)   # [g, hd]
             o_ref[0, kv] = acc * alpha[:, None] + upd
             m_ref[0, kv] = m_new
@@ -93,6 +108,8 @@ def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
 def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
                     block_tables: jnp.ndarray, lengths: jnp.ndarray,
                     layer_idx: jnp.ndarray | None = None, *,
+                    k_scale: jnp.ndarray | None = None,
+                    v_scale: jnp.ndarray | None = None,
                     scale: float | None = None):
     """Decode attention over paged KV for one layer.
 
@@ -106,6 +123,9 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
     block_tables: [B, max_pages] int32 physical page ids (-1 = unmapped).
     lengths:      [B] int32 tokens already in pages for each row (current token
                   excluded — merge it with merge_current_token).
+    k/v_scale:    REQUIRED for int8 pools: per-token dequant scales
+                  [num_blocks, block, nkv] (or [L, ...] stacked, sliced like the
+                  pools). Pools stay int8 in HBM — half the page bytes per step.
 
     Returns (o, m, l): o [B, nkv, g, hd] f32 UNNORMALIZED accumulator; m, l [B, nkv, g]
     f32 online-softmax stats — feed to merge_current_token, or normalize as o/l.
@@ -114,6 +134,11 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
         assert layer_idx is not None
         k_pool = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
         v_pool = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)
+    quantized = k_pool.dtype == jnp.int8
+    assert not quantized or (k_scale is not None and v_scale is not None)
     bsz, nkv, g, hd = q.shape
     _, block, _, _ = k_pool.shape
     max_pages = block_tables.shape[1]
@@ -127,15 +152,21 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
     phys = jnp.maximum(jnp.take_along_axis(block_tables, page_pos, axis=1), 0)
 
     kernel = functools.partial(_paged_kernel, block=block, max_pages=max_pages,
-                               scale=scale)
+                               scale=scale, quantized=quantized)
+    page_spec = pl.BlockSpec((1, block, nkv, hd), lambda b, j, tr, nr: (tr[b, j], 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
+        page_spec, page_spec,
+    ]
+    operands = [q, k_pool, v_pool]
+    if quantized:
+        sc_spec = pl.BlockSpec((1, block, nkv), lambda b, j, tr, nr: (tr[b, j], 0, 0))
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bsz, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
-            pl.BlockSpec((1, block, nkv, hd), lambda b, j, tr, nr: (tr[b, j], 0, 0, 0)),
-            pl.BlockSpec((1, block, nkv, hd), lambda b, j, tr, nr: (tr[b, j], 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
             pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr: (b, 0, 0)),
@@ -151,7 +182,7 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
             jax.ShapeDtypeStruct((bsz, nkv, g), jnp.float32),
         ],
         interpret=_interpret(),
-    )(phys.astype(jnp.int32), lengths.astype(jnp.int32), q, k_pool, v_pool)
+    )(phys.astype(jnp.int32), lengths.astype(jnp.int32), *operands)
     return o, m, l
 
 
@@ -178,14 +209,23 @@ def merge_current_token(q, k_cur, v_cur, o, m, l, *, scale: float | None = None)
 
 def paged_attention_reference(q, k_pool, v_pool, block_tables, lengths,
                               layer_idx: jnp.ndarray | None = None, *,
+                              k_scale: jnp.ndarray | None = None,
+                              v_scale: jnp.ndarray | None = None,
                               scale: float | None = None):
     """XLA dense-gather reference (round-1 semantics) for kernel parity tests: gathers
-    every mapped page and masks. Returns the same (o, m, l) triple."""
+    every mapped page and masks. int8 pools are dequantized up front. Returns the
+    same (o, m, l) triple."""
     bsz, nkv, g, hd = q.shape
     if k_pool.ndim == 5:
         assert layer_idx is not None
         k_pool = k_pool[layer_idx]
         v_pool = v_pool[layer_idx]
+        if k_scale is not None:
+            k_scale = k_scale[layer_idx]
+            v_scale = v_scale[layer_idx]
+    if k_pool.dtype == jnp.int8:
+        k_pool = k_pool.astype(jnp.float32) * k_scale[..., None]
+        v_pool = v_pool.astype(jnp.float32) * v_scale[..., None]
     block = k_pool.shape[1]
     max_pages = block_tables.shape[1]
     if scale is None:

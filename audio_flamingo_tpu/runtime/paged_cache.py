@@ -29,10 +29,12 @@ from audio_flamingo_tpu.models import qwen2
 
 
 class PagedKV(NamedTuple):
-    k: jnp.ndarray             # [L, NUM_BLOCKS, BLOCK, nkv, hd]
+    k: jnp.ndarray             # [L, NUM_BLOCKS, BLOCK, nkv, hd] (bf16 or int8)
     v: jnp.ndarray
     block_tables: jnp.ndarray  # [B, MAX_BLOCKS] int32, -1 = unmapped
     lengths: jnp.ndarray       # [B] int32 tokens filled per sequence
+    k_scale: jnp.ndarray | None = None   # int8 pools: [L, NUM_BLOCKS, BLOCK, nkv] f32
+    v_scale: jnp.ndarray | None = None
 
     @property
     def block_size(self) -> int:
@@ -42,14 +44,24 @@ class PagedKV(NamedTuple):
     def max_blocks(self) -> int:
         return self.block_tables.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
 
 def init_paged(cfg: Qwen2Config, batch: int, num_blocks: int, block_size: int,
                max_blocks_per_seq: int, dtype=jnp.bfloat16) -> PagedKV:
+    """dtype=jnp.int8 gives an int8 page pool (per-token dequant scales, the
+    Q8KVCache quantization scheme) — half the page bytes, double the contexts."""
     hd = cfg.resolved_head_dim()
     shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, hd)
+    scales = None
+    if dtype == jnp.int8:
+        scales = jnp.ones(shape[:-1], jnp.float32)
     return PagedKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.full((batch, max_blocks_per_seq), -1, jnp.int32),
-                   jnp.zeros((batch,), jnp.int32))
+                   jnp.zeros((batch,), jnp.int32),
+                   scales, None if scales is None else scales.copy())
 
 
 @dataclass
@@ -110,6 +122,8 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
     offs = positions % bs
     attend = paged_attention if use_kernel else paged_attention_reference
 
+    quantized = cache.quantized
+
     def body(carry, xs):
         h = carry
         # the layer's PAGE POOL rides the scan xs: lax.scan slices one
@@ -117,15 +131,31 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
         # operand is exactly the pages it may read — handing it the whole
         # [L, ...] pool made XLA materialize a fresh layout copy of the full
         # pool per layer per step (~2x slower engine than the slot cache)
-        lp, k_layer, v_layer = xs
+        if quantized:
+            lp, k_layer, v_layer, ks_layer, vs_layer = xs
+        else:
+            lp, k_layer, v_layer = xs
+            ks_layer = vs_layer = None
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
         q = qwen2._linear(hn, lp["q"]).reshape(b, 1, cfg.num_heads, hd)
         k = qwen2._linear(hn, lp["k"]).reshape(b, 1, nkv, hd)
         v = qwen2._linear(hn, lp["v"]).reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         qg = q[:, 0].reshape(b, nkv, g, hd)
-        o, m, l = attend(qg, k_layer, v_layer, cache.block_tables, cache.lengths)
-        attn = merge_current_token(qg, k[:, 0], v[:, 0], o, m, l)   # [b, nkv, g, hd]
+        o, m, l = attend(qg, k_layer, v_layer, cache.block_tables, cache.lengths,
+                         k_scale=ks_layer, v_scale=vs_layer)
+        if quantized:
+            # merge with the DEQUANTIZED current kv so paged-q8 decode matches the
+            # dense Q8KVCache path bit-for-bit in what each position contributes
+            kq, ksc = qwen2._quantize_kv(k)
+            vq, vsc = qwen2._quantize_kv(v)
+            k_cur = (kq.astype(jnp.float32) * ksc[..., None])[:, 0]
+            v_cur = (vq.astype(jnp.float32) * vsc[..., None])[:, 0]
+            new_kv = (kq[:, 0], vq[:, 0], ksc[:, 0], vsc[:, 0])
+        else:
+            k_cur, v_cur = k[:, 0], v[:, 0]
+            new_kv = (k[:, 0].astype(cache.k.dtype), v[:, 0].astype(cache.v.dtype))
+        attn = merge_current_token(qg, k_cur, v_cur, o, m, l)   # [b, nkv, g, hd]
         attn = attn.reshape(b, 1, cfg.num_heads * hd).astype(h.dtype)
         h = h + qwen2._linear(attn, lp["o"])
         hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
@@ -139,19 +169,28 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
             from audio_flamingo_tpu.ops import swiglu_mlp
 
             h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in mlp.items()})
-        return h, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
+        return h, new_kv
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
-    # physical writes: ks [L, B, 1, nkv, hd] at (layer, block_ids[B], offs[B])
+    if quantized:
+        xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, xs)
+    else:
+        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    # physical writes: ks [L, B, nkv, hd] at (layer, block_ids[B], offs[B])
     l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
     b_flat = jnp.tile(block_ids, cfg.num_layers)
     o_flat = jnp.tile(offs, cfg.num_layers)
     k_new = cache.k.at[l_idx, b_flat, o_flat].set(ks.reshape(-1, nkv, hd))
     v_new = cache.v.at[l_idx, b_flat, o_flat].set(vs.reshape(-1, nkv, hd))
+    ksc_new, vsc_new = cache.k_scale, cache.v_scale
+    if quantized:
+        ksc_new = cache.k_scale.at[l_idx, b_flat, o_flat].set(kscs.reshape(-1, nkv))
+        vsc_new = cache.v_scale.at[l_idx, b_flat, o_flat].set(vscs.reshape(-1, nkv))
 
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
     logits = qwen2.unembed(params, cfg, x[:, 0])
-    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths + 1), logits
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths + 1,
+                   ksc_new, vsc_new), logits
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "sampling", "eos_token_id",
@@ -173,7 +212,7 @@ def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, r
         nxt = jnp.where(done, eos_token_id, nxt)
         # rows that are done must not advance their length (paged_decode_step adds 1)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)
-        cache2 = PagedKV(cache2.k, cache2.v, cache2.block_tables, lengths)
+        cache2 = cache2._replace(lengths=lengths)
         out = out.at[:, i].set(nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
         return cache2, nxt, done, rng, out
@@ -216,12 +255,23 @@ def paged_install_pages(cache: PagedKV, sub_k: jnp.ndarray, sub_v: jnp.ndarray,
                         compute_dtype=jnp.bfloat16):
     """Write a prefill's KV into physical pages ONLY (tables/lengths live on the
     HOST in PagedEngine — device-side table updates compiled a fresh scatter per
-    page-count and cost a dispatch+sync every scheduling round)."""
+    page-count and cost a dispatch+sync every scheduling round). int8 pools
+    quantize the prefill pages with the Q8KVCache per-token scheme."""
     l, _, c, nkv, hd = sub_k.shape
     bs = cache.block_size
     n_pages = c // bs
-    k_pages = sub_k[:, 0].reshape(l, n_pages, bs, nkv, hd)
-    v_pages = sub_v[:, 0].reshape(l, n_pages, bs, nkv, hd)
-    k_new = cache.k.at[:, page_ids].set(k_pages.astype(cache.k.dtype))
-    v_new = cache.v.at[:, page_ids].set(v_pages.astype(cache.v.dtype))
-    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths)
+    ksc_new, vsc_new = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        kq, ksc = qwen2._quantize_kv(sub_k[:, 0])     # [L, C, nkv, hd]/[L, C, nkv]
+        vq, vsc = qwen2._quantize_kv(sub_v[:, 0])
+        k_pages = kq.reshape(l, n_pages, bs, nkv, hd)
+        v_pages = vq.reshape(l, n_pages, bs, nkv, hd)
+        ksc_new = cache.k_scale.at[:, page_ids].set(ksc.reshape(l, n_pages, bs, nkv))
+        vsc_new = cache.v_scale.at[:, page_ids].set(vsc.reshape(l, n_pages, bs, nkv))
+    else:
+        k_pages = sub_k[:, 0].reshape(l, n_pages, bs, nkv, hd).astype(cache.k.dtype)
+        v_pages = sub_v[:, 0].reshape(l, n_pages, bs, nkv, hd).astype(cache.v.dtype)
+    k_new = cache.k.at[:, page_ids].set(k_pages)
+    v_new = cache.v.at[:, page_ids].set(v_pages)
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths,
+                   ksc_new, vsc_new)

@@ -47,13 +47,14 @@ class PagedEngine:
     sampling: SamplingParams = SamplingParams()
     compute_dtype: object = jnp.bfloat16
     seed: int = 0
+    kv_dtype: object = None        # jnp.int8 -> int8 page pool (half the KV HBM)
 
     def __post_init__(self):
         assert self.sampling.repetition_penalty == 1.0, \
             "engines do not support repetition_penalty; use runtime.generate"
         self.cache = init_paged(self.cfg.lm, self.num_rows, self.num_blocks,
                                 self.block_size, self.max_blocks_per_seq,
-                                self.compute_dtype)
+                                self.kv_dtype or self.compute_dtype)
         self.allocator = BlockAllocator(self.num_blocks, reserve=1)  # block 0 = trash page
         # tables + lengths are HOST state (numpy), shipped to the device once per
         # decode chunk: device-side .at[].set updates compiled a fresh scatter for

@@ -13,6 +13,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# XLA:CPU's LLVM passes recurse deeply on the suite's largest programs (speculative
+# while_loop stacks, 32-layer SP train steps); its compile worker threads inherit the
+# RLIMIT_STACK soft limit as their pthread stack size, and at the default 8 MB the
+# suite intermittently segfaults INSIDE native compilation (observed at different
+# tests across runs — classic thread-stack overflow flakiness). Raise the soft limit
+# BEFORE jax spawns any threads.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 << 20
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    _cap = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_cap, _hard))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

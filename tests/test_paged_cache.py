@@ -344,3 +344,118 @@ def test_paged_engine_pool_exhaustion_evicts_gracefully():
         got = results[f"p{i}"]
         n = min(len(r), len(got))
         assert got[:n] == r[:n], (i, got, r)
+
+
+# ---------------------------------------------------------------- int8 page pool
+
+def test_paged_attention_kernel_int8_matches_reference():
+    """int8 pool + per-token scales: kernel == dequantized dense-gather reference."""
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    rng = np.random.default_rng(7)
+    L, num_blocks, block, nkv, hd = 2, 12, 128, 2, 128
+    B, g, max_pages = 3, 3, 4
+    kq = rng.integers(-127, 128, size=(L, num_blocks, block, nkv, hd)).astype(np.int8)
+    vq = rng.integers(-127, 128, size=(L, num_blocks, block, nkv, hd)).astype(np.int8)
+    ks = rng.uniform(0.001, 0.02, size=(L, num_blocks, block, nkv)).astype(np.float32)
+    vs = rng.uniform(0.001, 0.02, size=(L, num_blocks, block, nkv)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(B, nkv, g, hd)), jnp.float32)
+    lengths = jnp.asarray([70, 300, max_pages * block], jnp.int32)
+    tables = np.full((B, max_pages), -1, np.int32)
+    ids = rng.permutation(np.arange(1, num_blocks))
+    ptr = 0
+    for b in range(B):
+        n = int(np.ceil(int(lengths[b]) / block))
+        tables[b, :n] = ids[ptr: ptr + n]
+        ptr += n
+    args = (q, jnp.asarray(kq), jnp.asarray(vq), jnp.asarray(tables), lengths,
+            jnp.asarray(1))
+    kw = dict(k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs))
+    o, m, l = paged_attention(*args, **kw)
+    o_r, m_r, l_r = paged_attention_reference(*args, **kw)
+    got = np.asarray(o / np.maximum(np.asarray(l)[..., None], 1e-30))
+    want = np.asarray(o_r / np.maximum(np.asarray(l_r)[..., None], 1e-30))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_paged_q8_decode_matches_dense_q8_cache():
+    """int8 paged decode == the dense Q8KVCache decode path (same quantization
+    scheme, so greedy tokens agree and logits stay close)."""
+    params = qwen2.init(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(8)
+    t = 12
+    ids = jnp.asarray(rng.integers(0, 90, (1, t)), jnp.int32)
+
+    # dense q8 reference: prefill + single-token decode over Q8KVCache
+    dense = qwen2.init_cache_q8(CFG, 1, MAX_BLOCKS * BLOCK)
+    embeds = qwen2.embed(params, ids, dtype=jnp.float32)
+    pos = jnp.arange(t)[None]
+    h, dense = qwen2.forward(params, CFG, embeds, pos, cache=dense, is_prefill=True)
+    ref_tok = jnp.argmax(qwen2.unembed(params, CFG, h[:, -1]), -1).astype(jnp.int32)
+
+    # paged q8: same prefill installed into shuffled pages
+    from audio_flamingo_tpu.runtime.paged_cache import (
+        init_paged, paged_decode_step, paged_install_pages)
+
+    bf16_sub = qwen2.init_cache(CFG, 1, MAX_BLOCKS * BLOCK, dtype=jnp.float32)
+    _, bf16_sub = qwen2.forward(params, CFG, embeds, pos, cache=bf16_sub,
+                                is_prefill=True)
+    paged = init_paged(CFG, 1, 12, BLOCK, MAX_BLOCKS, dtype=jnp.int8)
+    page_ids = jnp.asarray(rng.permutation(np.arange(1, 12))[:MAX_BLOCKS], jnp.int32)
+    paged = paged_install_pages(paged, bf16_sub.k, bf16_sub.v, page_ids, CFG,
+                                compute_dtype=jnp.float32)
+    tables = np.full((1, MAX_BLOCKS), -1, np.int32)
+    tables[0] = np.asarray(page_ids)
+    paged = paged._replace(block_tables=jnp.asarray(tables),
+                           lengths=jnp.asarray([t], jnp.int32))
+
+    tok_p = ref_tok
+    tok_d = ref_tok
+    for step in range(6):
+        paged, logits_p = paged_decode_step(params, CFG, paged, tok_p,
+                                            compute_dtype=jnp.float32)
+        x = qwen2.embed(params, tok_d[:, None], dtype=jnp.float32)
+        pos_d = jnp.full((1, 1), dense.index, jnp.int32)
+        h, dense = qwen2.forward(params, CFG, x, pos_d, cache=dense)
+        logits_d = qwen2.unembed(params, CFG, h[:, 0])
+        np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_d),
+                                   atol=2e-3, rtol=2e-3)
+        tok_p = jnp.argmax(logits_p, -1).astype(jnp.int32)
+        tok_d = jnp.argmax(logits_d, -1).astype(jnp.int32)
+        assert int(tok_p[0]) == int(tok_d[0]), step
+
+
+def test_paged_engine_int8_pool():
+    """PagedEngine(kv_dtype=int8) serves requests end-to-end; output matches the
+    bf16 paged engine closely (greedy tokens may diverge only after many steps)."""
+    from audio_flamingo_tpu.config import AF3Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    acfg = AF3Config(
+        encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1,
+                                     num_heads=4, ffn_dim=64, max_source_positions=12),
+        lm=CFG, audio_token_id=90)
+    params = af3.init(jax.random.PRNGKey(1), acfg)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 90, size=(1, 5 + i)).astype(np.int32) for i in range(3)]
+
+    def run(kv_dtype):
+        eng = PagedEngine(params=params, cfg=acfg, num_rows=2, num_blocks=12,
+                          block_size=BLOCK, max_blocks_per_seq=MAX_BLOCKS, chunk=4,
+                          eos_token_id=127, sampling=SamplingParams(greedy=True),
+                          compute_dtype=jnp.float32, kv_dtype=kv_dtype)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(request_id=f"p{i}", ids=p, max_new_tokens=8))
+        return eng.run_until_done()
+
+    r_bf16 = run(None)
+    r_q8 = run(jnp.int8)
+    assert set(r_q8) == set(r_bf16)
+    for k in r_bf16:
+        a, b = r_q8[k], r_bf16[k]
+        n = min(len(a), len(b), 4)   # early tokens robust to quantization noise
+        assert a[:n] == b[:n], (k, a, b)
