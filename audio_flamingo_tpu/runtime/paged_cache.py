@@ -249,6 +249,53 @@ def paged_install_prefill(cache: PagedKV, row: jnp.ndarray, sub_k: jnp.ndarray,
     return PagedKV(k_new, v_new, tables, lengths)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_prefix_pages", "suffix_len",
+                                   "compute_dtype"))
+def paged_prefill_suffix(params, cfg: Qwen2Config, cache: PagedKV,
+                         prefix_page_ids: jnp.ndarray, suffix_embeds: jnp.ndarray,
+                         prompt_len: jnp.ndarray, *, n_prefix_pages: int,
+                         suffix_len: int, compute_dtype=jnp.bfloat16):
+    """Prefill only a prompt's SUFFIX against prefix KV already resident in pages
+    (automatic prefix caching, vLLM-style — the paged-pool payoff for chat serving:
+    recurring system/audio prefixes are computed once and shared read-only).
+
+    prefix_page_ids: [n_prefix_pages] physical pages holding tokens
+    [0, n_prefix_pages*block). suffix_embeds: [1, suffix_len, d] embeddings for
+    tokens from that boundary on (right-padded to the shape bucket). prompt_len:
+    [] the TRUE total prompt length (logits come from position prompt_len-1).
+
+    Returns (suffix_k, suffix_v [L, 1, suffix_len, nkv, hd] compute-dtype KV for
+    the suffix — feed to paged_install_pages — and last-token logits fp32).
+    """
+    prefix_len = n_prefix_pages * cache.block_size
+    nkv, hd = cache.k.shape[-2], cache.k.shape[-1]
+    num_layers = cache.k.shape[0]
+
+    k_pref = jnp.take(cache.k, prefix_page_ids, axis=1)   # [L, P, bs, nkv, hd]
+    v_pref = jnp.take(cache.v, prefix_page_ids, axis=1)
+    if cache.quantized:
+        ks = jnp.take(cache.k_scale, prefix_page_ids, axis=1)
+        vs = jnp.take(cache.v_scale, prefix_page_ids, axis=1)
+        k_pref = k_pref.astype(jnp.float32) * ks[..., None]
+        v_pref = v_pref.astype(jnp.float32) * vs[..., None]
+    capacity = prefix_len + suffix_len
+    k0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
+    k0 = k0.at[:, 0, :prefix_len].set(
+        k_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
+    v0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
+    v0 = v0.at[:, 0, :prefix_len].set(
+        v_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
+    lm_cache = qwen2.KVCache(k=k0, v=v0, index=jnp.asarray(prefix_len, jnp.int32))
+    pos = (prefix_len + jnp.arange(suffix_len))[None]
+    h, new_cache = qwen2.forward(params, cfg, suffix_embeds.astype(compute_dtype),
+                                 pos, cache=lm_cache)
+    last = jnp.take_along_axis(
+        h, jnp.full((1, 1, 1), prompt_len - 1 - prefix_len, jnp.int32)
+        .repeat(h.shape[-1], -1), axis=1)
+    logits = qwen2.unembed(params, cfg, last[:, 0])
+    return new_cache.k[:, :, prefix_len:], new_cache.v[:, :, prefix_len:], logits
+
+
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))
 def paged_install_pages(cache: PagedKV, sub_k: jnp.ndarray, sub_v: jnp.ndarray,
                         page_ids: jnp.ndarray, cfg: Qwen2Config,

@@ -16,8 +16,10 @@ Round-2 scheduler semantics (true paging, not just a pooled allocator):
 
 from __future__ import annotations
 
+import hashlib
 from collections import deque
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +33,94 @@ from audio_flamingo_tpu.runtime.paged_cache import (
     init_paged,
     paged_decode_chunk,
     paged_install_pages,
+    paged_prefill_suffix,
 )
+
+
+def _block_keys(ids: np.ndarray, block: int, mels_digest: bytes | None,
+                first_audio: int | None) -> list[bytes]:
+    """Chained content hashes, one per FULL prompt block (vLLM-style prefix keys).
+
+    Blocks strictly before the first audio placeholder hash over token ids only, so
+    a shared text system prompt is shared between audio and text-only requests; any
+    block at/after it also folds in the mel digest (audio embeds are scattered over
+    placeholder positions, so identical ids with different audio differ from there on).
+    """
+    keys: list[bytes] = []
+    parent = b"af-prefix-v1"
+    for i in range(len(ids) // block):
+        h = hashlib.blake2b(parent, digest_size=16)
+        h.update(ids[i * block:(i + 1) * block].astype(np.int32).tobytes())
+        if mels_digest is not None and (first_audio is None
+                                        or (i + 1) * block > first_audio):
+            h.update(mels_digest)
+        parent = h.digest()
+        keys.append(parent)
+    return keys
+
+
+@dataclass
+class PrefixStore:
+    """Host-side registry of shareable prompt pages: block-hash -> physical page.
+
+    Pages registered here are OWNED by the store (not the allocator) until evicted;
+    active rows hold refcounts. Eviction (LRU over refcount-0 entries) returns pages
+    to the allocator only under pool pressure, so completed prefixes stay warm.
+    """
+
+    entries: dict = field(default_factory=dict)   # key -> [page, refcount, tick]
+    tick: int = 0
+    hits: int = 0
+    misses: int = 0
+
+    def longest_run(self, keys: list[bytes]) -> int:
+        n = 0
+        for k in keys:
+            if k not in self.entries:
+                break
+            n += 1
+        return n
+
+    def acquire(self, keys: list[bytes]) -> list[int]:
+        self.tick += 1
+        pages = []
+        for k in keys:
+            e = self.entries[k]
+            e[1] += 1
+            e[2] = self.tick
+            pages.append(e[0])
+        self.hits += len(keys)
+        return pages
+
+    def register(self, key: bytes, page: int) -> bool:
+        """Transfer ownership of `page` to the store with one reference held by the
+        caller. Returns False (caller keeps the page private) if the key exists."""
+        if key in self.entries:
+            return False
+        self.tick += 1
+        self.entries[key] = [page, 1, self.tick]
+        self.misses += 1
+        return True
+
+    def release(self, keys: list[bytes]) -> None:
+        for k in keys:
+            self.entries[k][1] -= 1
+
+    def evict(self, n: int) -> list[int]:
+        """Free up to n refcount-0 pages, least recently used first."""
+        victims = sorted((e[2], k) for k, e in self.entries.items() if e[1] == 0)[:n]
+        return [self.entries.pop(k)[0] for _, k in victims]
+
+
+@partial(jax.jit, static_argnames=("cfg", "start", "compute_dtype"))
+def _suffix_embeds(params, cfg, ids, mels, *, start: int, compute_dtype):
+    """Input embeddings for prompt tokens [start:] (prefix-cache suffix prefill).
+
+    mels=None when the audio placeholders (if any) lie wholly inside the reused
+    prefix — then this is a plain token-embedding gather and the encoder never runs."""
+    from audio_flamingo_tpu.models import af3
+
+    return af3.build_input_embeds(params, cfg, ids, mels, compute_dtype)[:, start:]
 
 
 @dataclass
@@ -48,6 +137,7 @@ class PagedEngine:
     compute_dtype: object = jnp.bfloat16
     seed: int = 0
     kv_dtype: object = None        # jnp.int8 -> int8 page pool (half the KV HBM)
+    prefix_cache: bool = False     # share full prompt blocks across requests
 
     def __post_init__(self):
         assert self.sampling.repetition_penalty == 1.0, \
@@ -56,6 +146,7 @@ class PagedEngine:
                                 self.block_size, self.max_blocks_per_seq,
                                 self.kv_dtype or self.compute_dtype)
         self.allocator = BlockAllocator(self.num_blocks, reserve=1)  # block 0 = trash page
+        self.store = PrefixStore() if self.prefix_cache else None
         # tables + lengths are HOST state (numpy), shipped to the device once per
         # decode chunk: device-side .at[].set updates compiled a fresh scatter for
         # every distinct page-grant count and cost a dispatch+sync per round
@@ -65,7 +156,8 @@ class PagedEngine:
         self.done = jnp.ones((self.num_rows,), bool)
         self.rng = jax.random.PRNGKey(self.seed)
         self.queue: deque[Request] = deque()
-        self.active: dict[int, tuple[Request, list[int]]] = {}
+        # row -> (request, private pages, held prefix-store keys)
+        self.active: dict[int, tuple[Request, list[int], list[bytes]]] = {}
         self.finished: dict[str, list[int]] = {}
 
     @property
@@ -74,6 +166,18 @@ class PagedEngine:
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
+
+    def _free_pages(self) -> int:
+        n = len(self.allocator.free)
+        if self.store is not None:
+            n += sum(1 for e in self.store.entries.values() if e[1] == 0)
+        return n
+
+    def _alloc(self, n: int) -> list[int]:
+        short = n - len(self.allocator.free)
+        if short > 0 and self.store is not None:
+            self.allocator.release(self.store.evict(short))
+        return self.allocator.alloc(n)
 
     def _admit(self) -> None:
         from audio_flamingo_tpu.runtime.generate import prefill
@@ -85,65 +189,128 @@ class PagedEngine:
             from audio_flamingo_tpu.train.data import bucket_tokens
 
             t = req.ids.shape[1]
-            bucket = min(max(bucket_tokens(t), self.block_size), self.capacity)
-            bucket = -(-bucket // self.block_size) * self.block_size
-            n_prompt = bucket // self.block_size
+            bs = self.block_size
+            bucket = min(max(bucket_tokens(t), bs), self.capacity)
+            bucket = -(-bucket // bs) * bs
+            n_prompt = bucket // bs
+
+            # prefix-cache lookup: longest run of known full prompt blocks, rounded
+            # DOWN to a power of two (bounds the (prefix, suffix) compile universe);
+            # >=1 real token must still prefill so last-token logits exist
+            keys: list[bytes] = []
+            audio_pos = np.empty((0,), np.int64)
+            n_hit = 0
+            if self.store is not None:
+                ids_np = np.asarray(req.ids[0])
+                audio_pos = np.nonzero(ids_np == self.cfg.audio_token_id)[0]
+                mels_digest = None
+                first_audio = None
+                if req.mels is not None:
+                    mels_digest = hashlib.blake2b(
+                        np.ascontiguousarray(req.mels).tobytes(),
+                        digest_size=16).digest()
+                    first_audio = int(audio_pos[0]) if audio_pos.size else None
+                keys = _block_keys(ids_np, bs, mels_digest, first_audio)
+                run = min(self.store.longest_run(keys), (t - 1) // bs)
+                n_hit = 1 << (run.bit_length() - 1) if run > 0 else 0
+
             # +1 page of headroom so the first decode chunk can start immediately
             headroom = 1 if n_prompt < self.max_blocks_per_seq else 0
-            if len(self.allocator.free) < n_prompt + headroom:
+            if self._free_pages() < n_prompt - n_hit + headroom:
                 return  # pool exhausted; wait for releases
             self.queue.popleft()
-            blocks = self.allocator.alloc(n_prompt)
+            held: list[bytes] = list(keys[:n_hit])
+            prefix_pages = self.store.acquire(held) if n_hit else []
+            blocks = self._alloc(n_prompt - n_hit)
             mels = jnp.asarray(req.mels) if req.mels is not None else None
             ids = jnp.asarray(req.ids)
-            prompt_len = None
             if bucket != t:
                 ids = jnp.concatenate(
                     [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
                     axis=1)
-                prompt_len = jnp.asarray(t, jnp.int32)
-            # prefill at the BUCKET capacity: pages beyond the prompt stay unmapped
-            sub_cache, logits = prefill(self.params, self.cfg, ids, mels,
-                                        bucket, self.compute_dtype,
-                                        prompt_len=prompt_len)
-            self.cache = paged_install_pages(
-                self.cache, sub_cache.k, sub_cache.v,
-                jnp.asarray(blocks, jnp.int32), self.cfg.lm,
-                compute_dtype=self.compute_dtype)
+
+            if n_hit:
+                start = n_hit * bs
+                # skip the ENCODER when every audio token sits inside the reused
+                # prefix (the chat case: same clip + growing history) — the whole
+                # audio tower's work rides in on the shared pages
+                mels_arg = mels if (audio_pos.size
+                                    and int(audio_pos[-1]) >= start) else None
+                emb = _suffix_embeds(self.params, self.cfg, ids, mels_arg,
+                                     start=start, compute_dtype=self.compute_dtype)
+                sub_k, sub_v, logits = paged_prefill_suffix(
+                    self.params["lm"], self.cfg.lm, self.cache,
+                    jnp.asarray(prefix_pages, jnp.int32), emb,
+                    jnp.asarray(t, jnp.int32), n_prefix_pages=n_hit,
+                    suffix_len=bucket - start, compute_dtype=self.compute_dtype)
+                self.cache = paged_install_pages(
+                    self.cache, sub_k, sub_v, jnp.asarray(blocks, jnp.int32),
+                    self.cfg.lm, compute_dtype=self.compute_dtype)
+            else:
+                prompt_len = jnp.asarray(t, jnp.int32) if bucket != t else None
+                # prefill at the BUCKET capacity: pages beyond the prompt stay unmapped
+                sub_cache, logits = prefill(self.params, self.cfg, ids, mels,
+                                            bucket, self.compute_dtype,
+                                            prompt_len=prompt_len)
+                self.cache = paged_install_pages(
+                    self.cache, sub_cache.k, sub_cache.v,
+                    jnp.asarray(blocks, jnp.int32), self.cfg.lm,
+                    compute_dtype=self.compute_dtype)
+            table_pages = prefix_pages + blocks
+
+            # register this prompt's own full blocks (never written by decode:
+            # writes land at positions >= t) so future prompts can share them
+            if self.store is not None:
+                for i in range(n_hit, t // bs):
+                    if self.store.register(keys[i], table_pages[i]):
+                        blocks.remove(table_pages[i])
+                        held.append(keys[i])
+
             self.tables_np[row] = -1
-            self.tables_np[row, :n_prompt] = blocks
-            self.lengths_np[row] = req.ids.shape[1]
+            self.tables_np[row, :n_prompt] = table_pages
+            self.lengths_np[row] = t
             self.rng, k = jax.random.split(self.rng)
             first = sample_token(k, logits, self.sampling)[0]
             req.tokens.append(int(first))
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
                 self.allocator.release(blocks)
+                if self.store is not None and held:
+                    self.store.release(held)
+                self.tables_np[row] = -1
                 continue
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
-            self.active[row] = (req, blocks)
+            self.active[row] = (req, blocks, held)
 
     def _grow_pages(self) -> list[int]:
         """Top up every active row with pages covering the next chunk (host-side
         numpy table edits only). Returns rows that could NOT grow (pool exhausted)."""
         starved: list[int] = []
-        for row, (req, blocks) in self.active.items():
+        for row, (req, blocks, held) in self.active.items():
             needed = -(-(int(self.lengths_np[row]) + self.chunk + 1) // self.block_size)
             needed = min(needed, self.max_blocks_per_seq)
-            while len(blocks) < needed and self.allocator.free:
+            mapped = int((self.tables_np[row] >= 0).sum())
+            while mapped < needed:
+                if not self.allocator.free and self.store is not None:
+                    self.allocator.release(self.store.evict(1))
+                if not self.allocator.free:
+                    break
                 nb = self.allocator.alloc(1)[0]
-                self.tables_np[row, len(blocks)] = nb
+                self.tables_np[row, mapped] = nb
                 blocks.append(nb)
-            if len(blocks) < needed:
+                mapped += 1
+            if mapped < needed:
                 starved.append(row)
         return starved
 
     def _finish_row(self, row: int) -> None:
-        req, blocks = self.active.pop(row)
+        req, blocks, held = self.active.pop(row)
         req.done = True
         self.finished[req.request_id] = req.tokens
         self.allocator.release(blocks)
+        if self.store is not None and held:
+            self.store.release(held)
         self.done = self.done.at[row].set(True)
         # point the dead row at the trash page so any residual in-chunk writes
         # cannot touch re-allocated blocks
@@ -165,7 +332,7 @@ class PagedEngine:
         out = np.asarray(out)
         done = np.asarray(self.done)
         self.lengths_np = np.asarray(self.cache.lengths).copy()
-        for row, (req, blocks) in list(self.active.items()):
+        for row, (req, blocks, held) in list(self.active.items()):
             budget = req.max_new_tokens - len(req.tokens)
             emitted = [int(t) for t in out[row][:budget]]
             if self.eos_token_id in emitted:

@@ -254,9 +254,71 @@ def bench_engines_mixed() -> dict:
         max_blocks_per_seq=32, chunk=16,
         eos_token_id=151_645, sampling=SamplingParams(greedy=True)))
     log(f"bench_engines_mixed: paged {paged_tps:.1f} tok/s ({n2} tok / {t2:.1f} s)")
+    log("bench_engines_mixed: paged engine, int8 page pool (half the KV HBM)...")
+    q8_tps, n3, t3 = run(lambda: PagedEngine(
+        params=params, cfg=cfg, num_rows=4, num_blocks=88, block_size=128,
+        max_blocks_per_seq=32, chunk=16, kv_dtype=jnp.int8,
+        eos_token_id=151_645, sampling=SamplingParams(greedy=True)))
+    log(f"bench_engines_mixed: paged-q8 {q8_tps:.1f} tok/s ({n3} tok / {t3:.1f} s)")
     return {"slot_tps_mixed": round(slot_tps, 1),
             "paged_tps_mixed": round(paged_tps, 1),
-            "paged_vs_slot": round(paged_tps / slot_tps, 3)}
+            "paged_vs_slot": round(paged_tps / slot_tps, 3),
+            "paged_q8_tps_mixed": round(q8_tps, 1),
+            "paged_q8_vs_slot": round(q8_tps / slot_tps, 3)}
+
+
+def bench_prefix_cache() -> dict:
+    """Prefix-cache TTFT: cold vs warm admit of a 3.8k text prompt (7B int8).
+
+    Pool/engine geometry matches bench_engines_mixed so the cold-path executables
+    are reused from the jit cache; the warm path adds only the suffix-prefill
+    compile. Warm admits reuse 2048 prompt tokens (16 shared pages, the
+    power-of-two hit bucket below 3800) — prefill work drops roughly in half and
+    with audio prompts the whole encoder ride would be skipped too.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    lm_cfg = Qwen2Config.qwen25_7b()
+    cfg = AF3Config(lm=lm_cfg)
+    log("bench_prefix_cache: init 7B int8 params...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+    params = {"lm": lm_p}
+
+    eng = PagedEngine(params=params, cfg=cfg, num_rows=4, num_blocks=88,
+                      block_size=128, max_blocks_per_seq=32, chunk=16,
+                      eos_token_id=151_645, sampling=SamplingParams(greedy=True),
+                      prefix_cache=True)
+    rng = np.random.default_rng(0)
+
+    def admit_time(ids):
+        eng.submit(Request(request_id=f"p{rng.integers(1 << 30)}",
+                           ids=ids, max_new_tokens=4))
+        t0 = time.perf_counter()
+        eng._admit()
+        dt = time.perf_counter() - t0
+        eng.run_until_done()
+        return dt
+
+    prompts = [rng.integers(0, 150_000, (1, 3800)).astype(np.int32) for _ in range(3)]
+    log("bench_prefix_cache: compiling cold + warm paths...")
+    admit_time(prompts[0])          # cold compile
+    admit_time(prompts[0])          # warm compile (suffix prefill)
+    cold = admit_time(prompts[1])   # measured cold (fresh prompt, compiled)
+    admit_time(prompts[2])
+    warm = admit_time(prompts[2])   # measured warm (shared prefix, compiled)
+    log(f"bench_prefix_cache: cold {cold*1e3:.0f} ms, warm {warm*1e3:.0f} ms "
+        f"({cold/warm:.2f}x)")
+    return {"prefix_ttft_cold_s": round(cold, 3),
+            "prefix_ttft_warm_s": round(warm, 3),
+            "prefix_ttft_speedup": round(cold / warm, 2)}
 
 
 def bench_spec_engine() -> dict:
@@ -426,6 +488,7 @@ def main():
     matrix = _safe(bench_decode_matrix, {})
     engines = _safe(bench_engines_mixed, {})
     spec = _safe(bench_spec_engine, {})
+    prefix = _safe(bench_prefix_cache, {})
     rtfx = enc["encode_rtfx_10min"]
     line = {
         "metric": "encode_rtfx_10min",
@@ -441,6 +504,7 @@ def main():
             "decode_matrix_int8kv_tps": matrix,
             **engines,
             **spec,
+            **prefix,
         },
     }
     print(json.dumps(line))
