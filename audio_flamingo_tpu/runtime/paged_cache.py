@@ -249,6 +249,24 @@ def paged_install_prefill(cache: PagedKV, row: jnp.ndarray, sub_k: jnp.ndarray,
     return PagedKV(k_new, v_new, tables, lengths)
 
 
+@partial(jax.jit, donate_argnames=("cache",))
+def paged_restore_pages(cache: PagedKV, k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                        ks_pages: jnp.ndarray | None, vs_pages: jnp.ndarray | None,
+                        page_ids: jnp.ndarray) -> PagedKV:
+    """Write host-swapped pages back into the pool (preemption resume).
+
+    page_ids may be padded with 0 (the trash page) to bound the compile universe —
+    duplicate scatter indices all land on the trash block, which is never read."""
+    k_new = cache.k.at[:, page_ids].set(k_pages.astype(cache.k.dtype))
+    v_new = cache.v.at[:, page_ids].set(v_pages.astype(cache.v.dtype))
+    ksc_new, vsc_new = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        ksc_new = cache.k_scale.at[:, page_ids].set(ks_pages)
+        vsc_new = cache.v_scale.at[:, page_ids].set(vs_pages)
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths,
+                   ksc_new, vsc_new)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_prefix_pages", "suffix_len",
                                    "compute_dtype"))
 def paged_prefill_suffix(params, cfg: Qwen2Config, cache: PagedKV,
@@ -287,8 +305,10 @@ def paged_prefill_suffix(params, cfg: Qwen2Config, cache: PagedKV,
         v_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
     lm_cache = qwen2.KVCache(k=k0, v=v0, index=jnp.asarray(prefix_len, jnp.int32))
     pos = (prefix_len + jnp.arange(suffix_len))[None]
+    # an empty prefix IS a fresh prefill (cache.index == 0) -> flash fast path ok
     h, new_cache = qwen2.forward(params, cfg, suffix_embeds.astype(compute_dtype),
-                                 pos, cache=lm_cache)
+                                 pos, cache=lm_cache,
+                                 is_prefill=(n_prefix_pages == 0))
     last = jnp.take_along_axis(
         h, jnp.full((1, 1, 1), prompt_len - 1 - prefix_len, jnp.int32)
         .repeat(h.shape[-1], -1), axis=1)

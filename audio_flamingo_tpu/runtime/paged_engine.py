@@ -10,8 +10,12 @@ Round-2 scheduler semantics (true paging, not just a pooled allocator):
   capacity (not the per-row worst case) — short prompts cost short prefills;
 - rows GROW lazily: before each decode chunk, every active row is topped up with just
   enough pages to cover the next chunk (one batched block-table update per chunk);
-- if the pool is exhausted a growing row is finished early with what it has (documented
-  eviction policy; preemption/swap is out of scope at this pool scale).
+- pool exhaustion PREEMPTS a starved row (KV pages swap to the host, the request
+  requeues at the front and resumes into fresh pages later — vLLM swap semantics);
+  a lone row in an exhausted pool finishes early as the last resort.
+
+Also here: automatic prefix caching (PrefixStore, shared read-only prompt pages) and
+Sarathi-style chunked prefill — see docs/SERVING.md for the architecture writeup.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ from audio_flamingo_tpu.runtime.paged_cache import (
     paged_decode_chunk,
     paged_install_pages,
     paged_prefill_suffix,
+    paged_restore_pages,
 )
 
 
@@ -138,10 +143,20 @@ class PagedEngine:
     seed: int = 0
     kv_dtype: object = None        # jnp.int8 -> int8 page pool (half the KV HBM)
     prefix_cache: bool = False     # share full prompt blocks across requests
+    prefill_chunk: int = 0         # >0: chunk long prefills (tokens, multiple of
+    #                                block_size) so decode rounds interleave with
+    #                                them (Sarathi-style tail-latency control)
+    preempt: bool = True           # pool pressure: swap a row's KV to the host and
+    #                                resume later instead of truncating its output
 
     def __post_init__(self):
         assert self.sampling.repetition_penalty == 1.0, \
             "engines do not support repetition_penalty; use runtime.generate"
+        assert self.prefill_chunk % self.block_size == 0, \
+            "prefill_chunk must be a multiple of block_size"
+        self.prefilling: dict | None = None   # at most one chunked prefill in flight
+        self.swapped: dict[str, dict] = {}    # request_id -> host-side KV pages
+        self.preemptions = 0
         self.cache = init_paged(self.cfg.lm, self.num_rows, self.num_blocks,
                                 self.block_size, self.max_blocks_per_seq,
                                 self.kv_dtype or self.compute_dtype)
@@ -185,7 +200,13 @@ class PagedEngine:
         for row in range(self.num_rows):
             if row in self.active or not self.queue:
                 continue
+            if self.prefilling is not None and self.prefilling["row"] == row:
+                continue
             req = self.queue[0]
+            if req.request_id in self.swapped:
+                if not self._resume_row(req, row):
+                    return  # not enough pages yet to bring the KV back
+                continue
             from audio_flamingo_tpu.train.data import bucket_tokens
 
             t = req.ids.shape[1]
@@ -213,6 +234,16 @@ class PagedEngine:
                 keys = _block_keys(ids_np, bs, mels_digest, first_audio)
                 run = min(self.store.longest_run(keys), (t - 1) // bs)
                 n_hit = 1 << (run.bit_length() - 1) if run > 0 else 0
+
+            start0 = n_hit * bs
+            if self.prefill_chunk and bucket - start0 > self.prefill_chunk:
+                # one chunked prefill at a time; a failed start (pool short)
+                # also stops admission so FIFO order holds
+                if (self.prefilling is not None
+                        or not self._start_chunked_prefill(req, row, t, bucket,
+                                                           n_hit, keys, audio_pos)):
+                    return
+                continue
 
             # +1 page of headroom so the first decode chunk can start immediately
             headroom = 1 if n_prompt < self.max_blocks_per_seq else 0
@@ -283,6 +314,162 @@ class PagedEngine:
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks, held)
 
+    def _preempt_row(self, row: int) -> None:
+        """Swap a starved row's KV pages to the host and requeue it at the FRONT
+        (vLLM-style preemption: pool pressure defers the request, never truncates
+        it). One device sync per preemption — scheduling-path cost, not decode."""
+        req, blocks, held = self.active.pop(row)
+        bs = self.block_size
+        n_tok = int(self.lengths_np[row])
+        n_pages = -(-n_tok // bs)
+        # power-of-two padded gather (pad reads the trash page) — one compiled
+        # gather per page bucket, mirroring paged_restore_pages
+        p2 = 1 << max(0, (n_pages - 1).bit_length())
+        ids = np.zeros((p2,), np.int32)
+        ids[:n_pages] = self.tables_np[row, :n_pages]
+        ids_j = jnp.asarray(ids)
+
+        def fetch(pool):
+            return np.asarray(jnp.take(pool, ids_j, axis=1))[:, :n_pages]
+
+        sw = dict(n_tok=n_tok, last=int(np.asarray(self.tokens)[row]),
+                  k=fetch(self.cache.k), v=fetch(self.cache.v), ks=None, vs=None)
+        if self.cache.quantized:
+            sw["ks"] = fetch(self.cache.k_scale)
+            sw["vs"] = fetch(self.cache.v_scale)
+        self.swapped[req.request_id] = sw
+        self.preemptions += 1
+        self.allocator.release(blocks)
+        if self.store is not None and held:
+            self.store.release(held)
+        self.done = self.done.at[row].set(True)
+        self.tables_np[row] = -1
+        self.lengths_np[row] = 0
+        self.queue.appendleft(req)
+
+    def _resume_row(self, req: Request, row: int) -> bool:
+        """Install a swapped request's KV into fresh pages and reactivate it."""
+        sw = self.swapped[req.request_id]
+        bs = self.block_size
+        n_pages = -(-sw["n_tok"] // bs)
+        if self._free_pages() < n_pages + 1:
+            return False
+        self.queue.popleft()
+        del self.swapped[req.request_id]
+        blocks = self._alloc(n_pages)
+        # pad the page count to a power of two (one compiled restore per bucket);
+        # pad slots scatter into the trash page
+        p2 = 1 << max(0, (n_pages - 1).bit_length())
+        ids = np.zeros((p2,), np.int32)
+        ids[:n_pages] = blocks
+
+        def pad(a):
+            out = np.zeros((a.shape[0], p2) + a.shape[2:], a.dtype)
+            out[:, :n_pages] = a
+            return jnp.asarray(out)
+
+        self.cache = paged_restore_pages(
+            self.cache, pad(sw["k"]), pad(sw["v"]),
+            None if sw["ks"] is None else pad(sw["ks"]),
+            None if sw["vs"] is None else pad(sw["vs"]),
+            jnp.asarray(ids))
+        self.tables_np[row] = -1
+        self.tables_np[row, :n_pages] = blocks
+        self.lengths_np[row] = sw["n_tok"]
+        self.tokens = self.tokens.at[row].set(sw["last"])
+        self.done = self.done.at[row].set(False)
+        self.active[row] = (req, blocks, [])
+        return True
+
+    def _start_chunked_prefill(self, req: Request, row: int, t: int, bucket: int,
+                               n_hit: int, keys: list[bytes],
+                               audio_pos: np.ndarray) -> bool:
+        """Reserve a row + pages and compute embeddings for a chunked prefill.
+
+        The encoder (if any) runs ONCE here; the LM prefill is then fed chunk by
+        chunk from `_prefill_step`, one chunk per engine round, so active rows keep
+        decoding in between (Sarathi-style stall control). Returns False when the
+        pool cannot hold the prompt's pages yet."""
+        bs = self.block_size
+        start0 = n_hit * bs
+        # cover the TRUE prompt only (pure-pad chunks are never prefilled)
+        n_chunks = -(-(t - start0) // self.prefill_chunk)
+        ce = min(start0 + n_chunks * self.prefill_chunk, bucket)
+        headroom = 1 if ce // bs < self.max_blocks_per_seq else 0
+        if self._free_pages() < (ce - start0) // bs + headroom:
+            return False
+        self.queue.popleft()
+        held = list(keys[:n_hit])
+        prefix_pages = self.store.acquire(held) if n_hit else []
+        own = self._alloc((ce - start0) // bs)
+        ids = jnp.asarray(req.ids)
+        if bucket != t:
+            ids = jnp.concatenate(
+                [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
+                axis=1)
+        mels = jnp.asarray(req.mels) if req.mels is not None else None
+        mels_arg = mels if (req.mels is not None
+                            and (n_hit == 0 or (audio_pos.size
+                                                and int(audio_pos[-1]) >= start0))) \
+            else None
+        emb = _suffix_embeds(self.params, self.cfg, ids, mels_arg, start=0,
+                             compute_dtype=self.compute_dtype)
+        self.prefilling = dict(req=req, row=row, t=t, bucket=bucket, n_hit=n_hit,
+                               keys=keys, held=held, prefix_pages=prefix_pages,
+                               own=own, emb=emb, done=start0, ce=ce)
+        return True
+
+    def _prefill_step(self) -> None:
+        """Advance the in-flight chunked prefill by ONE chunk (then return to the
+        decode loop). The chunk runs as a suffix prefill against the request's own
+        already-filled pages (+ any shared prefix pages)."""
+        st = self.prefilling
+        if st is None:
+            return
+        bs = self.block_size
+        start, ce = st["done"], st["ce"]
+        end = min(start + self.prefill_chunk, ce)
+        table_pages = st["prefix_pages"] + st["own"]
+        n_pref = start // bs
+        plen = st["t"] if end >= st["t"] else end
+        sub_k, sub_v, logits = paged_prefill_suffix(
+            self.params["lm"], self.cfg.lm, self.cache,
+            jnp.asarray(table_pages[:n_pref], jnp.int32), st["emb"][:, start:end],
+            jnp.asarray(plen, jnp.int32), n_prefix_pages=n_pref,
+            suffix_len=end - start, compute_dtype=self.compute_dtype)
+        self.cache = paged_install_pages(
+            self.cache, sub_k, sub_v,
+            jnp.asarray(table_pages[n_pref: end // bs], jnp.int32),
+            self.cfg.lm, compute_dtype=self.compute_dtype)
+        st["done"] = end
+        if end < st["t"]:
+            return
+        # final chunk: register shareable blocks, sample the first token, activate
+        row, req, t = st["row"], st["req"], st["t"]
+        blocks, held, keys = st["own"], st["held"], st["keys"]
+        self.prefilling = None
+        if self.store is not None:
+            for i in range(st["n_hit"], t // bs):
+                if self.store.register(keys[i], table_pages[i]):
+                    blocks.remove(table_pages[i])
+                    held.append(keys[i])
+        self.tables_np[row] = -1
+        self.tables_np[row, :len(table_pages)] = table_pages
+        self.lengths_np[row] = t
+        self.rng, k = jax.random.split(self.rng)
+        first = sample_token(k, logits, self.sampling)[0]
+        req.tokens.append(int(first))
+        if int(first) == self.eos_token_id:
+            self.finished[req.request_id] = req.tokens
+            self.allocator.release(blocks)
+            if self.store is not None and held:
+                self.store.release(held)
+            self.tables_np[row] = -1
+            return
+        self.tokens = self.tokens.at[row].set(first)
+        self.done = self.done.at[row].set(False)
+        self.active[row] = (req, blocks, held)
+
     def _grow_pages(self) -> list[int]:
         """Top up every active row with pages covering the next chunk (host-side
         numpy table edits only). Returns rows that could NOT grow (pool exhausted)."""
@@ -319,8 +506,15 @@ class PagedEngine:
 
     def step(self) -> None:
         self._admit()
-        for row in self._grow_pages():  # eviction policy: starved rows finish early
-            self._finish_row(row)
+        self._prefill_step()            # one chunk, then back to decoding
+        starved = self._grow_pages()
+        while starved and self.preempt and len(self.active) > 1:
+            # swap one starved row out; its freed pages may unblock the rest
+            # (re-check), and it resumes from the queue front later
+            self._preempt_row(starved[-1])
+            starved = self._grow_pages()
+        for row in starved:             # last resort (lone row in an exhausted
+            self._finish_row(row)       # pool): finish early with what it has
         if not self.active:
             return
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
@@ -344,7 +538,8 @@ class PagedEngine:
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
         rounds = 0
-        while (self.queue or self.active) and rounds < max_rounds:
+        while ((self.queue or self.active or self.prefilling is not None)
+               and rounds < max_rounds):
             self.step()
             rounds += 1
         return self.finished

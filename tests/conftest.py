@@ -25,15 +25,42 @@ import resource  # noqa: E402
 import sys  # noqa: E402
 
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-_want = 512 << 20
+_want = 2 << 30
 if _soft != resource.RLIM_INFINITY and _soft < _want:
     _cap = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
     resource.setrlimit(resource.RLIMIT_STACK, (_cap, _hard))
-    if (os.environ.get("_AF_STACK_REEXEC") != "1"
-            and "pytest" in os.path.basename(sys.argv[0])):
+    # argv[0] is .../bin/pytest (direct) or .../pytest/__main__.py (python -m)
+    if os.environ.get("_AF_STACK_REEXEC") != "1" and "pytest" in sys.argv[0]:
         os.environ["_AF_STACK_REEXEC"] = "1"
+        # pytest's global capture has already pointed fds 1/2 at its (deleted)
+        # tempfiles by the time conftests import — suspend it so the re-exec'd
+        # process inherits the REAL stdout/stderr
+        try:
+            import gc
+
+            from _pytest.capture import CaptureManager
+
+            for _obj in gc.get_objects():
+                if isinstance(_obj, CaptureManager):
+                    _obj.suspend_global_capture(in_=True)
+                    break
+        except Exception:
+            pass
         os.execv(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]])
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA:CPU intermittently segfaults inside LLVM on
+# the suite's heaviest programs after ~100 in-process compiles (native fault, not
+# reproducible in isolation). Caching compiled executables on disk makes repeat
+# runs skip those compiles entirely — the first (populating) run carries the
+# residual risk, every later run is fast and stable.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without these flags: cache is an optimization only
+    pass
