@@ -62,6 +62,62 @@ def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
     return jnp.where(seen, penalized, logits)
 
 
+class RowSampling(NamedTuple):
+    """Per-row sampling parameters (TRACED arrays, one compiled program for any mix
+    of greedy/temperature/top-k/top-p across a batch — the serving engines' per-
+    request sampling). Build with `row_sampling`."""
+
+    temperature: jnp.ndarray    # [B] f32
+    top_k: jnp.ndarray          # [B] i32, 0 = off
+    top_p: jnp.ndarray          # [B] f32, 1.0 = off
+    greedy: jnp.ndarray         # [B] bool
+
+
+def row_sampling(params_per_row: "list[SamplingParams]") -> RowSampling:
+    import numpy as np
+
+    return RowSampling(
+        jnp.asarray(np.array([p.temperature for p in params_per_row], np.float32)),
+        jnp.asarray(np.array([p.top_k for p in params_per_row], np.int32)),
+        jnp.asarray(np.array([p.top_p for p in params_per_row], np.float32)),
+        jnp.asarray(np.array([p.greedy for p in params_per_row], bool)))
+
+
+def apply_top_k_rows(logits: jnp.ndarray, ks: jnp.ndarray) -> jnp.ndarray:
+    """Per-row top-k ([B] int32 k values; 0/negative = off)."""
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    k_eff = jnp.clip(jnp.where(ks <= 0, v, ks), 1, v)
+    thresh = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_top_p_rows(logits: jnp.ndarray, ps: jnp.ndarray) -> jnp.ndarray:
+    """Per-row nucleus filtering ([B] f32 p values; 1.0 = off), HF keep-the-
+    crossing-token semantics as apply_top_p."""
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = cum - probs < ps[:, None]
+    kth = jnp.maximum(jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
+    thresh = jnp.take_along_axis(sorted_desc, kth - 1, axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def sample_token_rows(rng: jax.Array, logits: jnp.ndarray,
+                      rows: RowSampling) -> jnp.ndarray:
+    """[B, vocab] fp32 logits -> [B] int32, each row under its own parameters.
+
+    Greedy rows are exact argmax (independent of the rng); sampled rows follow the
+    same processor order as sample_token (temperature -> top-k -> top-p)."""
+    lg = logits / jnp.maximum(rows.temperature, 1e-6)[:, None]
+    lg = apply_top_k_rows(lg, rows.top_k)
+    lg = apply_top_p_rows(lg, rows.top_p)
+    sampled = jax.random.categorical(rng, lg, axis=-1)
+    return jnp.where(rows.greedy, jnp.argmax(logits, axis=-1),
+                     sampled).astype(jnp.int32)
+
+
 def sample_token(rng: jax.Array, logits: jnp.ndarray, params: SamplingParams,
                  token_history: jnp.ndarray | None = None) -> jnp.ndarray:
     """[B, vocab] fp32 logits -> [B] int32 token ids.

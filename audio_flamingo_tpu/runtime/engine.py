@@ -25,7 +25,9 @@ import numpy as np
 from audio_flamingo_tpu.config import AF3Config
 from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import rms_norm, rope_cos_sin
-from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
+from audio_flamingo_tpu.ops.sampling import (RowSampling, SamplingParams,
+                                             row_sampling, sample_token,
+                                             sample_token_rows)
 
 
 class SlotCache(NamedTuple):
@@ -93,13 +95,16 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
     return x, SlotCache(nk, nv, cache.lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "sampling", "eos_token_id",
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                              "compute_dtype"),
                    donate_argnames=("cache",))
 def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
-                 *, chunk: int, sampling: SamplingParams, eos_token_id: int,
+                 rows: RowSampling, *, chunk: int, eos_token_id: int,
                  compute_dtype=jnp.bfloat16):
-    """Advance all slots `chunk` steps. Returns (cache, tokens, done, rng, out [B, chunk])."""
+    """Advance all slots `chunk` steps. Returns (cache, tokens, done, rng, out [B, chunk]).
+
+    rows: PER-ROW sampling parameters (traced arrays — one compiled program for
+    any mix of greedy/temperature/top-k/top-p across the active requests)."""
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
 
@@ -109,7 +114,7 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
         h, cache2 = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
         logits = qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
         rng, k = jax.random.split(rng)
-        nxt = sample_token(k, logits, sampling)
+        nxt = sample_token_rows(k, logits, rows)
         nxt = jnp.where(done, eos_token_id, nxt)
         new_lengths = cache.lengths + jnp.where(done, 0, 1)
         cache2 = SlotCache(cache2.k, cache2.v, new_lengths)
@@ -263,6 +268,7 @@ class Request:
     ids: np.ndarray                   # [1, T]
     mels: np.ndarray | None = None
     max_new_tokens: int = 128
+    sampling: SamplingParams | None = None   # None -> the engine's default
     tokens: list = field(default_factory=list)
     done: bool = False
 
@@ -304,6 +310,8 @@ class BatchEngine:
         self.queue: deque[Request] = deque()
         self.active: dict[int, Request] = {}
         self.finished: dict[str, list[int]] = {}
+        self.row_params: list[SamplingParams] = [self.sampling] * self.num_slots
+        self.rows = row_sampling(self.row_params)
         self.d_cache = None
         if self.draft_params is not None:
             assert self.draft_cfg is not None
@@ -315,6 +323,11 @@ class BatchEngine:
                 and self.sampling.repetition_penalty == 1.0)
 
     def submit(self, req: Request) -> None:
+        if req.sampling is not None:
+            assert req.sampling.repetition_penalty == 1.0, \
+                "engines do not support repetition_penalty; use runtime.generate"
+            assert not self._speculating() or req.sampling.greedy, \
+                "the speculative engine path is greedy-only"
         self.queue.append(req)
 
     def _fill_slots(self) -> None:
@@ -322,6 +335,7 @@ class BatchEngine:
             if slot in self.active or not self.queue:
                 continue
             req = self.queue.popleft()
+            req_sampling = req.sampling or self.sampling
             mels = jnp.asarray(req.mels) if req.mels is not None else None
             from audio_flamingo_tpu.train.data import bucket_tokens
 
@@ -339,13 +353,15 @@ class BatchEngine:
                 slot_capacity=self.capacity, compute_dtype=self.compute_dtype,
                 prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
-            first = sample_token(k, logits[None], self.sampling)[0]
+            first = sample_token(k, logits[None], req_sampling)[0]
             req.tokens.append(int(first))
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 continue
+            self.row_params[slot] = req_sampling
+            self.rows = row_sampling(self.row_params)
             if self._speculating():
                 self.d_cache = draft_prefill_into_slot(
                     self.draft_params, self.draft_cfg, self.d_cache, slot, ids,
@@ -376,7 +392,7 @@ class BatchEngine:
         else:
             self.cache, self.tokens, self.done, self.rng, out = decode_chunk(
                 self.params, self.cfg, self.cache, self.tokens, self.done, self.rng,
-                chunk=self.chunk, sampling=self.sampling,
+                self.rows, chunk=self.chunk,
                 eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
             out = np.asarray(out)
             row_tokens = [out[s].tolist() for s in range(self.num_slots)]

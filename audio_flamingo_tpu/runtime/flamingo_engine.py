@@ -29,7 +29,8 @@ from audio_flamingo_tpu.models import opt as opt_mod
 from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops import xattn as xattn_op
-from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, row_sampling,
+                                             sample_token, sample_token_rows)
 from audio_flamingo_tpu.runtime.engine import Request, SlotCache, init_slot_cache
 
 
@@ -116,11 +117,11 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
     return x, SlotCache(jnp.stack(new_k), jnp.stack(new_v), cache.lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "sampling", "eos_token_id",
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                              "compute_dtype"),
                    donate_argnames=("cache",))
 def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, done,
-                       rng, *, chunk: int, sampling: SamplingParams,
+                       rng, rows, *, chunk: int,
                        eos_token_id: int, compute_dtype=jnp.float32):
     """Advance all slots `chunk` steps (one host sync). media [B, S, d] per slot."""
     b = tokens.shape[0]
@@ -132,7 +133,7 @@ def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, 
         h, cache2 = _rows_forward_xattn(params, cfg, x, cache.lengths, cache, media)
         logits = flamingo._unembed(params, cfg, h[:, 0])
         rng, k = jax.random.split(rng)
-        nxt = sample_token(k, logits, sampling)
+        nxt = sample_token_rows(k, logits, rows)
         nxt = jnp.where(done, eos_token_id, nxt)
         cache2 = SlotCache(cache2.k, cache2.v,
                            cache.lengths + jnp.where(done, 0, 1))
@@ -192,6 +193,8 @@ class FlamingoEngine:
     windows_per_media: int = 1
 
     def __post_init__(self):
+        self.row_params = [self.sampling] * self.num_slots
+        self.rows = row_sampling(self.row_params)
         assert self.sampling.repetition_penalty == 1.0, \
             "engines do not support repetition_penalty; use runtime.generate"
         lcfg = self.cfg.lm
@@ -252,13 +255,16 @@ class FlamingoEngine:
                 slot_capacity=self.capacity, compute_dtype=self.compute_dtype,
                 prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
-            first = sample_token(k, logits[None], self.sampling)[0]
+            req_sampling = req.sampling or self.sampling
+            first = sample_token(k, logits[None], req_sampling)[0]
             req.tokens.append(int(first))
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 continue
+            self.row_params[slot] = req_sampling
+            self.rows = row_sampling(self.row_params)
             self.tokens = self.tokens.at[slot].set(first)
             self.done = self.done.at[slot].set(False)
             self.active[slot] = req
@@ -269,7 +275,7 @@ class FlamingoEngine:
             return
         self.cache, self.tokens, self.done, self.rng, out = decode_chunk_xattn(
             self.params, self.cfg, self.cache, self.media, self.tokens, self.done,
-            self.rng, chunk=self.chunk, sampling=self.sampling,
+            self.rng, self.rows, chunk=self.chunk,
             eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
         out = np.asarray(out)
         done = np.asarray(self.done)

@@ -193,13 +193,16 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
                    ksc_new, vsc_new), logits
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "sampling", "eos_token_id",
+@partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                    "compute_dtype"), donate_argnames=("cache",))
-def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, rng, *,
-                       chunk: int, sampling, eos_token_id: int,
+def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, rng,
+                       rows, *, chunk: int, eos_token_id: int,
                        compute_dtype=jnp.bfloat16):
-    """Advance all rows `chunk` steps through their pages (one host sync per chunk)."""
-    from audio_flamingo_tpu.ops.sampling import sample_token
+    """Advance all rows `chunk` steps through their pages (one host sync per chunk).
+
+    rows: ops.sampling.RowSampling — PER-ROW sampling parameters as traced arrays
+    (per-request sampling with a single compiled program)."""
+    from audio_flamingo_tpu.ops.sampling import sample_token_rows
 
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
@@ -208,7 +211,7 @@ def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, r
         cache, tok, done, rng, out = carry
         cache2, logits = paged_decode_step(params, cfg, cache, tok, compute_dtype)
         rng, kk = jax.random.split(rng)
-        nxt = sample_token(kk, logits, sampling)
+        nxt = sample_token_rows(kk, logits, rows)
         nxt = jnp.where(done, eos_token_id, nxt)
         # rows that are done must not advance their length (paged_decode_step adds 1)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_flamingo_tpu.config import AF3Config
-from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, row_sampling,
+                                             sample_token)
 from audio_flamingo_tpu.runtime.engine import Request
 from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
@@ -174,12 +175,17 @@ class PagedEngine:
         # row -> (request, private pages, held prefix-store keys)
         self.active: dict[int, tuple[Request, list[int], list[bytes]]] = {}
         self.finished: dict[str, list[int]] = {}
+        self.row_params: list[SamplingParams] = [self.sampling] * self.num_rows
+        self.rows = row_sampling(self.row_params)
 
     @property
     def capacity(self) -> int:
         return self.max_blocks_per_seq * self.block_size
 
     def submit(self, req: Request) -> None:
+        if req.sampling is not None:
+            assert req.sampling.repetition_penalty == 1.0, \
+                "engines do not support repetition_penalty; use runtime.generate"
         self.queue.append(req)
 
     def _free_pages(self) -> int:
@@ -301,7 +307,8 @@ class PagedEngine:
             self.tables_np[row, :n_prompt] = table_pages
             self.lengths_np[row] = t
             self.rng, k = jax.random.split(self.rng)
-            first = sample_token(k, logits, self.sampling)[0]
+            req_sampling = req.sampling or self.sampling
+            first = sample_token(k, logits, req_sampling)[0]
             req.tokens.append(int(first))
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
@@ -310,6 +317,8 @@ class PagedEngine:
                     self.store.release(held)
                 self.tables_np[row] = -1
                 continue
+            self.row_params[row] = req_sampling
+            self.rows = row_sampling(self.row_params)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks, held)
@@ -376,6 +385,8 @@ class PagedEngine:
         self.tables_np[row] = -1
         self.tables_np[row, :n_pages] = blocks
         self.lengths_np[row] = sw["n_tok"]
+        self.row_params[row] = req.sampling or self.sampling
+        self.rows = row_sampling(self.row_params)
         self.tokens = self.tokens.at[row].set(sw["last"])
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, [])
@@ -457,7 +468,8 @@ class PagedEngine:
         self.tables_np[row, :len(table_pages)] = table_pages
         self.lengths_np[row] = t
         self.rng, k = jax.random.split(self.rng)
-        first = sample_token(k, logits, self.sampling)[0]
+        req_sampling = req.sampling or self.sampling
+        first = sample_token(k, logits, req_sampling)[0]
         req.tokens.append(int(first))
         if int(first) == self.eos_token_id:
             self.finished[req.request_id] = req.tokens
@@ -466,6 +478,8 @@ class PagedEngine:
                 self.store.release(held)
             self.tables_np[row] = -1
             return
+        self.row_params[row] = req_sampling
+        self.rows = row_sampling(self.row_params)
         self.tokens = self.tokens.at[row].set(first)
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, held)
@@ -521,7 +535,7 @@ class PagedEngine:
                                     lengths=jnp.asarray(self.lengths_np))
         self.cache, self.tokens, self.done, self.rng, out = paged_decode_chunk(
             self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,
-            chunk=self.chunk, sampling=self.sampling, eos_token_id=self.eos_token_id,
+            self.rows, chunk=self.chunk, eos_token_id=self.eos_token_id,
             compute_dtype=self.compute_dtype)
         out = np.asarray(out)
         done = np.asarray(self.done)
