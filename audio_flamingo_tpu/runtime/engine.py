@@ -271,6 +271,8 @@ class Request:
     sampling: SamplingParams | None = None   # None -> the engine's default
     tokens: list = field(default_factory=list)
     done: bool = False
+    on_tokens: object = None   # optional callable(list[int]): streaming callback,
+    #                            invoked on the scheduler thread as tokens emit
 
 
 @dataclass
@@ -355,6 +357,8 @@ class BatchEngine:
             self.rng, k = jax.random.split(self.rng)
             first = sample_token(k, logits[None], req_sampling)[0]
             req.tokens.append(int(first))
+            if req.on_tokens:
+                req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
                 self.cache = self.cache._replace(
@@ -405,6 +409,8 @@ class BatchEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.on_tokens and emitted:
+                req.on_tokens(emitted)
             # capacity guard: evict before per-row writes would clamp at the last slot
             if lengths[slot] >= self.capacity - step_budget - 1:
                 done[slot] = True

@@ -258,6 +258,8 @@ class FlamingoEngine:
             req_sampling = req.sampling or self.sampling
             first = sample_token(k, logits[None], req_sampling)[0]
             req.tokens.append(int(first))
+            if req.on_tokens:
+                req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
                 self.cache = self.cache._replace(
@@ -286,6 +288,8 @@ class FlamingoEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.on_tokens and emitted:
+                req.on_tokens(emitted)
             if lengths[slot] >= self.capacity - self.chunk - 1:
                 done[slot] = True
             if done[slot] or len(req.tokens) >= req.max_new_tokens:

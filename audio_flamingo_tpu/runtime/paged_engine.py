@@ -310,6 +310,8 @@ class PagedEngine:
             req_sampling = req.sampling or self.sampling
             first = sample_token(k, logits, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.on_tokens:
+                req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
                 self.allocator.release(blocks)
@@ -471,6 +473,8 @@ class PagedEngine:
         req_sampling = req.sampling or self.sampling
         first = sample_token(k, logits, req_sampling)[0]
         req.tokens.append(int(first))
+        if req.on_tokens:
+            req.on_tokens([int(first)])
         if int(first) == self.eos_token_id:
             self.finished[req.request_id] = req.tokens
             self.allocator.release(blocks)
@@ -546,6 +550,8 @@ class PagedEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.on_tokens and emitted:
+                req.on_tokens(emitted)
             full = self.lengths_np[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)

@@ -1,6 +1,15 @@
-"""Example: batched serving with the continuous-batching engine.
+"""Example: production-style serving with the paged continuous-batching engine.
 
-python examples/serve.py  (random tiny model; swap in api.load(...) for real weights)
+Showcases the full serving feature set on a tiny random model (swap in
+api.load(...) for real weights):
+- paged KV pool with automatic PREFIX CACHING (the shared system prompt is
+  computed once and shared read-only across requests),
+- chunked prefill (long prompts never stall the decode loop for more than one
+  chunk), preempt-and-resume under pool pressure,
+- per-request sampling (greedy and sampled requests share one compiled program),
+- per-request token STREAMING callbacks.
+
+python examples/serve.py
 """
 
 import os
@@ -9,25 +18,41 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root import
 
 
-import numpy as np
-
-import jax
 import jax.numpy as jnp
 
 from audio_flamingo_tpu.api import AudioFlamingo
 from audio_flamingo_tpu.ops.sampling import SamplingParams
-from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+from audio_flamingo_tpu.runtime.engine import Request
+from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
 
 model = AudioFlamingo.from_random(compute_dtype=jnp.float32)
-engine = BatchEngine(params=model.params, cfg=model.cfg, num_slots=4, capacity=2048,
-                     chunk=16, eos_token_id=model.eos_token_id,
-                     sampling=SamplingParams(greedy=True),
-                     compute_dtype=jnp.float32)
+engine = PagedEngine(
+    params=model.params, cfg=model.cfg,
+    num_rows=4, num_blocks=64, block_size=128, max_blocks_per_seq=16, chunk=16,
+    eos_token_id=model.eos_token_id, sampling=SamplingParams(greedy=True),
+    compute_dtype=jnp.float32,
+    prefix_cache=True,        # share the recurring system/audio prefix
+    prefill_chunk=512,        # Sarathi-style stall control for long prompts
+)
 
+SYSTEM = "You are a helpful audio assistant. Answer concisely."
 for i in range(8):
-    batch = model.processor(messages=[{"role": "user", "content": f"request {i}?"}])
-    engine.submit(Request(request_id=f"req-{i}", ids=batch["ids"], max_new_tokens=32))
+    batch = model.processor(messages=[
+        {"role": "system", "content": SYSTEM},
+        {"role": "user", "content": f"request {i}?"},
+    ])
+    sampling = None if i % 2 == 0 else SamplingParams(greedy=False, temperature=0.7,
+                                                      top_p=0.9)
+    engine.submit(Request(
+        request_id=f"req-{i}", ids=batch["ids"], max_new_tokens=32,
+        sampling=sampling,
+        on_tokens=lambda toks, i=i: print(f"  [req-{i}] +{len(toks)} tokens",
+                                          flush=True),
+    ))
 
 results = engine.run_until_done()
 for rid, tokens in sorted(results.items()):
     print(rid, "->", model.processor.tokenizer.decode(tokens, skip_special=True))
+if engine.store is not None:
+    print(f"prefix cache: {engine.store.hits} page hits, "
+          f"{engine.store.misses} misses; preemptions: {engine.preemptions}")

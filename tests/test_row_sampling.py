@@ -128,3 +128,29 @@ def test_engine_rejects_per_request_repetition_penalty(params):
     with pytest.raises(AssertionError):
         eng.submit(Request(request_id="x", ids=np.zeros((1, 4), np.int32),
                            sampling=SamplingParams(repetition_penalty=1.3)))
+
+
+def test_streaming_callbacks(params):
+    """Request.on_tokens fires as tokens emit and the concatenation equals the
+    final token list (both engine types)."""
+    rng = np.random.default_rng(9)
+    for engine_cls, kw in [
+        (BatchEngine, dict(num_slots=2, capacity=256, chunk=4)),
+        (PagedEngine, dict(num_rows=2, num_blocks=24, block_size=8,
+                           max_blocks_per_seq=8, chunk=4)),
+    ]:
+        eng = engine_cls(params=params, cfg=CFG, eos_token_id=EOS,
+                         sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32, **kw)
+        streamed: dict[str, list[int]] = {}
+        for i in range(3):
+            rid = f"r{i}"
+            streamed[rid] = []
+            eng.submit(Request(
+                request_id=rid, ids=rng.integers(0, 120, (1, 5 + i)).astype(np.int32),
+                max_new_tokens=10,
+                on_tokens=lambda toks, rid=rid: streamed[rid].extend(toks)))
+        results = eng.run_until_done()
+        for rid, toks in results.items():
+            assert streamed[rid] == toks, (engine_cls.__name__, rid,
+                                           streamed[rid], toks)
