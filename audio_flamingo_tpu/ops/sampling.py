@@ -21,6 +21,19 @@ class SamplingParams(NamedTuple):
     top_p: float = 1.0              # 1.0 = off
     greedy: bool = True
     repetition_penalty: float = 1.0  # 1.0 = off; spans prompt+generated (HF input_ids)
+    min_new_tokens: int = 0          # EOS is -inf-masked for the first N generated
+    #                                  tokens ([hf] MinNewTokensLengthLogitsProcessor)
+
+
+def mask_eos(logits: jnp.ndarray, eos_token_id: int,
+             blocked: jnp.ndarray) -> jnp.ndarray:
+    """Set the EOS logit to -inf where `blocked` ([B] bool) — the min-new-tokens
+    processor ([hf] generation/logits_process.py MinNewTokensLengthLogitsProcessor:
+    eos scores -> -inf while generated < min_new_tokens)."""
+    if eos_token_id < 0:
+        return logits
+    col = logits[:, eos_token_id]
+    return logits.at[:, eos_token_id].set(jnp.where(blocked, NEG_INF, col))
 
 
 def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -26,7 +26,7 @@ from audio_flamingo_tpu.config import AF3Config
 from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops.sampling import (RowSampling, SamplingParams,
-                                             row_sampling, sample_token,
+                                             mask_eos, row_sampling, sample_token,
                                              sample_token_rows)
 
 
@@ -99,32 +99,42 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
                                              "compute_dtype"),
                    donate_argnames=("cache",))
 def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
-                 rows: RowSampling, *, chunk: int, eos_token_id: int,
+                 rows: RowSampling, min_left, *, chunk: int, eos_token_id: int,
                  compute_dtype=jnp.bfloat16):
-    """Advance all slots `chunk` steps. Returns (cache, tokens, done, rng, out [B, chunk]).
+    """Advance all slots `chunk` steps.
 
+    Returns (cache, tokens, done, rng, out [B, chunk], lp [B, chunk] fp32 logprob
+    of each sampled token — the [hf] output_scores role, ~free next to the vocab
+    unembed).
     rows: PER-ROW sampling parameters (traced arrays — one compiled program for
-    any mix of greedy/temperature/top-k/top-p across the active requests)."""
+    any mix of greedy/temperature/top-k/top-p across the active requests).
+    min_left: [B] int32 remaining min-new-tokens per row at chunk start (EOS is
+    masked while positive)."""
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
+    lp0 = jnp.zeros((b, chunk), jnp.float32)
 
     def body(i, carry):
-        cache, tok, done, rng, out = carry
+        cache, tok, done, rng, out, lp = carry
         x = qwen2.embed(params["lm"], tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
         logits = qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+        logits = mask_eos(logits, eos_token_id, min_left > i)
         rng, k = jax.random.split(rng)
         nxt = sample_token_rows(k, logits, rows)
         nxt = jnp.where(done, eos_token_id, nxt)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        lp = lp.at[:, i].set(jnp.where(
+            done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
         new_lengths = cache.lengths + jnp.where(done, 0, 1)
         cache2 = SlotCache(cache2.k, cache2.v, new_lengths)
         out = out.at[:, i].set(nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return cache2, nxt, done, rng, out
+        return cache2, nxt, done, rng, out, lp
 
-    cache, tokens, done, rng, out = jax.lax.fori_loop(
-        0, chunk, body, (cache, tokens, done, rng, out0))
-    return cache, tokens, done, rng, out
+    cache, tokens, done, rng, out, lp = jax.lax.fori_loop(
+        0, chunk, body, (cache, tokens, done, rng, out0, lp0))
+    return cache, tokens, done, rng, out, lp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
@@ -262,6 +272,20 @@ def prefill_into_slot(params, cfg: AF3Config, cache: SlotCache, slot, token_ids,
     return SlotCache(k, v, lengths), logits[0]
 
 
+def _find_stop(tokens: list, stops) -> int | None:
+    """Index AFTER the earliest full occurrence of any stop sequence, else None."""
+    best = None
+    for seq in stops:
+        m = len(seq)
+        sl = list(seq)
+        for i in range(len(tokens) - m + 1):
+            if tokens[i:i + m] == sl:
+                end = i + m
+                best = end if best is None else min(best, end)
+                break
+    return best
+
+
 @dataclass
 class Request:
     request_id: str
@@ -273,6 +297,11 @@ class Request:
     done: bool = False
     on_tokens: object = None   # optional callable(list[int]): streaming callback,
     #                            invoked on the scheduler thread as tokens emit
+    min_new_tokens: int = 0    # EOS masked for the first N generated tokens
+    stop: list | None = None   # token-id sequences; generation stops after any
+    #                            (kept in the output, HF stop-strings role)
+    logprobs: bool = False     # collect per-token logprobs into token_logprobs
+    token_logprobs: list = field(default_factory=list)
 
 
 @dataclass
@@ -330,6 +359,9 @@ class BatchEngine:
                 "engines do not support repetition_penalty; use runtime.generate"
             assert not self._speculating() or req.sampling.greedy, \
                 "the speculative engine path is greedy-only"
+        assert not (self._speculating() and (req.min_new_tokens or req.stop
+                                             or req.logprobs)), \
+            "min_new_tokens/stop/logprobs are not supported on the speculative path"
         self.queue.append(req)
 
     def _fill_slots(self) -> None:
@@ -355,8 +387,14 @@ class BatchEngine:
                 slot_capacity=self.capacity, compute_dtype=self.compute_dtype,
                 prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
-            first = sample_token(k, logits[None], req_sampling)[0]
+            lg = logits[None]
+            if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
+                lg = mask_eos(lg, self.eos_token_id, jnp.ones((1,), bool))
+            first = sample_token(k, lg, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.logprobs:
+                logp = jax.nn.log_softmax(lg[0].astype(jnp.float32))
+                req.token_logprobs.append(float(logp[int(first)]))
             if req.on_tokens:
                 req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
@@ -394,14 +432,20 @@ class BatchEngine:
             row_tokens = [out[s][valid[s]].tolist() for s in range(self.num_slots)]
             step_budget = self.spec_rounds * (self.spec_k + 1)
         else:
-            self.cache, self.tokens, self.done, self.rng, out = decode_chunk(
+            min_left = np.zeros((self.num_slots,), np.int32)
+            for slot, req in self.active.items():
+                want = max(req.min_new_tokens,
+                           (req.sampling or self.sampling).min_new_tokens)
+                min_left[slot] = max(want - len(req.tokens), 0)
+            self.cache, self.tokens, self.done, self.rng, out, lp = decode_chunk(
                 self.params, self.cfg, self.cache, self.tokens, self.done, self.rng,
-                self.rows, chunk=self.chunk,
+                self.rows, jnp.asarray(min_left), chunk=self.chunk,
                 eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
             out = np.asarray(out)
+            self._last_lp = np.asarray(lp)
             row_tokens = [out[s].tolist() for s in range(self.num_slots)]
             step_budget = self.chunk
-        done = np.asarray(self.done)
+        done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         lengths = np.asarray(self.cache.lengths)
         for slot, req in list(self.active.items()):
             budget = req.max_new_tokens - len(req.tokens)
@@ -409,8 +453,17 @@ class BatchEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.logprobs and getattr(self, "_last_lp", None) is not None:
+                req.token_logprobs.extend(
+                    float(x) for x in self._last_lp[slot][:len(emitted)])
             if req.on_tokens and emitted:
                 req.on_tokens(emitted)
+            if req.stop:
+                end = _find_stop(req.tokens, req.stop)
+                if end is not None:
+                    del req.tokens[end:]
+                    del req.token_logprobs[end:]
+                    done[slot] = True
             # capacity guard: evict before per-row writes would clamp at the last slot
             if lengths[slot] >= self.capacity - step_budget - 1:
                 done[slot] = True

@@ -29,7 +29,7 @@ from audio_flamingo_tpu.models import opt as opt_mod
 from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops import xattn as xattn_op
-from audio_flamingo_tpu.ops.sampling import (SamplingParams, row_sampling,
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos, row_sampling,
                                              sample_token, sample_token_rows)
 from audio_flamingo_tpu.runtime.engine import Request, SlotCache, init_slot_cache
 
@@ -121,29 +121,37 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
                                              "compute_dtype"),
                    donate_argnames=("cache",))
 def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, done,
-                       rng, rows, *, chunk: int,
+                       rng, rows, min_left, *, chunk: int,
                        eos_token_id: int, compute_dtype=jnp.float32):
-    """Advance all slots `chunk` steps (one host sync). media [B, S, d] per slot."""
+    """Advance all slots `chunk` steps (one host sync). media [B, S, d] per slot.
+
+    min_left: [B] remaining min-new-tokens (EOS masked while positive); also
+    returns lp [B, chunk] sampled-token logprobs."""
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
+    lp0 = jnp.zeros((b, chunk), jnp.float32)
 
     def body(i, carry):
-        cache, tok, done, rng, out = carry
+        cache, tok, done, rng, out, lp = carry
         x = flamingo._embed(params, cfg, tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward_xattn(params, cfg, x, cache.lengths, cache, media)
         logits = flamingo._unembed(params, cfg, h[:, 0])
+        logits = mask_eos(logits, eos_token_id, min_left > i)
         rng, k = jax.random.split(rng)
         nxt = sample_token_rows(k, logits, rows)
         nxt = jnp.where(done, eos_token_id, nxt)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        lp = lp.at[:, i].set(jnp.where(
+            done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
         cache2 = SlotCache(cache2.k, cache2.v,
                            cache.lengths + jnp.where(done, 0, 1))
         out = out.at[:, i].set(nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return cache2, nxt, done, rng, out
+        return cache2, nxt, done, rng, out, lp
 
-    cache, tokens, done, rng, out = jax.lax.fori_loop(
-        0, chunk, body, (cache, tokens, done, rng, out0))
-    return cache, tokens, done, rng, out
+    cache, tokens, done, rng, out, lp = jax.lax.fori_loop(
+        0, chunk, body, (cache, tokens, done, rng, out0, lp0))
+    return cache, tokens, done, rng, out, lp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "slot_capacity", "compute_dtype"),
@@ -256,8 +264,14 @@ class FlamingoEngine:
                 prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
             req_sampling = req.sampling or self.sampling
-            first = sample_token(k, logits[None], req_sampling)[0]
+            lgf = logits[None]
+            if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
+                lgf = mask_eos(lgf, self.eos_token_id, jnp.ones((1,), bool))
+            first = sample_token(k, lgf, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.logprobs:
+                logp = jax.nn.log_softmax(lgf[0].astype(jnp.float32))
+                req.token_logprobs.append(float(logp[int(first)]))
             if req.on_tokens:
                 req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
@@ -275,12 +289,18 @@ class FlamingoEngine:
         self._fill_slots()
         if not self.active:
             return
-        self.cache, self.tokens, self.done, self.rng, out = decode_chunk_xattn(
+        min_left = np.zeros((self.num_slots,), np.int32)
+        for slot, req in self.active.items():
+            want = max(req.min_new_tokens,
+                       (req.sampling or self.sampling).min_new_tokens)
+            min_left[slot] = max(want - len(req.tokens), 0)
+        self.cache, self.tokens, self.done, self.rng, out, lp = decode_chunk_xattn(
             self.params, self.cfg, self.cache, self.media, self.tokens, self.done,
-            self.rng, self.rows, chunk=self.chunk,
+            self.rng, self.rows, jnp.asarray(min_left), chunk=self.chunk,
             eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
         out = np.asarray(out)
-        done = np.asarray(self.done)
+        lp = np.asarray(lp)
+        done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         lengths = np.asarray(self.cache.lengths)
         for slot, req in list(self.active.items()):
             budget = req.max_new_tokens - len(req.tokens)
@@ -288,8 +308,18 @@ class FlamingoEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.logprobs:
+                req.token_logprobs.extend(float(x) for x in lp[slot][:len(emitted)])
             if req.on_tokens and emitted:
                 req.on_tokens(emitted)
+            if req.stop:
+                from audio_flamingo_tpu.runtime.engine import _find_stop
+
+                end = _find_stop(req.tokens, req.stop)
+                if end is not None:
+                    del req.tokens[end:]
+                    del req.token_logprobs[end:]
+                    done[slot] = True
             if lengths[slot] >= self.capacity - self.chunk - 1:
                 done[slot] = True
             if done[slot] or len(req.tokens) >= req.max_new_tokens:

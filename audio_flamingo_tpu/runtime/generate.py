@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from audio_flamingo_tpu.config import AF3Config
 from audio_flamingo_tpu.models import af3, qwen2
-from audio_flamingo_tpu.ops.sampling import SamplingParams, sample_token
+from audio_flamingo_tpu.ops.sampling import SamplingParams, mask_eos, sample_token
 
 
 class GenState(NamedTuple):
@@ -75,18 +75,45 @@ def decode_step(params, cfg: AF3Config, cache: qwen2.KVCache, token: jnp.ndarray
 
 def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
                 max_new_tokens: int, eos_token_id: int, sampling: SamplingParams,
-                rng: jax.Array, prompt_history: jnp.ndarray | None = None):
+                rng: jax.Array, prompt_history: jnp.ndarray | None = None,
+                stop_sequences: tuple = (), return_logprobs: bool = False):
     """Model-agnostic device-side sampling loop (traced inside a jit).
 
     decode_fn: (cache, token [B], position []) -> (cache, logits [B, vocab]).
     prompt_history: optional [B, T] prompt ids (-1 = pad) — HF's repetition penalty
     spans prompt AND generated tokens ([hf] generation/utils.py:1090 pipeline over
     input_ids), so callers using repetition_penalty != 1.0 must pass it.
-    Returns (tokens [B, max_new_tokens], lengths [B]).
+    stop_sequences: STATIC tuple of token-id tuples; a row stops after emitting any
+    of them (the sequence itself is kept — [hf] StopStringCriteria semantics at the
+    token level).
+    Returns (tokens [B, max_new_tokens], lengths [B]) — plus logprobs
+    [B, max_new_tokens] of each sampled token when return_logprobs
+    ([hf] generate(output_scores=True) role).
     """
     b = first_logits.shape[0]
     rng, k0 = jax.random.split(rng)
+    min_new = sampling.min_new_tokens
+    if min_new >= 1:
+        first_logits = mask_eos(first_logits, eos_token_id, jnp.ones((b,), bool))
     first = sample_token(k0, first_logits, sampling, token_history=prompt_history)
+
+    def token_logprob(logits, tok):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
+
+    out_lp0 = jnp.zeros((b, max_new_tokens), jnp.float32)
+    if return_logprobs:
+        out_lp0 = out_lp0.at[:, 0].set(token_logprob(first_logits, first))
+
+    def check_stops(out, step, done):
+        """done |= any stop sequence ends exactly at `step` in out."""
+        for seq in stop_sequences:
+            m = len(seq)
+            win = jax.lax.dynamic_slice(
+                out, (0, jnp.maximum(step - m + 1, 0)), (b, m))      # [B, m]
+            hit = jnp.all(win == jnp.asarray(seq, jnp.int32)[None], axis=1)
+            done = jnp.logical_or(done, jnp.logical_and(hit, step + 1 >= m))
+        return done
 
     state = GenState(
         cache=cache,
@@ -97,12 +124,18 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
         step=jnp.zeros((), jnp.int32),
         rng=rng,
     )
-    state = state._replace(out_tokens=state.out_tokens.at[:, 0].set(first))
+    out0 = state.out_tokens.at[:, 0].set(first)
+    state = state._replace(out_tokens=out0,
+                           done=check_stops(out0, jnp.zeros((), jnp.int32),
+                                            state.done))
+    carry0 = (state, out_lp0)
 
-    def cond(s: GenState):
+    def cond(c):
+        s = c[0]
         return jnp.logical_and(s.step + 1 < max_new_tokens, ~jnp.all(s.done))
 
-    def body(s: GenState):
+    def body(c):
+        s, out_lp = c
         cache, logits = decode_fn(s.cache, s.cur_token, s.position)
         rng, k = jax.random.split(s.rng)
         # history = prompt + tokens generated so far (untouched future slots hold eos;
@@ -110,29 +143,57 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
         hist = jnp.where(jnp.arange(max_new_tokens)[None] <= s.step, s.out_tokens, -1)
         if prompt_history is not None:
             hist = jnp.concatenate([prompt_history, hist], axis=1)
+        if min_new > 0:
+            logits = mask_eos(logits, eos_token_id,
+                              jnp.broadcast_to(s.step + 1 < min_new, (b,)))
         nxt = sample_token(k, logits, sampling, token_history=hist)
         nxt = jnp.where(s.done, eos_token_id, nxt)
         step = s.step + 1
         out = s.out_tokens.at[:, step].set(nxt)
+        if return_logprobs:
+            out_lp = out_lp.at[:, step].set(
+                jnp.where(s.done, 0.0, token_logprob(logits, nxt)))
         done = jnp.logical_or(s.done, nxt == eos_token_id)
-        return GenState(cache, nxt, s.position + 1, out, done, step, rng)
+        done = check_stops(out, step, done)
+        return GenState(cache, nxt, s.position + 1, out, done, step, rng), out_lp
 
-    state = jax.lax.while_loop(cond, body, state)
-    lengths = jnp.sum(jnp.cumsum(state.out_tokens == eos_token_id, axis=1) == 0, axis=1) + \
-        jnp.any(state.out_tokens == eos_token_id, axis=1).astype(jnp.int32)
-    return state.out_tokens, jnp.minimum(lengths, max_new_tokens)
+    state, out_lp = jax.lax.while_loop(cond, body, carry0)
+    out = state.out_tokens
+    eos_hit = out == eos_token_id
+    lengths = jnp.sum(jnp.cumsum(eos_hit, axis=1) == 0, axis=1) + \
+        jnp.any(eos_hit, axis=1).astype(jnp.int32)
+    if stop_sequences:
+        # a stop hit leaves no EOS marker in `out`; length = end of the earliest
+        # stop occurrence (per sequence, first position where it completes)
+        for seq in stop_sequences:
+            m = len(seq)
+            s_arr = jnp.asarray(seq, jnp.int32)
+            # windows[i] = out[:, i:i+m] for i in 0..max_new-m
+            if max_new_tokens < m:
+                continue
+            idx = jnp.arange(max_new_tokens - m + 1)[:, None] + jnp.arange(m)[None]
+            wins = out[:, idx]                                     # [B, W, m]
+            hit = jnp.all(wins == s_arr[None, None], axis=-1)      # [B, W]
+            first_end = jnp.where(jnp.any(hit, axis=1),
+                                  jnp.argmax(hit, axis=1) + m, max_new_tokens)
+            lengths = jnp.minimum(lengths, first_end)
+    lengths = jnp.minimum(lengths, max_new_tokens)
+    if return_logprobs:
+        return out, lengths, out_lp
+    return out, lengths
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "capacity", "sampling", "eos_token_id",
-                     "compute_dtype"),
+                     "compute_dtype", "stop_sequences", "return_logprobs"),
 )
 def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
              mels: jnp.ndarray | None = None, *, max_new_tokens: int = 64,
              capacity: int = 0, eos_token_id: int = -1,
              sampling: SamplingParams = SamplingParams(), rng: jax.Array | None = None,
-             compute_dtype=jnp.bfloat16, prompt_len: jnp.ndarray | None = None):
+             compute_dtype=jnp.bfloat16, prompt_len: jnp.ndarray | None = None,
+             stop_sequences: tuple = (), return_logprobs: bool = False):
     """Device-side generation: returns (tokens [B, max_new_tokens], lengths [B]).
 
     Positions after EOS are filled with eos_token_id. capacity=0 -> prompt+max_new rounded
@@ -148,6 +209,8 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
         rng = jax.random.PRNGKey(0)
 
     if prompt_len is not None and getattr(prompt_len, "ndim", 0) == 1:
+        assert not stop_sequences and not return_logprobs, \
+            "ragged batches: use the engines for stops/logprobs"
         return _generate_rows(params, cfg, token_ids, mels, capacity, max_new_tokens,
                               eos_token_id, sampling, rng, compute_dtype, prompt_len)
 
@@ -165,7 +228,8 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
 
     return decode_loop(logits, cache, start, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng,
-                       prompt_history=prompt_history)
+                       prompt_history=prompt_history, stop_sequences=stop_sequences,
+                       return_logprobs=return_logprobs)
 
 
 def _generate_rows(params, cfg: AF3Config, token_ids, mels, capacity: int,

@@ -196,33 +196,40 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 @partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                    "compute_dtype"), donate_argnames=("cache",))
 def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, rng,
-                       rows, *, chunk: int, eos_token_id: int,
+                       rows, min_left, *, chunk: int, eos_token_id: int,
                        compute_dtype=jnp.bfloat16):
     """Advance all rows `chunk` steps through their pages (one host sync per chunk).
 
     rows: ops.sampling.RowSampling — PER-ROW sampling parameters as traced arrays
-    (per-request sampling with a single compiled program)."""
-    from audio_flamingo_tpu.ops.sampling import sample_token_rows
+    (per-request sampling with a single compiled program). min_left: [B] int32
+    remaining min-new-tokens per row (EOS masked while positive). Also returns
+    lp [B, chunk] fp32 sampled-token logprobs ([hf] output_scores role)."""
+    from audio_flamingo_tpu.ops.sampling import mask_eos, sample_token_rows
 
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
+    lp0 = jnp.zeros((b, chunk), jnp.float32)
 
     def body(i, carry):
-        cache, tok, done, rng, out = carry
+        cache, tok, done, rng, out, lp = carry
         cache2, logits = paged_decode_step(params, cfg, cache, tok, compute_dtype)
+        logits = mask_eos(logits, eos_token_id, min_left > i)
         rng, kk = jax.random.split(rng)
         nxt = sample_token_rows(kk, logits, rows)
         nxt = jnp.where(done, eos_token_id, nxt)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        lp = lp.at[:, i].set(jnp.where(
+            done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
         # rows that are done must not advance their length (paged_decode_step adds 1)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)
         cache2 = cache2._replace(lengths=lengths)
         out = out.at[:, i].set(nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return cache2, nxt, done, rng, out
+        return cache2, nxt, done, rng, out, lp
 
-    cache, tokens, done, rng, out = jax.lax.fori_loop(0, chunk, body,
-                                                      (cache, tokens, done, rng, out0))
-    return cache, tokens, done, rng, out
+    cache, tokens, done, rng, out, lp = jax.lax.fori_loop(
+        0, chunk, body, (cache, tokens, done, rng, out0, lp0))
+    return cache, tokens, done, rng, out, lp
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))

@@ -30,9 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_flamingo_tpu.config import AF3Config
-from audio_flamingo_tpu.ops.sampling import (SamplingParams, row_sampling,
-                                             sample_token)
-from audio_flamingo_tpu.runtime.engine import Request
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos,
+                                             row_sampling, sample_token)
+from audio_flamingo_tpu.runtime.engine import Request, _find_stop
 from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
     init_paged,
@@ -308,8 +308,13 @@ class PagedEngine:
             self.lengths_np[row] = t
             self.rng, k = jax.random.split(self.rng)
             req_sampling = req.sampling or self.sampling
+            if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
+                logits = mask_eos(logits, self.eos_token_id, jnp.ones((1,), bool))
             first = sample_token(k, logits, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.logprobs:
+                logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+                req.token_logprobs.append(float(logp[int(first)]))
             if req.on_tokens:
                 req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
@@ -471,8 +476,13 @@ class PagedEngine:
         self.lengths_np[row] = t
         self.rng, k = jax.random.split(self.rng)
         req_sampling = req.sampling or self.sampling
+        if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
+            logits = mask_eos(logits, self.eos_token_id, jnp.ones((1,), bool))
         first = sample_token(k, logits, req_sampling)[0]
         req.tokens.append(int(first))
+        if req.logprobs:
+            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            req.token_logprobs.append(float(logp[int(first)]))
         if req.on_tokens:
             req.on_tokens([int(first)])
         if int(first) == self.eos_token_id:
@@ -537,12 +547,19 @@ class PagedEngine:
             return
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
                                     lengths=jnp.asarray(self.lengths_np))
-        self.cache, self.tokens, self.done, self.rng, out = paged_decode_chunk(
+        min_left = np.zeros((self.num_rows,), np.int32)
+        for row, (req, _, _) in self.active.items():
+            want = max(req.min_new_tokens,
+                       (req.sampling or self.sampling).min_new_tokens)
+            min_left[row] = max(want - len(req.tokens), 0)
+        self.cache, self.tokens, self.done, self.rng, out, lp = paged_decode_chunk(
             self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,
-            self.rows, chunk=self.chunk, eos_token_id=self.eos_token_id,
+            self.rows, jnp.asarray(min_left), chunk=self.chunk,
+            eos_token_id=self.eos_token_id,
             compute_dtype=self.compute_dtype)
         out = np.asarray(out)
-        done = np.asarray(self.done)
+        lp = np.asarray(lp)
+        done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         self.lengths_np = np.asarray(self.cache.lengths).copy()
         for row, (req, blocks, held) in list(self.active.items()):
             budget = req.max_new_tokens - len(req.tokens)
@@ -550,8 +567,16 @@ class PagedEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.logprobs:
+                req.token_logprobs.extend(float(x) for x in lp[row][:len(emitted)])
             if req.on_tokens and emitted:
                 req.on_tokens(emitted)
+            if req.stop:
+                end = _find_stop(req.tokens, req.stop)
+                if end is not None:
+                    del req.tokens[end:]
+                    del req.token_logprobs[end:]
+                    done[row] = True
             full = self.lengths_np[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)
