@@ -46,11 +46,15 @@ class AudioFlamingo:
     def generate(self, sound: np.ndarray | list[np.ndarray] | None = None,
                  prompt: str = "Describe the audio.", *, max_new_tokens: int = 256,
                  sampling: SamplingParams = SamplingParams(), seed: int = 0,
-                 chat: bool = False, stream: bool = False, think: bool = False):
+                 chat: bool = False, stream: bool = False, think: bool = False,
+                 num_beams: int = 1, length_penalty: float = 1.0,
+                 early_stopping=False):
         """sound: mono 16 kHz float32 waveform(s). Returns text (or a token iterator).
 
         think=True enables AF3's on-demand thinking (AF-Think prompt format,
         README.md:108): the model is asked to reason inside <think>...</think> first.
+        num_beams>1 routes through runtime/beam.py (HF _beam_search parity,
+        greedy beams; incompatible with stream/speculative).
         """
         audios = None
         text = prompt
@@ -70,6 +74,26 @@ class AudioFlamingo:
         batch = self.processor(messages=messages, audios=all_audios or None)
         ids = jnp.asarray(batch["ids"])
         mels = jnp.asarray(batch["mels"]) if batch["mels"] is not None else None
+
+        if num_beams > 1:
+            assert not stream, "streaming and beam search are mutually exclusive"
+            from audio_flamingo_tpu.runtime.beam import generate_beam
+
+            seqs, _scores = generate_beam(
+                self.params, self.cfg, ids, mels, num_beams=num_beams,
+                max_new_tokens=max_new_tokens, eos_token_id=self.eos_token_id,
+                length_penalty=length_penalty, early_stopping=early_stopping,
+                compute_dtype=self.compute_dtype,
+                min_new_tokens=sampling.min_new_tokens)
+            seq = np.asarray(seqs)[0, 0].tolist()
+            if self.eos_token_id in seq:
+                seq = seq[: seq.index(self.eos_token_id) + 1]
+            answer = self.processor.tokenizer.decode(seq, skip_special=True)
+            if chat:
+                self.history.append({"role": "user", "content": text,
+                                     "audios": audios or []})
+                self.history.append({"role": "assistant", "content": answer})
+            return answer
 
         if stream:
             return self._stream(ids, mels, max_new_tokens, sampling, seed)

@@ -1,0 +1,158 @@
+"""TPU-native beam search: HF `_beam_search` semantics as one compiled
+`lax.while_loop`.
+
+Semantics reference: [hf] generation/utils.py:3113 `_beam_search` (the flat,
+static-shaped refactor) and its helpers — `_get_top_k_continuations` (:2982,
+2K-candidate rule), `_get_running_beams_for_next_iteration` (:3036),
+`_update_finished_beams` (:3058, length penalty over generated length, top-K-rank
+gating, merge-and-topk), `_check_early_stop_heuristic` (:2913) and
+`_beam_search_has_unfinished_sequences` (:2960). Scores are fp32 log-softmax
+accumulations; the first beam starts at 0 and the rest at -1e9 so step 0 expands
+only beam 0 (:3240-3242).
+
+TPU design: beams ride the batch axis (B*K cache rows, one forward per step for
+all beams), the per-step beam reorder is a row gather on the KV cache (the T5X
+flat-beam pattern), and every tensor is static-shaped — candidates are 2K wide,
+finished beams merge through a fixed 3K top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import qwen2
+from audio_flamingo_tpu.runtime.generate import prefill
+
+NEG = -1.0e9
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
+                     "length_penalty", "early_stopping", "compute_dtype",
+                     "min_new_tokens", "num_return_sequences"))
+def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
+                  mels: jnp.ndarray | None = None, *, num_beams: int,
+                  max_new_tokens: int, eos_token_id: int, capacity: int = 0,
+                  length_penalty: float = 1.0, early_stopping=False,
+                  compute_dtype=jnp.bfloat16, min_new_tokens: int = 0,
+                  num_return_sequences: int = 1):
+    """Beam-search decode. Returns (sequences [B, R, max_new_tokens] int32 padded
+    with EOS, scores [B, R] fp32) with R = num_return_sequences, best first —
+    token-exact vs [hf] generate(num_beams=K, do_sample=False).
+
+    early_stopping: False (default heuristic), True, or "never" — HF semantics.
+    """
+    b, t = token_ids.shape
+    K, K2 = num_beams, 2 * num_beams
+    assert num_return_sequences <= K
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens) // 128) * 128
+
+    cache, logits0 = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    # beams ride the batch axis: row b*K + k is beam k of batch item b
+    cache = qwen2.KVCache(k=jnp.repeat(cache.k, K, axis=1),
+                          v=jnp.repeat(cache.v, K, axis=1), index=cache.index)
+    vocab = logits0.shape[-1]
+    logits = jnp.repeat(logits0, K, axis=0)                       # [B*K, V]
+
+    pad = eos_token_id if eos_token_id >= 0 else 0
+    run_seq = jnp.full((b, K, max_new_tokens), pad, jnp.int32)
+    run_sc = jnp.zeros((b, K), jnp.float32).at[:, 1:].set(NEG)    # beam 0 only
+    fin_seq = run_seq
+    fin_sc = jnp.full((b, K), NEG, jnp.float32)
+    is_fin = jnp.zeros((b, K), bool)
+    heur_ok = jnp.ones((b, 1), bool)
+    alive = jnp.ones((), bool)
+    top_mask = jnp.arange(K2) < K                                 # 2K-candidate rule
+    bk_off = (jnp.arange(b) * K)[:, None]
+
+    def take_beams(x, idx):
+        """Gather beams along axis 1 ([hf] _gather_beams)."""
+        full_idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, full_idx, axis=1)
+
+    def cond(c):
+        i = c[0]
+        return jnp.logical_and(i < max_new_tokens, c[-1])
+
+    def body(c):
+        i, cache, logits, run_seq, run_sc, fin_seq, fin_sc, is_fin, heur_ok, _ = c
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if min_new_tokens > 0 and eos_token_id >= 0:
+            col = lp[:, eos_token_id]
+            lp = lp.at[:, eos_token_id].set(jnp.where(i < min_new_tokens, NEG, col))
+        lp = lp.reshape(b, K, vocab)
+        acc = (lp + run_sc[:, :, None]).reshape(b, K * vocab)
+
+        # top-2K candidates across all beams ([hf] _get_top_k_continuations)
+        cand_sc, idx = jax.lax.top_k(acc, K2)                     # [B, 2K]
+        parent = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+        cand_seq = take_beams(run_seq, parent).at[:, :, i].set(tok)
+        # stopping criteria: EOS or max length reached with this token
+        hits = jnp.logical_or(tok == eos_token_id, i + 1 >= max_new_tokens)
+
+        # next running beams: best K that did NOT finish ([hf] :3036)
+        sc_running = cand_sc + hits.astype(jnp.float32) * NEG
+        new_run_sc, keep = jax.lax.top_k(sc_running, K)
+        new_run_seq = take_beams(cand_seq, keep)
+        parent_keep = jnp.take_along_axis(parent, keep, axis=1)   # [B, K]
+        cur_tok = jnp.take_along_axis(tok, keep, axis=1)
+
+        # finished update ([hf] _update_finished_beams): length penalty over the
+        # GENERATED length, only top-K-rank candidates may finalize, merge+topk
+        flp = cand_sc / ((i + 1.0) ** length_penalty)
+        if early_stopping is True:
+            full_mask = jnp.all(is_fin, axis=1, keepdims=True)
+            flp = flp + full_mask.astype(jnp.float32) * NEG
+        flp = flp + (~heur_ok).astype(jnp.float32) * NEG
+        ok_fin = jnp.logical_and(hits, top_mask[None])
+        flp = flp + (~ok_fin).astype(jnp.float32) * NEG
+        m_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
+        m_sc = jnp.concatenate([fin_sc, flp], axis=1)
+        m_fin = jnp.concatenate([is_fin, ok_fin], axis=1)
+        new_fin_sc, bidx = jax.lax.top_k(m_sc, K)
+        new_fin_seq = take_beams(m_seq, bidx)
+        new_is_fin = jnp.take_along_axis(m_fin, bidx, axis=1)
+
+        # reorder the cache rows by surviving parents and advance one token
+        flat_parent = (parent_keep + bk_off).reshape(-1)
+        cache2 = qwen2.KVCache(k=jnp.take(cache.k, flat_parent, axis=1),
+                               v=jnp.take(cache.v, flat_parent, axis=1),
+                               index=cache.index)
+        x = qwen2.embed(params["lm"], cur_tok.reshape(-1)[:, None],
+                        dtype=compute_dtype)
+        pos = jnp.broadcast_to(t + i, (b * K, 1)).astype(jnp.int32)
+        h, cache2 = qwen2.forward(params["lm"], cfg.lm, x, pos, cache=cache2)
+        new_logits = qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+
+        # early-stop heuristic ([hf] _check_early_stop_heuristic) at cur_len = i+1
+        if early_stopping == "never" and length_penalty > 0.0:
+            best_len = float(max_new_tokens)
+        else:
+            best_len = (i + 1.0)
+        best_poss = new_run_sc[:, :1] / (best_len ** length_penalty)
+        worst_fin = jnp.where(new_is_fin,
+                              jnp.min(new_fin_sc, axis=1, keepdims=True), NEG)
+        new_heur = jnp.logical_and(
+            heur_ok, jnp.any(best_poss > worst_fin, axis=-1, keepdims=True))
+
+        # loop-level termination ([hf] _beam_search_has_unfinished_sequences)
+        improvement = jnp.any(new_heur)
+        open_beam = (~jnp.all(new_is_fin)) if early_stopping is True \
+            else jnp.ones((), bool)
+        valid_cont = ~jnp.all(hits)
+        new_alive = improvement & open_beam & valid_cont
+        return (i + 1, cache2, new_logits, new_run_seq, new_run_sc,
+                new_fin_seq, new_fin_sc, new_is_fin, new_heur, new_alive)
+
+    carry = (jnp.zeros((), jnp.int32), cache, logits, run_seq, run_sc,
+             fin_seq, fin_sc, is_fin, heur_ok, alive)
+    _, _, _, _, _, fin_seq, fin_sc, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    return (fin_seq[:, :num_return_sequences],
+            fin_sc[:, :num_return_sequences])
