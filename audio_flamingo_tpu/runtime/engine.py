@@ -96,11 +96,13 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
-                                             "compute_dtype"),
+                                             "compute_dtype", "mixed_sampling",
+                                             "want_logprobs", "use_min_new"),
                    donate_argnames=("cache",))
 def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
                  rows: RowSampling, min_left, *, chunk: int, eos_token_id: int,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, mixed_sampling: bool = False,
+                 want_logprobs: bool = False, use_min_new: bool = False):
     """Advance all slots `chunk` steps.
 
     Returns (cache, tokens, done, rng, out [B, chunk], lp [B, chunk] fp32 logprob
@@ -119,13 +121,18 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
         x = qwen2.embed(params["lm"], tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
         logits = qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
-        logits = mask_eos(logits, eos_token_id, min_left > i)
+        if use_min_new:
+            logits = mask_eos(logits, eos_token_id, min_left > i)
         rng, k = jax.random.split(rng)
-        nxt = sample_token_rows(k, logits, rows)
+        # STATIC fast path: an all-greedy batch needs no warpers (the row-wise
+        # top-k/top-p warpers each SORT the full vocab — measurable at 150k)
+        nxt = sample_token_rows(k, logits, rows) if mixed_sampling \
+            else jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_token_id, nxt)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        lp = lp.at[:, i].set(jnp.where(
-            done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
+        if want_logprobs:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            lp = lp.at[:, i].set(jnp.where(
+                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
         new_lengths = cache.lengths + jnp.where(done, 0, 1)
         cache2 = SlotCache(cache2.k, cache2.v, new_lengths)
         out = out.at[:, i].set(nxt)
@@ -437,10 +444,15 @@ class BatchEngine:
                 want = max(req.min_new_tokens,
                            (req.sampling or self.sampling).min_new_tokens)
                 min_left[slot] = max(want - len(req.tokens), 0)
+            mixed = any(not (req.sampling or self.sampling).greedy
+                        for req in self.active.values())
+            want_lp = any(req.logprobs for req in self.active.values())
+            use_min = bool(min_left.any())
             self.cache, self.tokens, self.done, self.rng, out, lp = decode_chunk(
                 self.params, self.cfg, self.cache, self.tokens, self.done, self.rng,
                 self.rows, jnp.asarray(min_left), chunk=self.chunk,
-                eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
+                eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype,
+                mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min)
             out = np.asarray(out)
             self._last_lp = np.asarray(lp)
             row_tokens = [out[s].tolist() for s in range(self.num_slots)]

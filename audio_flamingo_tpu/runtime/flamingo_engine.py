@@ -118,11 +118,14 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
-                                             "compute_dtype"),
+                                             "compute_dtype", "mixed_sampling",
+                                             "want_logprobs", "use_min_new"),
                    donate_argnames=("cache",))
 def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, done,
                        rng, rows, min_left, *, chunk: int,
-                       eos_token_id: int, compute_dtype=jnp.float32):
+                       eos_token_id: int, compute_dtype=jnp.float32,
+                       mixed_sampling: bool = False, want_logprobs: bool = False,
+                       use_min_new: bool = False):
     """Advance all slots `chunk` steps (one host sync). media [B, S, d] per slot.
 
     min_left: [B] remaining min-new-tokens (EOS masked while positive); also
@@ -136,13 +139,17 @@ def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, 
         x = flamingo._embed(params, cfg, tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward_xattn(params, cfg, x, cache.lengths, cache, media)
         logits = flamingo._unembed(params, cfg, h[:, 0])
-        logits = mask_eos(logits, eos_token_id, min_left > i)
+        if use_min_new:
+            logits = mask_eos(logits, eos_token_id, min_left > i)
         rng, k = jax.random.split(rng)
-        nxt = sample_token_rows(k, logits, rows)
+        # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
+        nxt = sample_token_rows(k, logits, rows) if mixed_sampling \
+            else jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_token_id, nxt)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        lp = lp.at[:, i].set(jnp.where(
-            done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
+        if want_logprobs:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            lp = lp.at[:, i].set(jnp.where(
+                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
         cache2 = SlotCache(cache2.k, cache2.v,
                            cache.lengths + jnp.where(done, 0, 1))
         out = out.at[:, i].set(nxt)
@@ -294,10 +301,15 @@ class FlamingoEngine:
             want = max(req.min_new_tokens,
                        (req.sampling or self.sampling).min_new_tokens)
             min_left[slot] = max(want - len(req.tokens), 0)
+        mixed = any(not (req.sampling or self.sampling).greedy
+                    for req in self.active.values())
+        want_lp = any(req.logprobs for req in self.active.values())
+        use_min = bool(min_left.any())
         self.cache, self.tokens, self.done, self.rng, out, lp = decode_chunk_xattn(
             self.params, self.cfg, self.cache, self.media, self.tokens, self.done,
             self.rng, self.rows, jnp.asarray(min_left), chunk=self.chunk,
-            eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype)
+            eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype,
+            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min)
         out = np.asarray(out)
         lp = np.asarray(lp)
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits

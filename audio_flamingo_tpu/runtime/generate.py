@@ -259,6 +259,9 @@ def _generate_rows(params, cfg: AF3Config, token_ids, mels, capacity: int,
         valid = jnp.arange(t)[None] < prompt_len[:, None]
         prompt_history = jnp.where(valid, token_ids, -1)
 
+    min_new = sampling.min_new_tokens
+    if min_new >= 1:
+        first_logits = mask_eos(first_logits, eos_token_id, jnp.ones((b,), bool))
     rng, k0 = jax.random.split(rng)
     first = sample_token(k0, first_logits, sampling, token_history=prompt_history)
     slot = SlotCache(cache.k, cache.v, prompt_len)
@@ -278,6 +281,9 @@ def _generate_rows(params, cfg: AF3Config, token_ids, mels, capacity: int,
         hist = jnp.where(jnp.arange(max_new_tokens)[None] <= step, out, -1)
         if prompt_history is not None:
             hist = jnp.concatenate([prompt_history, hist], axis=1)
+        if min_new > 0:
+            logits = mask_eos(logits, eos_token_id,
+                              jnp.broadcast_to(step + 1 < min_new, (b,)))
         nxt = sample_token(k, logits, sampling, token_history=hist)
         nxt = jnp.where(done, eos_token_id, nxt)
         step = step + 1
@@ -323,10 +329,17 @@ def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
     def hist_arr():
         return jnp.asarray(history, jnp.int32)[None] if history is not None else None
 
+    min_new = sampling.min_new_tokens
+
+    def pick(k, logits, generated):
+        if generated < min_new:
+            logits = mask_eos(logits, eos_token_id, jnp.ones((1,), bool))
+        return sample_token(k, logits, sampling, token_history=hist_arr())
+
     rng, k = jax.random.split(rng)
-    token = sample_token(k, logits, sampling, token_history=hist_arr())
+    token = pick(k, logits, 0)
     position = true_len
-    for _ in range(max_new_tokens):
+    for i in range(max_new_tokens):
         tid = int(token[0])
         yield tid
         if tid == eos_token_id:
@@ -336,5 +349,5 @@ def generate_stream(params, cfg: AF3Config, token_ids: jnp.ndarray,
         cache, logits = decode_step(params, cfg, cache, token,
                                     jnp.asarray(position, jnp.int32), compute_dtype)
         rng, k = jax.random.split(rng)
-        token = sample_token(k, logits, sampling, token_history=hist_arr())
+        token = pick(k, logits, i + 1)
         position += 1

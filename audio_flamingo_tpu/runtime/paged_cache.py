@@ -194,10 +194,13 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
-                                   "compute_dtype"), donate_argnames=("cache",))
+                                   "compute_dtype", "mixed_sampling",
+                                   "want_logprobs", "use_min_new"),
+         donate_argnames=("cache",))
 def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, rng,
                        rows, min_left, *, chunk: int, eos_token_id: int,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, mixed_sampling: bool = False,
+                       want_logprobs: bool = False, use_min_new: bool = False):
     """Advance all rows `chunk` steps through their pages (one host sync per chunk).
 
     rows: ops.sampling.RowSampling — PER-ROW sampling parameters as traced arrays
@@ -213,13 +216,17 @@ def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, r
     def body(i, carry):
         cache, tok, done, rng, out, lp = carry
         cache2, logits = paged_decode_step(params, cfg, cache, tok, compute_dtype)
-        logits = mask_eos(logits, eos_token_id, min_left > i)
+        if use_min_new:
+            logits = mask_eos(logits, eos_token_id, min_left > i)
         rng, kk = jax.random.split(rng)
-        nxt = sample_token_rows(kk, logits, rows)
+        # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
+        nxt = sample_token_rows(kk, logits, rows) if mixed_sampling \
+            else jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_token_id, nxt)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        lp = lp.at[:, i].set(jnp.where(
-            done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
+        if want_logprobs:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            lp = lp.at[:, i].set(jnp.where(
+                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
         # rows that are done must not advance their length (paged_decode_step adds 1)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)
         cache2 = cache2._replace(lengths=lengths)

@@ -552,11 +552,16 @@ class PagedEngine:
             want = max(req.min_new_tokens,
                        (req.sampling or self.sampling).min_new_tokens)
             min_left[row] = max(want - len(req.tokens), 0)
+        mixed = any(not (req.sampling or self.sampling).greedy
+                    for req, _, _ in self.active.values())
+        want_lp = any(req.logprobs for req, _, _ in self.active.values())
+        use_min = bool(min_left.any())
         self.cache, self.tokens, self.done, self.rng, out, lp = paged_decode_chunk(
             self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,
             self.rows, jnp.asarray(min_left), chunk=self.chunk,
             eos_token_id=self.eos_token_id,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min)
         out = np.asarray(out)
         lp = np.asarray(lp)
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits

@@ -143,3 +143,25 @@ def test_engine_features(params, engine_cls, kw):
     for i, (tok, got) in enumerate(zip(out, req.token_logprobs)):
         want = float(ref_lp[t0 - 1 + i, tok])
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_min_new_tokens_ragged_and_stream(params, prompt):
+    """The ragged-batch path and the host streaming loop honor min_new_tokens."""
+    base = _greedy(params, prompt, eos=-2)
+    eos = base[1]
+    # ragged path: prompt_len as a [B] vector routes through _generate_rows
+    toks, lens = gen.generate(
+        params, CFG, jnp.concatenate([prompt, prompt], 0), max_new_tokens=10,
+        eos_token_id=eos, capacity=128,
+        sampling=SamplingParams(greedy=True, min_new_tokens=5),
+        compute_dtype=jnp.float32,
+        prompt_len=jnp.asarray([prompt.shape[1]] * 2, jnp.int32))
+    for r in range(2):
+        row = [int(t) for t in np.asarray(toks)[r][: int(lens[r])]]
+        assert len(row) >= 5 and eos not in row[:4], row
+    # streaming loop
+    streamed = list(gen.generate_stream(
+        params, CFG, prompt, max_new_tokens=10, eos_token_id=eos,
+        sampling=SamplingParams(greedy=True, min_new_tokens=5),
+        compute_dtype=jnp.float32))
+    assert len(streamed) >= 5 and eos not in streamed[:4], streamed
