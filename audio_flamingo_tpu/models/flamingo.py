@@ -250,12 +250,14 @@ def decode_step(params: dict, cfg: AF2Config, cache, media: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "capacity", "sampling",
-                                   "eos_token_id", "compute_dtype", "media_mode"))
+                                   "eos_token_id", "compute_dtype", "media_mode",
+                                   "stop_sequences", "return_logprobs"))
 def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
              window_embeds: jnp.ndarray, *, max_new_tokens: int = 64, capacity: int = 0,
              eos_token_id: int = -1, sampling=None, rng=None, compute_dtype=jnp.float32,
              text_media_idx: jnp.ndarray | None = None, media_mode: str = "last",
-             prompt_len: jnp.ndarray | None = None):
+             prompt_len: jnp.ndarray | None = None, stop_sequences: tuple = (),
+             return_logprobs: bool = False):
     """AF1/AF2 device-side generation (SURVEY.md §3.2 + §3.4).
 
     With text_media_idx, the prompt uses Flamingo media masking (few-shot ICL) and the
@@ -289,7 +291,8 @@ def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
         prompt_history = jnp.where(valid, token_ids, -1)
     return decode_loop(logits0, cache, start, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng,
-                       prompt_history=prompt_history)
+                       prompt_history=prompt_history, stop_sequences=stop_sequences,
+                       return_logprobs=return_logprobs)
 
 
 def logits_with_media_mask(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,

@@ -146,3 +146,23 @@ def test_beam_num_return_sequences(hf_model, params):
         np.testing.assert_allclose(float(scores[0, r]),
                                    float(out.sequences_scores.numpy()[r]),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_beam_batched_matches_single(params):
+    """B=2 batched beam search == two independent B=1 runs (bookkeeping is
+    per-batch-row)."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 120, (1, 9)).astype(np.int32)
+    b = rng.integers(0, 120, (1, 9)).astype(np.int32)
+    both = np.concatenate([a, b], axis=0)
+    seqs2, scores2 = generate_beam(params, CFG, jnp.asarray(both), None,
+                                   num_beams=3, max_new_tokens=8, eos_token_id=EOS,
+                                   compute_dtype=jnp.float32)
+    for r, ids in enumerate([a, b]):
+        seq1, score1 = generate_beam(params, CFG, jnp.asarray(ids), None,
+                                     num_beams=3, max_new_tokens=8, eos_token_id=EOS,
+                                     compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(seqs2)[r, 0],
+                                      np.asarray(seq1)[0, 0])
+        np.testing.assert_allclose(float(scores2[r, 0]), float(score1[0, 0]),
+                                   atol=1e-5)

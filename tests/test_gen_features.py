@@ -165,3 +165,37 @@ def test_min_new_tokens_ragged_and_stream(params, prompt):
         sampling=SamplingParams(greedy=True, min_new_tokens=5),
         compute_dtype=jnp.float32))
     assert len(streamed) >= 5 and eos not in streamed[:4], streamed
+
+
+def test_flamingo_generate_stops_and_logprobs():
+    """The AF1/AF2 (gated-xattn) generate path carries the same stop-sequence and
+    logprob features (it shares decode_loop)."""
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig
+    from audio_flamingo_tpu.models import flamingo
+
+    cfg = AF2Config(
+        clap=ClapAudioConfig(),
+        lm=Qwen2Config(vocab_size=96, hidden_size=32, intermediate_size=64,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       tie_word_embeddings=True),
+        xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        num_audio_transform_layers=2,
+        audio_embed_dim=16,
+    )
+    params = flamingo.init(jax.random.PRNGKey(0), cfg)
+    params["xattn"]["alpha_xattn"] = jnp.full_like(params["xattn"]["alpha_xattn"], 0.5)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 90, (1, 6)), jnp.int32)
+    wins = jnp.asarray(rng.normal(size=(1, 1, 3, 16)), jnp.float32)
+
+    toks, lens, lp = flamingo.generate(params, cfg, ids, wins, max_new_tokens=8,
+                                       eos_token_id=-2, compute_dtype=jnp.float32,
+                                       return_logprobs=True)
+    base = [int(t) for t in np.asarray(toks)[0][: int(lens[0])]]
+    assert all(float(x) <= 0.0 for x in np.asarray(lp)[0][: len(base)])
+    stop = tuple(base[1:3])
+    toks2, lens2 = flamingo.generate(params, cfg, ids, wins, max_new_tokens=8,
+                                     eos_token_id=-2, compute_dtype=jnp.float32,
+                                     stop_sequences=(stop,))
+    got = [int(t) for t in np.asarray(toks2)[0][: int(lens2[0])]]
+    assert got == base[:_find_stop(base, [list(stop)])], (got, base)
