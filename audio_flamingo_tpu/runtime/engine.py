@@ -309,6 +309,26 @@ class Request:
     #                            (kept in the output, HF stop-strings role)
     logprobs: bool = False     # collect per-token logprobs into token_logprobs
     token_logprobs: list = field(default_factory=list)
+    timer: object = None       # RequestTimer, attached at submit
+
+
+def _start_request_metrics(req: Request) -> None:
+    from audio_flamingo_tpu.utils.metrics import RequestTimer
+
+    if req.timer is None:
+        req.timer = RequestTimer()  # clock starts at submit: queue wait counts
+
+
+def _finish_request_metrics(engine, req: Request) -> None:
+    """Record TTFT / decode tok/s / total latency for a retired request
+    (SURVEY.md §5 metrics row: 'RTFx, TTFT, tokens/s per request')."""
+    if req.timer is None:
+        return
+    m = req.timer.finish()
+    engine.request_metrics[req.request_id] = m
+    if getattr(engine, "metrics", None) is not None:
+        engine.metrics.log(request_id=req.request_id,
+                           **{k: v for k, v in m.items() if v is not None})
 
 
 @dataclass
@@ -333,6 +353,7 @@ class BatchEngine:
     draft_cfg: object = None
     spec_k: int = 4
     spec_rounds: int = 4
+    metrics: object = None         # optional utils.metrics.MetricsLogger sink
 
     def __post_init__(self):
         # engines keep no per-row token history on device; a repetition penalty would
@@ -350,6 +371,7 @@ class BatchEngine:
         self.finished: dict[str, list[int]] = {}
         self.row_params: list[SamplingParams] = [self.sampling] * self.num_slots
         self.rows = row_sampling(self.row_params)
+        self.request_metrics: dict[str, dict] = {}
         self.d_cache = None
         if self.draft_params is not None:
             assert self.draft_cfg is not None
@@ -369,6 +391,7 @@ class BatchEngine:
         assert not (self._speculating() and (req.min_new_tokens or req.stop
                                              or req.logprobs)), \
             "min_new_tokens/stop/logprobs are not supported on the speculative path"
+        _start_request_metrics(req)
         self.queue.append(req)
 
     def _fill_slots(self) -> None:
@@ -399,6 +422,8 @@ class BatchEngine:
                 lg = mask_eos(lg, self.eos_token_id, jnp.ones((1,), bool))
             first = sample_token(k, lg, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.timer is not None:
+                req.timer.first_token()
             if req.logprobs:
                 logp = jax.nn.log_softmax(lg[0].astype(jnp.float32))
                 req.token_logprobs.append(float(logp[int(first)]))
@@ -465,6 +490,8 @@ class BatchEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.timer is not None:
+                req.timer.n_tokens += len(emitted)
             if req.logprobs and getattr(self, "_last_lp", None) is not None:
                 req.token_logprobs.extend(
                     float(x) for x in self._last_lp[slot][:len(emitted)])
@@ -482,6 +509,7 @@ class BatchEngine:
             if done[slot] or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 self.finished[req.request_id] = req.tokens
+                _finish_request_metrics(self, req)
                 del self.active[slot]
                 self.done = self.done.at[slot].set(True)
                 self.cache = self.cache._replace(

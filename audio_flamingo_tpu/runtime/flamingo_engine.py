@@ -31,7 +31,10 @@ from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos
 from audio_flamingo_tpu.ops import xattn as xattn_op
 from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos, row_sampling,
                                              sample_token, sample_token_rows)
-from audio_flamingo_tpu.runtime.engine import Request, SlotCache, init_slot_cache
+from audio_flamingo_tpu.runtime.engine import (Request, SlotCache,
+                                               _finish_request_metrics,
+                                               _start_request_metrics,
+                                               init_slot_cache)
 
 
 def _write_rows(c, kk, idx):
@@ -232,8 +235,10 @@ class FlamingoEngine:
         self.queue: deque[FlamingoRequest] = deque()
         self.active: dict[int, FlamingoRequest] = {}
         self.finished: dict[str, list[int]] = {}
+        self.request_metrics: dict[str, dict] = {}
 
     def submit(self, req: FlamingoRequest) -> None:
+        _start_request_metrics(req)
         self.queue.append(req)
 
     def _pad_windows(self, we: np.ndarray | None) -> jnp.ndarray:
@@ -276,6 +281,8 @@ class FlamingoEngine:
                 lgf = mask_eos(lgf, self.eos_token_id, jnp.ones((1,), bool))
             first = sample_token(k, lgf, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.timer is not None:
+                req.timer.first_token()
             if req.logprobs:
                 logp = jax.nn.log_softmax(lgf[0].astype(jnp.float32))
                 req.token_logprobs.append(float(logp[int(first)]))
@@ -283,6 +290,7 @@ class FlamingoEngine:
                 req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
+                _finish_request_metrics(self, req)
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 continue
@@ -320,6 +328,8 @@ class FlamingoEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.timer is not None:
+                req.timer.n_tokens += len(emitted)
             if req.logprobs:
                 req.token_logprobs.extend(float(x) for x in lp[slot][:len(emitted)])
             if req.on_tokens and emitted:
@@ -337,6 +347,7 @@ class FlamingoEngine:
             if done[slot] or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 self.finished[req.request_id] = req.tokens
+                _finish_request_metrics(self, req)
                 del self.active[slot]
                 self.done = self.done.at[slot].set(True)
                 self.cache = self.cache._replace(

@@ -32,7 +32,9 @@ import numpy as np
 from audio_flamingo_tpu.config import AF3Config
 from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos,
                                              row_sampling, sample_token)
-from audio_flamingo_tpu.runtime.engine import Request, _find_stop
+from audio_flamingo_tpu.runtime.engine import (Request, _find_stop,
+                                               _finish_request_metrics,
+                                               _start_request_metrics)
 from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
     init_paged,
@@ -149,6 +151,7 @@ class PagedEngine:
     #                                them (Sarathi-style tail-latency control)
     preempt: bool = True           # pool pressure: swap a row's KV to the host and
     #                                resume later instead of truncating its output
+    metrics: object = None         # optional utils.metrics.MetricsLogger sink
 
     def __post_init__(self):
         assert self.sampling.repetition_penalty == 1.0, \
@@ -158,6 +161,7 @@ class PagedEngine:
         self.prefilling: dict | None = None   # at most one chunked prefill in flight
         self.swapped: dict[str, dict] = {}    # request_id -> host-side KV pages
         self.preemptions = 0
+        self.request_metrics: dict[str, dict] = {}
         self.cache = init_paged(self.cfg.lm, self.num_rows, self.num_blocks,
                                 self.block_size, self.max_blocks_per_seq,
                                 self.kv_dtype or self.compute_dtype)
@@ -186,6 +190,7 @@ class PagedEngine:
         if req.sampling is not None:
             assert req.sampling.repetition_penalty == 1.0, \
                 "engines do not support repetition_penalty; use runtime.generate"
+        _start_request_metrics(req)
         self.queue.append(req)
 
     def _free_pages(self) -> int:
@@ -312,6 +317,8 @@ class PagedEngine:
                 logits = mask_eos(logits, self.eos_token_id, jnp.ones((1,), bool))
             first = sample_token(k, logits, req_sampling)[0]
             req.tokens.append(int(first))
+            if req.timer is not None:
+                req.timer.first_token()
             if req.logprobs:
                 logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
                 req.token_logprobs.append(float(logp[int(first)]))
@@ -319,6 +326,7 @@ class PagedEngine:
                 req.on_tokens([int(first)])
             if int(first) == self.eos_token_id:
                 self.finished[req.request_id] = req.tokens
+                _finish_request_metrics(self, req)
                 self.allocator.release(blocks)
                 if self.store is not None and held:
                     self.store.release(held)
@@ -480,6 +488,8 @@ class PagedEngine:
             logits = mask_eos(logits, self.eos_token_id, jnp.ones((1,), bool))
         first = sample_token(k, logits, req_sampling)[0]
         req.tokens.append(int(first))
+        if req.timer is not None:
+            req.timer.first_token()
         if req.logprobs:
             logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
             req.token_logprobs.append(float(logp[int(first)]))
@@ -487,6 +497,7 @@ class PagedEngine:
             req.on_tokens([int(first)])
         if int(first) == self.eos_token_id:
             self.finished[req.request_id] = req.tokens
+            _finish_request_metrics(self, req)
             self.allocator.release(blocks)
             if self.store is not None and held:
                 self.store.release(held)
@@ -523,6 +534,7 @@ class PagedEngine:
         req, blocks, held = self.active.pop(row)
         req.done = True
         self.finished[req.request_id] = req.tokens
+        _finish_request_metrics(self, req)
         self.allocator.release(blocks)
         if self.store is not None and held:
             self.store.release(held)
@@ -572,6 +584,8 @@ class PagedEngine:
             if self.eos_token_id in emitted:
                 emitted = emitted[: emitted.index(self.eos_token_id) + 1]
             req.tokens.extend(emitted)
+            if req.timer is not None:
+                req.timer.n_tokens += len(emitted)
             if req.logprobs:
                 req.token_logprobs.extend(float(x) for x in lp[row][:len(emitted)])
             if req.on_tokens and emitted:

@@ -154,3 +154,34 @@ def test_streaming_callbacks(params):
         for rid, toks in results.items():
             assert streamed[rid] == toks, (engine_cls.__name__, rid,
                                            streamed[rid], toks)
+
+
+def test_request_metrics_recorded(params):
+    """Engines record TTFT / total latency / decode tok/s per retired request
+    (SURVEY.md §5 metrics row), optionally into a MetricsLogger sink."""
+    from audio_flamingo_tpu.utils.metrics import MetricsLogger
+
+    rng = np.random.default_rng(10)
+    sink = MetricsLogger(verbose=False)
+    eng = BatchEngine(params=params, cfg=CFG, num_slots=2, capacity=256, chunk=4,
+                      eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                      compute_dtype=jnp.float32, metrics=sink)
+    for i in range(3):
+        eng.submit(Request(request_id=f"r{i}",
+                           ids=rng.integers(0, 120, (1, 5 + i)).astype(np.int32),
+                           max_new_tokens=6))
+    results = eng.run_until_done()
+    assert set(eng.request_metrics) == set(results)
+    for rid, m in eng.request_metrics.items():
+        assert m["tokens"] == len(results[rid])
+        assert m["ttft_s"] > 0 and m["total_s"] >= m["ttft_s"]
+    assert len(sink.records) == 3
+
+    peng = PagedEngine(params=params, cfg=CFG, num_rows=2, num_blocks=24,
+                       block_size=8, max_blocks_per_seq=8, chunk=4,
+                       eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                       compute_dtype=jnp.float32)
+    peng.submit(Request(request_id="p", ids=rng.integers(0, 120, (1, 6)).astype(np.int32),
+                        max_new_tokens=6))
+    res = peng.run_until_done()
+    assert peng.request_metrics["p"]["tokens"] == len(res["p"])
