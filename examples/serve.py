@@ -28,7 +28,9 @@ from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
 model = AudioFlamingo.from_random(compute_dtype=jnp.float32)
 engine = PagedEngine(
     params=model.params, cfg=model.cfg,
-    num_rows=4, num_blocks=64, block_size=128, max_blocks_per_seq=16, chunk=16,
+    # block_size should be <= the shared-prefix length or nothing can be shared
+    # (only FULL blocks are prefix-cache candidates); 64 suits chat prompts
+    num_rows=4, num_blocks=128, block_size=64, max_blocks_per_seq=32, chunk=16,
     eos_token_id=model.eos_token_id, sampling=SamplingParams(greedy=True),
     compute_dtype=jnp.float32,
     prefix_cache=True,        # share the recurring system/audio prefix
