@@ -211,7 +211,8 @@ class AudioFlamingo2:
     def generate(self, sound: np.ndarray | list[np.ndarray] | None = None,
                  prompt: str = "Describe the audio.", *, max_new_tokens: int = 128,
                  sampling: SamplingParams = SamplingParams(), seed: int = 0,
-                 chat: bool = False, think: bool = False) -> str:
+                 chat: bool = False, think: bool = False, num_beams: int = 1,
+                 length_penalty: float = 1.0, early_stopping=False) -> str:
         from audio_flamingo_tpu.models import flamingo
         from audio_flamingo_tpu.runtime.clap_processor import AUDIO_TOKEN as CLAP_AT
 
@@ -243,12 +244,27 @@ class AudioFlamingo2:
             ids = jnp.concatenate(
                 [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)], axis=1)
             prompt_len = jnp.asarray(t, jnp.int32)
-        tokens, lengths = flamingo.generate(
-            self.params, self.cfg, ids, wins,
-            max_new_tokens=max_new_tokens, eos_token_id=self.eos_token_id,
-            sampling=sampling, rng=jax.random.PRNGKey(seed),
-            compute_dtype=self.compute_dtype, prompt_len=prompt_len)
-        out_ids = np.asarray(tokens)[0][: int(lengths[0])]
+        if num_beams > 1:
+            from audio_flamingo_tpu.runtime.beam import generate_beam_xattn
+
+            # beams run on the exact (unpadded) prompt: one compile per length
+            seqs, _scores = generate_beam_xattn(
+                self.params, self.cfg, jnp.asarray(batch["ids"]), wins,
+                num_beams=num_beams, max_new_tokens=max_new_tokens,
+                eos_token_id=self.eos_token_id, length_penalty=length_penalty,
+                early_stopping=early_stopping, compute_dtype=self.compute_dtype,
+                min_new_tokens=sampling.min_new_tokens)
+            seq = np.asarray(seqs)[0, 0].tolist()
+            if self.eos_token_id in seq:
+                seq = seq[: seq.index(self.eos_token_id) + 1]
+            out_ids = np.asarray(seq)
+        else:
+            tokens, lengths = flamingo.generate(
+                self.params, self.cfg, ids, wins,
+                max_new_tokens=max_new_tokens, eos_token_id=self.eos_token_id,
+                sampling=sampling, rng=jax.random.PRNGKey(seed),
+                compute_dtype=self.compute_dtype, prompt_len=prompt_len)
+            out_ids = np.asarray(tokens)[0][: int(lengths[0])]
         answer = self.processor.tokenizer.decode(out_ids, skip_special=True)
         if chat:
             self.history.append({"role": "user", "content": text,

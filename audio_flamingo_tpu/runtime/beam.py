@@ -30,35 +30,23 @@ from audio_flamingo_tpu.runtime.generate import prefill
 NEG = -1.0e9
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
-                     "length_penalty", "early_stopping", "compute_dtype",
-                     "min_new_tokens", "num_return_sequences"))
-def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
-                  mels: jnp.ndarray | None = None, *, num_beams: int,
-                  max_new_tokens: int, eos_token_id: int, capacity: int = 0,
-                  length_penalty: float = 1.0, early_stopping=False,
-                  compute_dtype=jnp.bfloat16, min_new_tokens: int = 0,
-                  num_return_sequences: int = 1):
-    """Beam-search decode. Returns (sequences [B, R, max_new_tokens] int32 padded
-    with EOS, scores [B, R] fp32) with R = num_return_sequences, best first —
-    token-exact vs [hf] generate(num_beams=K, do_sample=False).
+def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
+              num_beams: int, max_new_tokens: int, eos_token_id: int,
+              length_penalty: float = 1.0, early_stopping=False,
+              min_new_tokens: int = 0, num_return_sequences: int = 1):
+    """Model-agnostic beam-search loop (traced inside a jit).
 
-    early_stopping: False (default heuristic), True, or "never" — HF semantics.
-    """
-    b, t = token_ids.shape
+    first_logits: [B, V] prefill logits. cache: qwen2.KVCache-shaped pytree with
+    the batch-beam axis at position 1, ALREADY expanded to B*num_beams rows.
+    decode_fn: (cache, tokens [B*K], position []) -> (cache, logits [B*K, V]).
+    Returns (sequences [B, R, max_new_tokens], scores [B, R]) — the HF
+    `_beam_search` bookkeeping documented at module top."""
+    b = first_logits.shape[0]
+    t = prompt_len
     K, K2 = num_beams, 2 * num_beams
     assert num_return_sequences <= K
-    if capacity == 0:
-        capacity = -(-(t + max_new_tokens) // 128) * 128
-
-    cache, logits0 = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
-    # beams ride the batch axis: row b*K + k is beam k of batch item b
-    cache = qwen2.KVCache(k=jnp.repeat(cache.k, K, axis=1),
-                          v=jnp.repeat(cache.v, K, axis=1), index=cache.index)
-    vocab = logits0.shape[-1]
-    logits = jnp.repeat(logits0, K, axis=0)                       # [B*K, V]
+    vocab = first_logits.shape[-1]
+    logits = jnp.repeat(first_logits, K, axis=0)                  # [B*K, V]
 
     pad = eos_token_id if eos_token_id >= 0 else 0
     run_seq = jnp.full((b, K, max_new_tokens), pad, jnp.int32)
@@ -125,11 +113,7 @@ def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
         cache2 = qwen2.KVCache(k=jnp.take(cache.k, flat_parent, axis=1),
                                v=jnp.take(cache.v, flat_parent, axis=1),
                                index=cache.index)
-        x = qwen2.embed(params["lm"], cur_tok.reshape(-1)[:, None],
-                        dtype=compute_dtype)
-        pos = jnp.broadcast_to(t + i, (b * K, 1)).astype(jnp.int32)
-        h, cache2 = qwen2.forward(params["lm"], cfg.lm, x, pos, cache=cache2)
-        new_logits = qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+        cache2, new_logits = decode_fn(cache2, cur_tok.reshape(-1), t + i)
 
         # early-stop heuristic ([hf] _check_early_stop_heuristic) at cur_len = i+1
         if early_stopping == "never" and length_penalty > 0.0:
@@ -156,3 +140,80 @@ def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
     _, _, _, _, _, fin_seq, fin_sc, _, _, _ = jax.lax.while_loop(cond, body, carry)
     return (fin_seq[:, :num_return_sequences],
             fin_sc[:, :num_return_sequences])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
+                     "length_penalty", "early_stopping", "compute_dtype",
+                     "min_new_tokens", "num_return_sequences"))
+def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
+                  mels: jnp.ndarray | None = None, *, num_beams: int,
+                  max_new_tokens: int, eos_token_id: int, capacity: int = 0,
+                  length_penalty: float = 1.0, early_stopping=False,
+                  compute_dtype=jnp.bfloat16, min_new_tokens: int = 0,
+                  num_return_sequences: int = 1):
+    """AF3-family beam-search decode. Returns (sequences [B, R, max_new_tokens]
+    int32 padded with EOS, scores [B, R] fp32), best first — token-exact vs
+    [hf] generate(num_beams=K, do_sample=False).
+
+    early_stopping: False (default heuristic), True, or "never" — HF semantics.
+    """
+    b, t = token_ids.shape
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens) // 128) * 128
+    cache, logits0 = prefill(params, cfg, token_ids, mels, capacity, compute_dtype)
+    # beams ride the batch axis: row b*K + k is beam k of batch item b
+    cache = qwen2.KVCache(k=jnp.repeat(cache.k, num_beams, axis=1),
+                          v=jnp.repeat(cache.v, num_beams, axis=1),
+                          index=cache.index)
+
+    def decode_fn(cache, tokens, position):
+        x = qwen2.embed(params["lm"], tokens[:, None], dtype=compute_dtype)
+        pos = jnp.broadcast_to(position, (tokens.shape[0], 1)).astype(jnp.int32)
+        h, cache = qwen2.forward(params["lm"], cfg.lm, x, pos, cache=cache)
+        return cache, qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
+
+    return beam_loop(logits0, cache, decode_fn, batch=b, prompt_len=t,
+                     num_beams=num_beams, max_new_tokens=max_new_tokens,
+                     eos_token_id=eos_token_id, length_penalty=length_penalty,
+                     early_stopping=early_stopping, min_new_tokens=min_new_tokens,
+                     num_return_sequences=num_return_sequences)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
+                     "length_penalty", "early_stopping", "compute_dtype",
+                     "min_new_tokens", "num_return_sequences", "media_mode"))
+def generate_beam_xattn(params, cfg, token_ids: jnp.ndarray,
+                        window_embeds: jnp.ndarray, *, num_beams: int,
+                        max_new_tokens: int, eos_token_id: int, capacity: int = 0,
+                        length_penalty: float = 1.0, early_stopping=False,
+                        compute_dtype=jnp.float32, min_new_tokens: int = 0,
+                        num_return_sequences: int = 1, media_mode: str = "last"):
+    """AF1/AF2 (gated-xattn) beam search: the same HF bookkeeping over the
+    flamingo prefill/decode pair. Media features are per-batch-row constants, so
+    they expand across beams once and never need the per-step reorder."""
+    from audio_flamingo_tpu.models import flamingo
+
+    b, t = token_ids.shape
+    if capacity == 0:
+        capacity = -(-(t + max_new_tokens) // 128) * 128
+    cache, media, logits0 = flamingo.prefill(params, cfg, token_ids, window_embeds,
+                                             capacity, compute_dtype,
+                                             media_mode=media_mode)
+    cache = qwen2.KVCache(k=jnp.repeat(cache.k, num_beams, axis=1),
+                          v=jnp.repeat(cache.v, num_beams, axis=1),
+                          index=cache.index)
+    media_k = jnp.repeat(media, num_beams, axis=0)
+
+    def decode_fn(cache, tokens, position):
+        return flamingo.decode_step(params, cfg, cache, media_k, tokens,
+                                    position, compute_dtype)
+
+    return beam_loop(logits0, cache, decode_fn, batch=b, prompt_len=t,
+                     num_beams=num_beams, max_new_tokens=max_new_tokens,
+                     eos_token_id=eos_token_id, length_penalty=length_penalty,
+                     early_stopping=early_stopping, min_new_tokens=min_new_tokens,
+                     num_return_sequences=num_return_sequences)

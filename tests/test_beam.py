@@ -166,3 +166,43 @@ def test_beam_batched_matches_single(params):
                                       np.asarray(seq1)[0, 0])
         np.testing.assert_allclose(float(scores2[r, 0]), float(score1[0, 0]),
                                    atol=1e-5)
+
+
+def test_beam_xattn_beam1_matches_greedy():
+    """AF1/AF2 beam search: K=1 == the flamingo greedy path; K=4 scores are
+    teacher-forced-consistent (sum of per-token logprobs / len**penalty)."""
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig
+    from audio_flamingo_tpu.models import flamingo
+    from audio_flamingo_tpu.runtime.beam import generate_beam_xattn
+
+    cfg = AF2Config(
+        clap=ClapAudioConfig(),
+        lm=Qwen2Config(vocab_size=96, hidden_size=32, intermediate_size=64,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       tie_word_embeddings=True),
+        xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        num_audio_transform_layers=2, audio_embed_dim=16)
+    params = flamingo.init(jax.random.PRNGKey(2), cfg)
+    params["xattn"]["alpha_xattn"] = jnp.full_like(params["xattn"]["alpha_xattn"], 0.5)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 90, (1, 6)), jnp.int32)
+    wins = jnp.asarray(rng.normal(size=(1, 1, 4, 16)), jnp.float32)
+
+    greedy_toks, greedy_lens = flamingo.generate(params, cfg, ids, wins,
+                                                 max_new_tokens=8, eos_token_id=-2)
+    g = np.asarray(greedy_toks)[0][: int(greedy_lens[0])].tolist()
+    seqs, scores = generate_beam_xattn(params, cfg, ids, wins, num_beams=1,
+                                       max_new_tokens=8, eos_token_id=-2)
+    b1 = np.asarray(seqs)[0, 0].tolist()
+    assert b1[: len(g)] == g[: len(b1)]
+
+    # K=4: best score must equal the teacher-forced logprob sum / length
+    seqs4, scores4 = generate_beam_xattn(params, cfg, ids, wins, num_beams=4,
+                                         max_new_tokens=6, eos_token_id=-2)
+    best = np.asarray(seqs4)[0, 0].tolist()
+    full = jnp.concatenate([ids, jnp.asarray([best], jnp.int32)], axis=1)
+    lg = flamingo.logits(params, cfg, full, wins)
+    lp = jax.nn.log_softmax(lg[0].astype(jnp.float32), axis=-1)
+    t0 = ids.shape[1]
+    want = sum(float(lp[t0 - 1 + i, tok]) for i, tok in enumerate(best)) / len(best)
+    np.testing.assert_allclose(float(scores4[0, 0]), want, atol=2e-4, rtol=2e-4)
