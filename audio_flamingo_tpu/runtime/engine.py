@@ -331,6 +331,65 @@ def _finish_request_metrics(engine, req: Request) -> None:
                            **{k: v for k, v in m.items() if v is not None})
 
 
+
+
+def _emit_first_token(engine, req: Request, logits_row, rng_key):
+    """Shared admission-path bookkeeping: sample the request's FIRST token from its
+    [V] prefill logits under its own SamplingParams (EOS floor applied), record
+    timer/logprob/stream-callback state, and retire the request immediately on EOS.
+
+    Returns (token, finished, req_sampling). The caller handles engine-specific
+    cleanup (slot length reset / page release) when finished is True."""
+    import jax as _jax
+
+    req_sampling = req.sampling or engine.sampling
+    lg = logits_row[None] if logits_row.ndim == 1 else logits_row
+    if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
+        lg = mask_eos(lg, engine.eos_token_id, jnp.ones((1,), bool))
+    first = int(sample_token(rng_key, lg, req_sampling)[0])
+    req.tokens.append(first)
+    if req.timer is not None:
+        req.timer.first_token()
+    if req.logprobs:
+        logp = _jax.nn.log_softmax(lg[0].astype(jnp.float32))
+        req.token_logprobs.append(float(logp[first]))
+    if req.on_tokens:
+        req.on_tokens([first])
+    finished = first == engine.eos_token_id
+    if finished:
+        engine.finished[req.request_id] = req.tokens
+        _finish_request_metrics(engine, req)
+    return first, finished, req_sampling
+
+
+def _postprocess_chunk_row(engine, req: Request, row_tokens, lp_row) -> bool:
+    """Shared per-row bookkeeping after a decode chunk: budget/EOS trim, stop-
+    sequence trim (BEFORE callbacks, so streams never deliver tokens that the
+    trim removes from the final result), logprobs, timer, on_tokens.
+
+    Returns True when a stop sequence fired (the caller marks the row done)."""
+    budget = req.max_new_tokens - len(req.tokens)
+    emitted = [int(t) for t in row_tokens[:budget]]
+    if engine.eos_token_id in emitted:
+        emitted = emitted[: emitted.index(engine.eos_token_id) + 1]
+    prev = len(req.tokens)
+    req.tokens.extend(emitted)
+    hit_stop = False
+    if req.stop:
+        end = _find_stop(req.tokens, req.stop)
+        if end is not None:
+            del req.tokens[end:]
+            hit_stop = True
+    kept = req.tokens[prev:]
+    if req.logprobs and lp_row is not None:
+        req.token_logprobs.extend(float(x) for x in lp_row[: len(kept)])
+    if req.timer is not None:
+        req.timer.n_tokens += len(kept)
+    if req.on_tokens and kept:
+        req.on_tokens(kept)
+    return hit_stop
+
+
 @dataclass
 class BatchEngine:
     """Host-side scheduler over the jitted prefill/decode-chunk pair.
@@ -399,7 +458,6 @@ class BatchEngine:
             if slot in self.active or not self.queue:
                 continue
             req = self.queue.popleft()
-            req_sampling = req.sampling or self.sampling
             mels = jnp.asarray(req.mels) if req.mels is not None else None
             from audio_flamingo_tpu.train.data import bucket_tokens
 
@@ -417,20 +475,8 @@ class BatchEngine:
                 slot_capacity=self.capacity, compute_dtype=self.compute_dtype,
                 prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
-            lg = logits[None]
-            if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
-                lg = mask_eos(lg, self.eos_token_id, jnp.ones((1,), bool))
-            first = sample_token(k, lg, req_sampling)[0]
-            req.tokens.append(int(first))
-            if req.timer is not None:
-                req.timer.first_token()
-            if req.logprobs:
-                logp = jax.nn.log_softmax(lg[0].astype(jnp.float32))
-                req.token_logprobs.append(float(logp[int(first)]))
-            if req.on_tokens:
-                req.on_tokens([int(first)])
-            if int(first) == self.eos_token_id:
-                self.finished[req.request_id] = req.tokens
+            first, finished, req_sampling = _emit_first_token(self, req, logits, k)
+            if finished:
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 continue
@@ -485,24 +531,11 @@ class BatchEngine:
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         lengths = np.asarray(self.cache.lengths)
         for slot, req in list(self.active.items()):
-            budget = req.max_new_tokens - len(req.tokens)
-            emitted = [int(t) for t in row_tokens[slot][:budget]]
-            if self.eos_token_id in emitted:
-                emitted = emitted[: emitted.index(self.eos_token_id) + 1]
-            req.tokens.extend(emitted)
-            if req.timer is not None:
-                req.timer.n_tokens += len(emitted)
-            if req.logprobs and getattr(self, "_last_lp", None) is not None:
-                req.token_logprobs.extend(
-                    float(x) for x in self._last_lp[slot][:len(emitted)])
-            if req.on_tokens and emitted:
-                req.on_tokens(emitted)
-            if req.stop:
-                end = _find_stop(req.tokens, req.stop)
-                if end is not None:
-                    del req.tokens[end:]
-                    del req.token_logprobs[end:]
-                    done[slot] = True
+            lp_row = self._last_lp[slot] \
+                if (req.logprobs and getattr(self, "_last_lp", None) is not None) \
+                else None
+            if _postprocess_chunk_row(self, req, row_tokens[slot], lp_row):
+                done[slot] = True
             # capacity guard: evict before per-row writes would clamp at the last slot
             if lengths[slot] >= self.capacity - step_budget - 1:
                 done[slot] = True

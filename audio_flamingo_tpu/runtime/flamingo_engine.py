@@ -32,7 +32,9 @@ from audio_flamingo_tpu.ops import xattn as xattn_op
 from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos, row_sampling,
                                              sample_token, sample_token_rows)
 from audio_flamingo_tpu.runtime.engine import (Request, SlotCache,
+                                               _emit_first_token,
                                                _finish_request_metrics,
+                                               _postprocess_chunk_row,
                                                _start_request_metrics,
                                                init_slot_cache)
 
@@ -238,6 +240,9 @@ class FlamingoEngine:
         self.request_metrics: dict[str, dict] = {}
 
     def submit(self, req: FlamingoRequest) -> None:
+        if req.sampling is not None:
+            assert req.sampling.repetition_penalty == 1.0, \
+                "engines do not support repetition_penalty; use runtime.generate"
         _start_request_metrics(req)
         self.queue.append(req)
 
@@ -275,22 +280,8 @@ class FlamingoEngine:
                 slot_capacity=self.capacity, compute_dtype=self.compute_dtype,
                 prompt_len=prompt_len)
             self.rng, k = jax.random.split(self.rng)
-            req_sampling = req.sampling or self.sampling
-            lgf = logits[None]
-            if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
-                lgf = mask_eos(lgf, self.eos_token_id, jnp.ones((1,), bool))
-            first = sample_token(k, lgf, req_sampling)[0]
-            req.tokens.append(int(first))
-            if req.timer is not None:
-                req.timer.first_token()
-            if req.logprobs:
-                logp = jax.nn.log_softmax(lgf[0].astype(jnp.float32))
-                req.token_logprobs.append(float(logp[int(first)]))
-            if req.on_tokens:
-                req.on_tokens([int(first)])
-            if int(first) == self.eos_token_id:
-                self.finished[req.request_id] = req.tokens
-                _finish_request_metrics(self, req)
+            first, finished, req_sampling = _emit_first_token(self, req, logits, k)
+            if finished:
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
                 continue
@@ -323,25 +314,9 @@ class FlamingoEngine:
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         lengths = np.asarray(self.cache.lengths)
         for slot, req in list(self.active.items()):
-            budget = req.max_new_tokens - len(req.tokens)
-            emitted = [int(t) for t in out[slot][:budget]]
-            if self.eos_token_id in emitted:
-                emitted = emitted[: emitted.index(self.eos_token_id) + 1]
-            req.tokens.extend(emitted)
-            if req.timer is not None:
-                req.timer.n_tokens += len(emitted)
-            if req.logprobs:
-                req.token_logprobs.extend(float(x) for x in lp[slot][:len(emitted)])
-            if req.on_tokens and emitted:
-                req.on_tokens(emitted)
-            if req.stop:
-                from audio_flamingo_tpu.runtime.engine import _find_stop
-
-                end = _find_stop(req.tokens, req.stop)
-                if end is not None:
-                    del req.tokens[end:]
-                    del req.token_logprobs[end:]
-                    done[slot] = True
+            if _postprocess_chunk_row(self, req, out[slot].tolist(),
+                                      lp[slot] if req.logprobs else None):
+                done[slot] = True
             if lengths[slot] >= self.capacity - self.chunk - 1:
                 done[slot] = True
             if done[slot] or len(req.tokens) >= req.max_new_tokens:

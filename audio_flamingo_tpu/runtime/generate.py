@@ -109,6 +109,8 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
         """done |= any stop sequence ends exactly at `step` in out."""
         for seq in stop_sequences:
             m = len(seq)
+            if m > max_new_tokens:   # can never complete within the budget
+                continue
             win = jax.lax.dynamic_slice(
                 out, (0, jnp.maximum(step - m + 1, 0)), (b, m))      # [B, m]
             hit = jnp.all(win == jnp.asarray(seq, jnp.int32)[None], axis=1)

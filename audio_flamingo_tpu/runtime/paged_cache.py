@@ -256,14 +256,23 @@ def paged_install_prefill(cache: PagedKV, row: jnp.ndarray, sub_k: jnp.ndarray,
     assert c % bs == 0, (c, bs)
     n_pages = c // bs
     assert n_pages <= cache.max_blocks, (n_pages, cache.max_blocks)
-    k_pages = sub_k[:, 0].reshape(l, n_pages, bs, nkv, hd)
-    v_pages = sub_v[:, 0].reshape(l, n_pages, bs, nkv, hd)
     idx = jnp.maximum(table_row[:n_pages], 0)
-    k_new = cache.k.at[:, idx].set(k_pages.astype(cache.k.dtype))
-    v_new = cache.v.at[:, idx].set(v_pages.astype(cache.v.dtype))
+    ksc_new, vsc_new = cache.k_scale, cache.v_scale
+    if cache.quantized:   # int8 pools: per-token Q8KVCache quantization + scales
+        kq, ksc = qwen2._quantize_kv(sub_k[:, 0])
+        vq, vsc = qwen2._quantize_kv(sub_v[:, 0])
+        k_pages = kq.reshape(l, n_pages, bs, nkv, hd)
+        v_pages = vq.reshape(l, n_pages, bs, nkv, hd)
+        ksc_new = cache.k_scale.at[:, idx].set(ksc.reshape(l, n_pages, bs, nkv))
+        vsc_new = cache.v_scale.at[:, idx].set(vsc.reshape(l, n_pages, bs, nkv))
+    else:
+        k_pages = sub_k[:, 0].reshape(l, n_pages, bs, nkv, hd).astype(cache.k.dtype)
+        v_pages = sub_v[:, 0].reshape(l, n_pages, bs, nkv, hd).astype(cache.v.dtype)
+    k_new = cache.k.at[:, idx].set(k_pages)
+    v_new = cache.v.at[:, idx].set(v_pages)
     tables = cache.block_tables.at[row].set(table_row)
     lengths = cache.lengths.at[row].set(length)
-    return PagedKV(k_new, v_new, tables, lengths)
+    return PagedKV(k_new, v_new, tables, lengths, ksc_new, vsc_new)
 
 
 @partial(jax.jit, donate_argnames=("cache",))

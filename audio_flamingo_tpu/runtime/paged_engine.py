@@ -30,10 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_flamingo_tpu.config import AF3Config
-from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos,
-                                             row_sampling, sample_token)
-from audio_flamingo_tpu.runtime.engine import (Request, _find_stop,
+from audio_flamingo_tpu.ops.sampling import SamplingParams, row_sampling
+from audio_flamingo_tpu.runtime.engine import (Request, _emit_first_token,
                                                _finish_request_metrics,
+                                               _postprocess_chunk_row,
                                                _start_request_metrics)
 from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
@@ -312,21 +312,8 @@ class PagedEngine:
             self.tables_np[row, :n_prompt] = table_pages
             self.lengths_np[row] = t
             self.rng, k = jax.random.split(self.rng)
-            req_sampling = req.sampling or self.sampling
-            if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
-                logits = mask_eos(logits, self.eos_token_id, jnp.ones((1,), bool))
-            first = sample_token(k, logits, req_sampling)[0]
-            req.tokens.append(int(first))
-            if req.timer is not None:
-                req.timer.first_token()
-            if req.logprobs:
-                logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
-                req.token_logprobs.append(float(logp[int(first)]))
-            if req.on_tokens:
-                req.on_tokens([int(first)])
-            if int(first) == self.eos_token_id:
-                self.finished[req.request_id] = req.tokens
-                _finish_request_metrics(self, req)
+            first, finished, req_sampling = _emit_first_token(self, req, logits, k)
+            if finished:
                 self.allocator.release(blocks)
                 if self.store is not None and held:
                     self.store.release(held)
@@ -483,21 +470,8 @@ class PagedEngine:
         self.tables_np[row, :len(table_pages)] = table_pages
         self.lengths_np[row] = t
         self.rng, k = jax.random.split(self.rng)
-        req_sampling = req.sampling or self.sampling
-        if max(req.min_new_tokens, req_sampling.min_new_tokens) >= 1:
-            logits = mask_eos(logits, self.eos_token_id, jnp.ones((1,), bool))
-        first = sample_token(k, logits, req_sampling)[0]
-        req.tokens.append(int(first))
-        if req.timer is not None:
-            req.timer.first_token()
-        if req.logprobs:
-            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
-            req.token_logprobs.append(float(logp[int(first)]))
-        if req.on_tokens:
-            req.on_tokens([int(first)])
-        if int(first) == self.eos_token_id:
-            self.finished[req.request_id] = req.tokens
-            _finish_request_metrics(self, req)
+        first, finished, req_sampling = _emit_first_token(self, req, logits, k)
+        if finished:
             self.allocator.release(blocks)
             if self.store is not None and held:
                 self.store.release(held)
@@ -579,23 +553,9 @@ class PagedEngine:
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         self.lengths_np = np.asarray(self.cache.lengths).copy()
         for row, (req, blocks, held) in list(self.active.items()):
-            budget = req.max_new_tokens - len(req.tokens)
-            emitted = [int(t) for t in out[row][:budget]]
-            if self.eos_token_id in emitted:
-                emitted = emitted[: emitted.index(self.eos_token_id) + 1]
-            req.tokens.extend(emitted)
-            if req.timer is not None:
-                req.timer.n_tokens += len(emitted)
-            if req.logprobs:
-                req.token_logprobs.extend(float(x) for x in lp[row][:len(emitted)])
-            if req.on_tokens and emitted:
-                req.on_tokens(emitted)
-            if req.stop:
-                end = _find_stop(req.tokens, req.stop)
-                if end is not None:
-                    del req.tokens[end:]
-                    del req.token_logprobs[end:]
-                    done[row] = True
+            if _postprocess_chunk_row(self, req, out[row].tolist(),
+                                      lp[row] if req.logprobs else None):
+                done[row] = True
             full = self.lengths_np[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)

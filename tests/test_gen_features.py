@@ -199,3 +199,80 @@ def test_flamingo_generate_stops_and_logprobs():
                                      stop_sequences=(stop,))
     got = [int(t) for t in np.asarray(toks2)[0][: int(lens2[0])]]
     assert got == base[:_find_stop(base, [list(stop)])], (got, base)
+
+
+def test_stop_longer_than_budget_is_noop(params, prompt):
+    """A stop sequence longer than max_new_tokens can never fire — it must be
+    ignored, not crash the trace (review finding)."""
+    base = _greedy(params, prompt, eos=-2)
+    got = _greedy(params, prompt, eos=-2,
+                  stop_sequences=(tuple(range(1, 15)),))   # len 14 > max_new 10
+    assert got == base
+
+
+@pytest.mark.parametrize("engine_cls,kw", [
+    (BatchEngine, dict(num_slots=2, capacity=256, chunk=4)),
+    (PagedEngine, dict(num_rows=2, num_blocks=24, block_size=8,
+                       max_blocks_per_seq=8, chunk=4)),
+])
+def test_stream_respects_stop_trim(params, engine_cls, kw):
+    """on_tokens must never deliver tokens that the stop-sequence trim removes
+    from the final result (review finding: callbacks fired before trimming)."""
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, 120, (1, 7)).astype(np.int32)
+
+    def run(**req_kw):
+        eng = engine_cls(params=params, cfg=CFG, eos_token_id=127,
+                         sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32, **kw)
+        req = Request(request_id="r", ids=ids.copy(), max_new_tokens=10, **req_kw)
+        eng.submit(req)
+        return eng.run_until_done()["r"], req
+
+    base, _ = run()
+    streamed: list[int] = []
+    out, req = run(stop=[list(base[2:4])], logprobs=True,
+                   on_tokens=streamed.extend)
+    assert streamed == out, (streamed, out)
+    assert len(req.token_logprobs) == len(out)
+    assert req.timer.n_tokens == len(out)
+
+
+def test_first_token_eos_recorded_in_metrics(params):
+    """A request finishing at admission (first sampled token == eos) must still
+    appear in request_metrics (review finding: BatchEngine skipped it)."""
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 120, (1, 7)).astype(np.int32)
+    eng0 = BatchEngine(params=params, cfg=CFG, num_slots=1, capacity=256, chunk=4,
+                       eos_token_id=127, sampling=SamplingParams(greedy=True),
+                       compute_dtype=jnp.float32)
+    eng0.submit(Request(request_id="probe", ids=ids.copy(), max_new_tokens=4))
+    first = eng0.run_until_done()["probe"][0]
+    eng = BatchEngine(params=params, cfg=CFG, num_slots=1, capacity=256, chunk=4,
+                      eos_token_id=first, sampling=SamplingParams(greedy=True),
+                      compute_dtype=jnp.float32)
+    eng.submit(Request(request_id="r", ids=ids.copy(), max_new_tokens=4))
+    res = eng.run_until_done()
+    assert res["r"] == [first]
+    assert "r" in eng.request_metrics and eng.request_metrics["r"]["tokens"] == 1
+
+
+def test_flamingo_engine_rejects_repetition_penalty(params):
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig
+    from audio_flamingo_tpu.models import flamingo as flamingo_mod
+    from audio_flamingo_tpu.runtime.flamingo_engine import (FlamingoEngine,
+                                                            FlamingoRequest)
+
+    cfg2 = AF2Config(
+        clap=ClapAudioConfig(),
+        lm=Qwen2Config(vocab_size=96, hidden_size=32, intermediate_size=64,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       tie_word_embeddings=True),
+        xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        num_audio_transform_layers=2, audio_embed_dim=16)
+    p2 = flamingo_mod.init(jax.random.PRNGKey(0), cfg2)
+    eng = FlamingoEngine(params=p2, cfg=cfg2, num_slots=1, capacity=128,
+                         eos_token_id=90, compute_dtype=jnp.float32)
+    with pytest.raises(AssertionError):
+        eng.submit(FlamingoRequest(request_id="x", ids=np.zeros((1, 4), np.int32),
+                                   sampling=SamplingParams(repetition_penalty=1.3)))

@@ -459,3 +459,42 @@ def test_paged_engine_int8_pool():
         a, b = r_q8[k], r_bf16[k]
         n = min(len(a), len(b), 4)   # early tokens robust to quantization noise
         assert a[:n] == b[:n], (k, a, b)
+
+
+def test_paged_install_prefill_int8(params):
+    """paged_install_prefill on an int8 pool must quantize + carry scales
+    (review finding: it previously cast bf16 KV straight to int8 and dropped
+    the scale arrays)."""
+    rng = np.random.default_rng(11)
+    prompt = jnp.asarray(rng.integers(0, 96, (1, 6)))
+    pre = qwen2.init_cache(CFG, 1, MAX_BLOCKS * BLOCK, dtype=jnp.float32)
+    x = qwen2.embed(params, prompt)
+    h, pre = qwen2.forward(params, CFG, x, jnp.arange(6)[None], cache=pre)
+    first = int(jnp.argmax(qwen2.unembed(params, CFG, h[:, -1])))
+
+    paged = init_paged(CFG, batch=1, num_blocks=16, block_size=BLOCK,
+                       max_blocks_per_seq=MAX_BLOCKS, dtype=jnp.int8)
+    table = jnp.asarray(np.arange(2, 2 + MAX_BLOCKS, dtype=np.int32))
+    paged = paged_install_prefill(paged, jnp.asarray(0), pre.k, pre.v,
+                                  table, jnp.asarray(6), CFG,
+                                  compute_dtype=jnp.float32)
+    assert paged.k_scale is not None
+    written = np.asarray(paged.k_scale)[:, np.asarray(table)]
+    assert np.all(written != 1.0)   # real per-token scales, not the init value
+
+    # greedy decode through the int8 pages matches the fp32 reference closely
+    ref_cache = qwen2.init_cache(CFG, 1, MAX_BLOCKS * BLOCK, dtype=jnp.float32)
+    _, ref_cache = qwen2.forward(params, CFG, x, jnp.arange(6)[None], cache=ref_cache)
+    tok = jnp.asarray([first])
+    ref_tok = first
+    for t in range(6, 10):
+        paged, logits = paged_decode_step(params, CFG, paged, tok,
+                                          compute_dtype=jnp.float32)
+        xr = qwen2.embed(params, jnp.asarray([[ref_tok]]))
+        hr, ref_cache = qwen2.forward(params, CFG, xr, jnp.asarray([[t]]),
+                                      cache=ref_cache)
+        ref_logits = qwen2.unembed(params, CFG, hr[:, 0])
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                                   atol=0.05, rtol=0.05)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        ref_tok = int(jnp.argmax(ref_logits))
