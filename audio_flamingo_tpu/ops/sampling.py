@@ -23,6 +23,9 @@ class SamplingParams(NamedTuple):
     repetition_penalty: float = 1.0  # 1.0 = off; spans prompt+generated (HF input_ids)
     min_new_tokens: int = 0          # EOS is -inf-masked for the first N generated
     #                                  tokens ([hf] MinNewTokensLengthLogitsProcessor)
+    no_repeat_ngram_size: int = 0    # 0 = off; bans tokens completing a seen n-gram
+    #                                  over prompt+generated ([hf]
+    #                                  NoRepeatNGramLogitsProcessor, fairseq rule)
 
 
 def mask_eos(logits: jnp.ndarray, eos_token_id: int,
@@ -57,6 +60,39 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     kth = jnp.sum(keep_sorted, axis=-1, keepdims=True)  # >= 1
     thresh = jnp.take_along_axis(sorted_logits, kth - 1, axis=-1)
     return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_no_repeat_ngram(logits: jnp.ndarray, history: jnp.ndarray,
+                          length: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Ban tokens that would complete an n-gram already present in `history`
+    ([hf] generation/logits_process.py:969 NoRepeatNGramLogitsProcessor — the
+    fairseq rule; the prompt counts).
+
+    history: [B, H] CONTIGUOUS token buffer (prompt + generated so far); only
+    positions < `length` ([] int32) are valid. Static-shape TPU formulation: the
+    current (n-1)-token prefix is compared against every history window at once
+    and the matching windows' successor tokens are scattered to -inf.
+    """
+    if n <= 0:
+        return logits
+    b, h = history.shape
+    v = logits.shape[-1]
+    if h < n:   # can never contain a full n-gram
+        return logits
+    prefix = jax.lax.dynamic_slice(
+        history, (0, jnp.maximum(length - (n - 1), 0)), (b, n - 1))     # [B, n-1]
+    w = h - (n - 1)
+    idx = jnp.arange(w)[:, None] + jnp.arange(n - 1)[None]              # [W, n-1]
+    wins = history[:, idx]                                              # [B, W, n-1]
+    nxt = history[:, n - 1:]                                            # [B, W]
+    # window j is a realized n-gram iff its successor lies in the valid region
+    valid = (jnp.arange(w)[None] + n) <= length
+    match = jnp.logical_and(jnp.all(wins == prefix[:, None, :], axis=-1), valid)
+    tok = jnp.where(match, nxt, v)          # out-of-range -> dropped by the pad col
+    banned = jnp.zeros((b, v + 1), bool).at[
+        jnp.arange(b)[:, None], tok].set(True)[:, :v]
+    out = jnp.where(banned, NEG_INF, logits)
+    return jnp.where(length >= n, out, logits)   # no full n-gram yet -> no-op
 
 
 def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,

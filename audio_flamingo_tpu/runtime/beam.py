@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from audio_flamingo_tpu.config import AF3Config
 from audio_flamingo_tpu.models import qwen2
+from audio_flamingo_tpu.ops.sampling import apply_no_repeat_ngram
 from audio_flamingo_tpu.runtime.generate import prefill
 
 NEG = -1.0e9
@@ -33,7 +34,9 @@ NEG = -1.0e9
 def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
               num_beams: int, max_new_tokens: int, eos_token_id: int,
               length_penalty: float = 1.0, early_stopping=False,
-              min_new_tokens: int = 0, num_return_sequences: int = 1):
+              min_new_tokens: int = 0, num_return_sequences: int = 1,
+              no_repeat_ngram_size: int = 0,
+              prompt_tokens: "jnp.ndarray | None" = None):
     """Model-agnostic beam-search loop (traced inside a jit).
 
     first_logits: [B, V] prefill logits. cache: qwen2.KVCache-shaped pytree with
@@ -68,9 +71,20 @@ def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
         i = c[0]
         return jnp.logical_and(i < max_new_tokens, c[-1])
 
+    if no_repeat_ngram_size > 0:
+        assert prompt_tokens is not None, \
+            "no_repeat_ngram_size needs prompt_tokens"
+        prompt_bk = jnp.repeat(prompt_tokens, K, axis=0)         # [B*K, t]
+
     def body(c):
         i, cache, logits, run_seq, run_sc, fin_seq, fin_sc, is_fin, heur_ok, _ = c
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if no_repeat_ngram_size > 0:
+            # [hf] _beam_search applies the processor on the log-probs of each
+            # RUNNING beam before candidate selection (prompt + generated history)
+            buf = jnp.concatenate(
+                [prompt_bk, run_seq.reshape(b * K, max_new_tokens)], axis=1)
+            lp = apply_no_repeat_ngram(lp, buf, t + i, no_repeat_ngram_size)
         if min_new_tokens > 0 and eos_token_id >= 0:
             col = lp[:, eos_token_id]
             lp = lp.at[:, eos_token_id].set(jnp.where(i < min_new_tokens, NEG, col))
@@ -146,13 +160,14 @@ def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
     jax.jit,
     static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
                      "length_penalty", "early_stopping", "compute_dtype",
-                     "min_new_tokens", "num_return_sequences"))
+                     "min_new_tokens", "num_return_sequences",
+                     "no_repeat_ngram_size"))
 def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
                   mels: jnp.ndarray | None = None, *, num_beams: int,
                   max_new_tokens: int, eos_token_id: int, capacity: int = 0,
                   length_penalty: float = 1.0, early_stopping=False,
                   compute_dtype=jnp.bfloat16, min_new_tokens: int = 0,
-                  num_return_sequences: int = 1):
+                  num_return_sequences: int = 1, no_repeat_ngram_size: int = 0):
     """AF3-family beam-search decode. Returns (sequences [B, R, max_new_tokens]
     int32 padded with EOS, scores [B, R] fp32), best first — token-exact vs
     [hf] generate(num_beams=K, do_sample=False).
@@ -178,20 +193,24 @@ def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
                      num_beams=num_beams, max_new_tokens=max_new_tokens,
                      eos_token_id=eos_token_id, length_penalty=length_penalty,
                      early_stopping=early_stopping, min_new_tokens=min_new_tokens,
-                     num_return_sequences=num_return_sequences)
+                     num_return_sequences=num_return_sequences,
+                     no_repeat_ngram_size=no_repeat_ngram_size,
+                     prompt_tokens=token_ids)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
                      "length_penalty", "early_stopping", "compute_dtype",
-                     "min_new_tokens", "num_return_sequences", "media_mode"))
+                     "min_new_tokens", "num_return_sequences", "media_mode",
+                     "no_repeat_ngram_size"))
 def generate_beam_xattn(params, cfg, token_ids: jnp.ndarray,
                         window_embeds: jnp.ndarray, *, num_beams: int,
                         max_new_tokens: int, eos_token_id: int, capacity: int = 0,
                         length_penalty: float = 1.0, early_stopping=False,
                         compute_dtype=jnp.float32, min_new_tokens: int = 0,
-                        num_return_sequences: int = 1, media_mode: str = "last"):
+                        num_return_sequences: int = 1, media_mode: str = "last",
+                        no_repeat_ngram_size: int = 0):
     """AF1/AF2 (gated-xattn) beam search: the same HF bookkeeping over the
     flamingo prefill/decode pair. Media features are per-batch-row constants, so
     they expand across beams once and never need the per-step reorder."""
@@ -216,4 +235,6 @@ def generate_beam_xattn(params, cfg, token_ids: jnp.ndarray,
                      num_beams=num_beams, max_new_tokens=max_new_tokens,
                      eos_token_id=eos_token_id, length_penalty=length_penalty,
                      early_stopping=early_stopping, min_new_tokens=min_new_tokens,
-                     num_return_sequences=num_return_sequences)
+                     num_return_sequences=num_return_sequences,
+                     no_repeat_ngram_size=no_repeat_ngram_size,
+                     prompt_tokens=token_ids)

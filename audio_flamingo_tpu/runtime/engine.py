@@ -418,8 +418,10 @@ class BatchEngine:
         # engines keep no per-row token history on device; a repetition penalty would
         # be silently skipped (sample_token only applies it WITH history) — refuse
         # loudly and point at the path that supports it
-        assert self.sampling.repetition_penalty == 1.0, \
-            "engines do not support repetition_penalty; use runtime.generate"
+        assert self.sampling.repetition_penalty == 1.0 \
+            and self.sampling.no_repeat_ngram_size == 0, \
+            "engines do not support repetition_penalty / n-gram blocking; " \
+            "use runtime.generate"
         self.cache = init_slot_cache(self.cfg.lm, self.num_slots, self.capacity,
                                      self.compute_dtype)
         self.tokens = jnp.full((self.num_slots,), self.eos_token_id, jnp.int32)
@@ -443,8 +445,10 @@ class BatchEngine:
 
     def submit(self, req: Request) -> None:
         if req.sampling is not None:
-            assert req.sampling.repetition_penalty == 1.0, \
-                "engines do not support repetition_penalty; use runtime.generate"
+            assert req.sampling.repetition_penalty == 1.0 \
+                and req.sampling.no_repeat_ngram_size == 0, \
+                "engines do not support repetition_penalty / n-gram blocking; " \
+                "use runtime.generate"
             assert not self._speculating() or req.sampling.greedy, \
                 "the speculative engine path is greedy-only"
         assert not (self._speculating() and (req.min_new_tokens or req.stop

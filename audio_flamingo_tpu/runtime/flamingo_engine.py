@@ -215,8 +215,10 @@ class FlamingoEngine:
     def __post_init__(self):
         self.row_params = [self.sampling] * self.num_slots
         self.rows = row_sampling(self.row_params)
-        assert self.sampling.repetition_penalty == 1.0, \
-            "engines do not support repetition_penalty; use runtime.generate"
+        assert self.sampling.repetition_penalty == 1.0 \
+            and self.sampling.no_repeat_ngram_size == 0, \
+            "engines do not support repetition_penalty / n-gram blocking; " \
+            "use runtime.generate"
         lcfg = self.cfg.lm
         if flamingo._is_opt(self.cfg):
             hd = lcfg.hidden_size // lcfg.num_heads
@@ -241,8 +243,10 @@ class FlamingoEngine:
 
     def submit(self, req: FlamingoRequest) -> None:
         if req.sampling is not None:
-            assert req.sampling.repetition_penalty == 1.0, \
-                "engines do not support repetition_penalty; use runtime.generate"
+            assert req.sampling.repetition_penalty == 1.0 \
+                and req.sampling.no_repeat_ngram_size == 0, \
+                "engines do not support repetition_penalty / n-gram blocking; " \
+                "use runtime.generate"
         _start_request_metrics(req)
         self.queue.append(req)
 

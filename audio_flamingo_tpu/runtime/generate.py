@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from audio_flamingo_tpu.config import AF3Config
 from audio_flamingo_tpu.models import af3, qwen2
-from audio_flamingo_tpu.ops.sampling import SamplingParams, mask_eos, sample_token
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, apply_no_repeat_ngram,
+                                             mask_eos, sample_token)
 
 
 class GenState(NamedTuple):
@@ -76,7 +77,8 @@ def decode_step(params, cfg: AF3Config, cache: qwen2.KVCache, token: jnp.ndarray
 def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
                 max_new_tokens: int, eos_token_id: int, sampling: SamplingParams,
                 rng: jax.Array, prompt_history: jnp.ndarray | None = None,
-                stop_sequences: tuple = (), return_logprobs: bool = False):
+                stop_sequences: tuple = (), return_logprobs: bool = False,
+                prompt_tokens: jnp.ndarray | None = None):
     """Model-agnostic device-side sampling loop (traced inside a jit).
 
     decode_fn: (cache, token [B], position []) -> (cache, logits [B, vocab]).
@@ -93,6 +95,19 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
     b = first_logits.shape[0]
     rng, k0 = jax.random.split(rng)
     min_new = sampling.min_new_tokens
+    ngram = sampling.no_repeat_ngram_size
+    if ngram > 0:
+        # the n-gram ban needs a CONTIGUOUS prompt+generated buffer ([hf]
+        # NoRepeatNGramLogitsProcessor runs over input_ids) — callers pass the
+        # exact (unpadded) prompt
+        assert prompt_tokens is not None, \
+            "no_repeat_ngram_size needs prompt_tokens (exact, unpadded prompt)"
+        t0 = prompt_tokens.shape[1]
+        first_logits = apply_no_repeat_ngram(
+            first_logits,
+            jnp.concatenate([prompt_tokens,
+                             jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1),
+            jnp.asarray(t0, jnp.int32), ngram)
     if min_new >= 1:
         first_logits = mask_eos(first_logits, eos_token_id, jnp.ones((b,), bool))
     first = sample_token(k0, first_logits, sampling, token_history=prompt_history)
@@ -145,6 +160,10 @@ def decode_loop(first_logits, cache, prompt_len: int, decode_fn, *,
         hist = jnp.where(jnp.arange(max_new_tokens)[None] <= s.step, s.out_tokens, -1)
         if prompt_history is not None:
             hist = jnp.concatenate([prompt_history, hist], axis=1)
+        if ngram > 0:
+            buf = jnp.concatenate([prompt_tokens, s.out_tokens], axis=1)
+            logits = apply_no_repeat_ngram(
+                logits, buf, prompt_tokens.shape[1] + s.step + 1, ngram)
         if min_new > 0:
             logits = mask_eos(logits, eos_token_id,
                               jnp.broadcast_to(s.step + 1 < min_new, (b,)))
@@ -211,8 +230,9 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
         rng = jax.random.PRNGKey(0)
 
     if prompt_len is not None and getattr(prompt_len, "ndim", 0) == 1:
-        assert not stop_sequences and not return_logprobs, \
-            "ragged batches: use the engines for stops/logprobs"
+        assert not stop_sequences and not return_logprobs \
+            and sampling.no_repeat_ngram_size == 0, \
+            "ragged batches: use the engines for stops/logprobs/ngram blocking"
         return _generate_rows(params, cfg, token_ids, mels, capacity, max_new_tokens,
                               eos_token_id, sampling, rng, compute_dtype, prompt_len)
 
@@ -228,10 +248,15 @@ def generate(params, cfg: AF3Config, token_ids: jnp.ndarray,
     def decode_fn(cache, token, position):
         return decode_step(params, cfg, cache, token, position, compute_dtype)
 
+    if sampling.no_repeat_ngram_size > 0:
+        assert prompt_len is None, \
+            "no_repeat_ngram_size needs the exact prompt (no shape bucket padding)"
     return decode_loop(logits, cache, start, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng,
                        prompt_history=prompt_history, stop_sequences=stop_sequences,
-                       return_logprobs=return_logprobs)
+                       return_logprobs=return_logprobs,
+                       prompt_tokens=token_ids
+                       if sampling.no_repeat_ngram_size > 0 else None)
 
 
 def _generate_rows(params, cfg: AF3Config, token_ids, mels, capacity: int,

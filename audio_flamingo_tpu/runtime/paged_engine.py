@@ -154,8 +154,10 @@ class PagedEngine:
     metrics: object = None         # optional utils.metrics.MetricsLogger sink
 
     def __post_init__(self):
-        assert self.sampling.repetition_penalty == 1.0, \
-            "engines do not support repetition_penalty; use runtime.generate"
+        assert self.sampling.repetition_penalty == 1.0 \
+            and self.sampling.no_repeat_ngram_size == 0, \
+            "engines do not support repetition_penalty / n-gram blocking; " \
+            "use runtime.generate"
         assert self.prefill_chunk % self.block_size == 0, \
             "prefill_chunk must be a multiple of block_size"
         self.prefilling: dict | None = None   # at most one chunked prefill in flight
@@ -188,8 +190,10 @@ class PagedEngine:
 
     def submit(self, req: Request) -> None:
         if req.sampling is not None:
-            assert req.sampling.repetition_penalty == 1.0, \
-                "engines do not support repetition_penalty; use runtime.generate"
+            assert req.sampling.repetition_penalty == 1.0 \
+                and req.sampling.no_repeat_ngram_size == 0, \
+                "engines do not support repetition_penalty / n-gram blocking; " \
+                "use runtime.generate"
         _start_request_metrics(req)
         self.queue.append(req)
 

@@ -206,3 +206,31 @@ def test_beam_xattn_beam1_matches_greedy():
     t0 = ids.shape[1]
     want = sum(float(lp[t0 - 1 + i, tok]) for i, tok in enumerate(best)) / len(best)
     np.testing.assert_allclose(float(scores4[0, 0]), want, atol=2e-4, rtol=2e-4)
+
+
+def test_no_repeat_ngram_matches_hf_greedy_and_beam(hf_model, params):
+    """no_repeat_ngram_size: token-exact vs HF for greedy AND beam search."""
+    import jax as _jax
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime import generate as gen
+
+    ids = TEXT_IDS
+    for n in (2, 3):
+        with torch.no_grad():
+            ref = hf_model.generate(input_ids=torch.from_numpy(ids),
+                                    max_new_tokens=12, do_sample=False,
+                                    no_repeat_ngram_size=n).numpy()[0, ids.shape[1]:]
+        toks, lens = gen.generate(
+            params, CFG, jnp.asarray(ids, jnp.int32), None, max_new_tokens=12,
+            eos_token_id=EOS, compute_dtype=jnp.float32,
+            sampling=SamplingParams(greedy=True, no_repeat_ngram_size=n))
+        got = np.asarray(toks)[0][: int(lens[0])]
+        m = min(len(ref), len(got))
+        np.testing.assert_array_equal(got[:m], ref[:m])
+
+        ref_b, ref_score = _hf_beam(hf_model, ids, 10, 3, no_repeat_ngram_size=n)
+        got_b, got_score = _ours(params, ids.astype(np.int32), 10, 3,
+                                 no_repeat_ngram_size=n)
+        m = min(len(ref_b), len(got_b))
+        np.testing.assert_array_equal(got_b[:m], ref_b[:m])
+        np.testing.assert_allclose(got_score, ref_score, atol=2e-4, rtol=2e-4)
