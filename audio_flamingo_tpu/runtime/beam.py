@@ -36,7 +36,9 @@ def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
               length_penalty: float = 1.0, early_stopping=False,
               min_new_tokens: int = 0, num_return_sequences: int = 1,
               no_repeat_ngram_size: int = 0,
-              prompt_tokens: "jnp.ndarray | None" = None):
+              prompt_tokens: "jnp.ndarray | None" = None,
+              do_sample: bool = False, temperature: float = 1.0,
+              rng: "jax.Array | None" = None):
     """Model-agnostic beam-search loop (traced inside a jit).
 
     first_logits: [B, V] prefill logits. cache: qwen2.KVCache-shaped pytree with
@@ -51,6 +53,7 @@ def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
     vocab = first_logits.shape[-1]
     logits = jnp.repeat(first_logits, K, axis=0)                  # [B*K, V]
 
+    loop_rng = rng if rng is not None else jax.random.PRNGKey(0)
     pad = eos_token_id if eos_token_id >= 0 else 0
     run_seq = jnp.full((b, K, max_new_tokens), pad, jnp.int32)
     run_sc = jnp.zeros((b, K), jnp.float32).at[:, 1:].set(NEG)    # beam 0 only
@@ -88,11 +91,20 @@ def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
         if min_new_tokens > 0 and eos_token_id >= 0:
             col = lp[:, eos_token_id]
             lp = lp.at[:, eos_token_id].set(jnp.where(i < min_new_tokens, NEG, col))
+        if do_sample and temperature != 1.0:
+            lp = lp / max(temperature, 1e-6)   # [hf] warpers run on the log-probs
         lp = lp.reshape(b, K, vocab)
         acc = (lp + run_sc[:, :, None]).reshape(b, K * vocab)
 
-        # top-2K candidates across all beams ([hf] _get_top_k_continuations)
-        cand_sc, idx = jax.lax.top_k(acc, K2)                     # [B, 2K]
+        # top-2K candidates across all beams ([hf] _get_top_k_continuations);
+        # do_sample replaces argmax-top-k with multinomial WITHOUT replacement
+        # over softmax(acc) — exactly the Gumbel-top-k trick (scores stay acc)
+        if do_sample:
+            g = jax.random.gumbel(jax.random.fold_in(loop_rng, i), acc.shape)
+            _, idx = jax.lax.top_k(acc + g, K2)
+            cand_sc = jnp.take_along_axis(acc, idx, axis=1)       # [B, 2K]
+        else:
+            cand_sc, idx = jax.lax.top_k(acc, K2)                 # [B, 2K]
         parent = idx // vocab
         tok = (idx % vocab).astype(jnp.int32)
         cand_seq = take_beams(run_seq, parent).at[:, :, i].set(tok)
@@ -161,13 +173,15 @@ def beam_loop(first_logits, cache, decode_fn, *, batch: int, prompt_len: int,
     static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
                      "length_penalty", "early_stopping", "compute_dtype",
                      "min_new_tokens", "num_return_sequences",
-                     "no_repeat_ngram_size"))
+                     "no_repeat_ngram_size", "do_sample", "temperature"))
 def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
                   mels: jnp.ndarray | None = None, *, num_beams: int,
                   max_new_tokens: int, eos_token_id: int, capacity: int = 0,
                   length_penalty: float = 1.0, early_stopping=False,
                   compute_dtype=jnp.bfloat16, min_new_tokens: int = 0,
-                  num_return_sequences: int = 1, no_repeat_ngram_size: int = 0):
+                  num_return_sequences: int = 1, no_repeat_ngram_size: int = 0,
+                  do_sample: bool = False, temperature: float = 1.0,
+                  rng: jax.Array | None = None):
     """AF3-family beam-search decode. Returns (sequences [B, R, max_new_tokens]
     int32 padded with EOS, scores [B, R] fp32), best first — token-exact vs
     [hf] generate(num_beams=K, do_sample=False).
@@ -195,7 +209,8 @@ def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
                      early_stopping=early_stopping, min_new_tokens=min_new_tokens,
                      num_return_sequences=num_return_sequences,
                      no_repeat_ngram_size=no_repeat_ngram_size,
-                     prompt_tokens=token_ids)
+                     prompt_tokens=token_ids,
+                     do_sample=do_sample, temperature=temperature, rng=rng)
 
 
 @functools.partial(

@@ -234,3 +234,31 @@ def test_no_repeat_ngram_matches_hf_greedy_and_beam(hf_model, params):
         m = min(len(ref_b), len(got_b))
         np.testing.assert_array_equal(got_b[:m], ref_b[:m])
         np.testing.assert_allclose(got_score, ref_score, atol=2e-4, rtol=2e-4)
+
+
+def test_beam_sample_properties(params):
+    """do_sample beams ([hf] beam_sample, Gumbel-top-k == multinomial without
+    replacement): near-zero temperature reduces to deterministic beam search;
+    hot sampling is seeded-deterministic and varies across seeds."""
+    ids = jnp.asarray(TEXT_IDS, jnp.int32)
+    det, _ = generate_beam(params, CFG, ids, None, num_beams=3, max_new_tokens=8,
+                           eos_token_id=EOS, compute_dtype=jnp.float32)
+    cold, _ = generate_beam(params, CFG, ids, None, num_beams=3, max_new_tokens=8,
+                            eos_token_id=EOS, compute_dtype=jnp.float32,
+                            do_sample=True, temperature=1e-4,
+                            rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(det)[0, 0], np.asarray(cold)[0, 0])
+    outs = []
+    for seed in (1, 2):
+        s1, _ = generate_beam(params, CFG, ids, None, num_beams=3, max_new_tokens=8,
+                              eos_token_id=EOS, compute_dtype=jnp.float32,
+                              do_sample=True, temperature=1.5,
+                              rng=jax.random.PRNGKey(seed))
+        s2, _ = generate_beam(params, CFG, ids, None, num_beams=3, max_new_tokens=8,
+                              eos_token_id=EOS, compute_dtype=jnp.float32,
+                              do_sample=True, temperature=1.5,
+                              rng=jax.random.PRNGKey(seed))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        outs.append(np.asarray(s1)[0, 0].tolist())
+    assert outs[0] != outs[1]
+    assert all(0 <= t < CFG.lm.vocab_size for t in outs[0])
