@@ -63,6 +63,8 @@ class WhisperEncoderConfig:
     # pooling after the stack: AF3's adaptor downsamples 2x like Qwen2-Audio's AvgPool1d(2,2)
     # ([hf] models/qwen2_audio/modeling_qwen2_audio.py:329,434-437)
     pool_stride: int = 2
+    # Activation recompute for encoder-tuning stages ("none" | "dots" | "full")
+    remat: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -92,6 +94,15 @@ class Qwen2Config:
     # sliding_window, mirroring [hf] configuration_qwen2.py:181).
     max_window_layers: int = 0
     use_flash: bool = False         # Pallas flash attention for prefill (q_len > 1)
+    # w8a8 PREFILL matmuls on int8-quantized weights: dynamic per-token int8
+    # activations hit the MXU's 2x int8 rate (ops/quant.q_matmul_a8). Multi-token
+    # forwards only; decode stays w8a16. Accuracy is a tolerance band (~1e-2
+    # logits), not bit-exact — a serving-latency knob, off by default.
+    a8_prefill: bool = False
+    # Activation recompute for training ("none" | "dots" | "full", ops/remat.py) —
+    # the DeepSpeed-activation-checkpointing role (SURVEY.md §2.8); applies to the
+    # cache-free forward and forward_sp (the backward-pass paths) only.
+    remat: str = "none"
 
     def resolved_head_dim(self) -> int:
         return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads

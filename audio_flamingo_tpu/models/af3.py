@@ -86,9 +86,12 @@ def logits(params: dict, cfg: AF3Config, token_ids: jnp.ndarray,
     return qwen2.unembed(params["lm"], cfg.lm, h)
 
 
-def _shifted_ce(lg: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Shifted CE over label positions >= 0 (prompt/audio positions are -100-masked),
-    matching [hf] modeling_qwen2_audio.py:853-866 semantics."""
+def _shifted_ce_terms(lg: jnp.ndarray, labels: jnp.ndarray):
+    """Unnormalized shifted-CE terms: (nll_sum, valid_token_count).
+
+    Split out so gradient accumulation can normalize by the GLOBAL valid count across
+    microbatches (train/train_step.py) — making accumulated grads bit-identical to the
+    full-batch loss instead of an average-of-averages approximation."""
     shift_logits = lg[:, :-1]
     shift_labels = labels[:, 1:]
     valid = shift_labels >= 0
@@ -96,7 +99,20 @@ def _shifted_ce(lg: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
-    return nll.sum() / jnp.maximum(valid.sum(), 1)
+    return nll.sum(), valid.sum()
+
+
+def _shifted_ce(lg: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Shifted CE over label positions >= 0 (prompt/audio positions are -100-masked),
+    matching [hf] modeling_qwen2_audio.py:853-866 semantics."""
+    nll_sum, count = _shifted_ce_terms(lg, labels)
+    return nll_sum / jnp.maximum(count, 1)
+
+
+def loss_terms(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
+               mels: jnp.ndarray | None = None, compute_dtype=jnp.float32):
+    """Unnormalized (nll_sum, valid_count) for gradient accumulation (see _shifted_ce_terms)."""
+    return _shifted_ce_terms(logits(params, cfg, token_ids, mels, compute_dtype), labels)
 
 
 def loss(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
@@ -118,6 +134,24 @@ def loss_sp(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.nd
     scatter, unembed and the CE are token-local, so XLA keeps them sequence-sharded.
     Requires T % sp == 0 (pad the token bucket; -100 labels mask the pads).
     """
+    lg = _sp_logits(params, cfg, token_ids, mels, mesh=mesh, axis=axis,
+                    attn_impl=attn_impl, compute_dtype=compute_dtype)
+    return _shifted_ce(lg, labels)
+
+
+def loss_sp_terms(params: dict, cfg: AF3Config, token_ids: jnp.ndarray,
+                  labels: jnp.ndarray, mels: jnp.ndarray | None = None, *, mesh,
+                  axis: str = "model", attn_impl: str = "ring", compute_dtype=jnp.float32):
+    """Unnormalized (nll_sum, valid_count) under sequence parallelism — the SP analogue
+    of loss_terms, so gradient accumulation composes with context-extension training."""
+    lg = _sp_logits(params, cfg, token_ids, mels, mesh=mesh, axis=axis,
+                    attn_impl=attn_impl, compute_dtype=compute_dtype)
+    return _shifted_ce_terms(lg, labels)
+
+
+def _sp_logits(params: dict, cfg: AF3Config, token_ids: jnp.ndarray,
+               mels: jnp.ndarray | None, *, mesh, axis: str, attn_impl: str,
+               compute_dtype) -> jnp.ndarray:
     b, t = token_ids.shape
     sp = mesh.shape[axis]
     assert t % sp == 0, (t, sp)
@@ -125,5 +159,4 @@ def loss_sp(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.nd
     pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     h = qwen2.forward_sp(params["lm"], cfg.lm, x, pos, mesh, axis=axis,
                          attn_impl=attn_impl)
-    lg = qwen2.unembed(params["lm"], cfg.lm, h)
-    return _shifted_ce(lg, labels)
+    return qwen2.unembed(params["lm"], cfg.lm, h)

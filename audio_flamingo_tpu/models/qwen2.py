@@ -123,11 +123,11 @@ def init(rng: jax.Array, cfg: Qwen2Config) -> dict:
     return params
 
 
-def _linear(x, p):
+def _linear(x, p, a8: bool = False):
     if "w_q" in p:  # int8 weight-only path (ops/quant.py)
-        from audio_flamingo_tpu.ops.quant import q_matmul
+        from audio_flamingo_tpu.ops.quant import q_matmul, q_matmul_a8
 
-        y = q_matmul(x, p)
+        y = q_matmul_a8(x, p) if a8 else q_matmul(x, p)
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -152,11 +152,12 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     b, s, d = x.shape
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
     hd = cfg.resolved_head_dim()
+    a8 = cfg.a8_prefill and s > 1   # w8a8 on compute-bound multi-token forwards only
 
     h = rms_norm(x, lp["ln1_w"], cfg.rms_norm_eps)
-    q = _linear(h, lp["q"]).reshape(b, s, nh, hd)
-    k = _linear(h, lp["k"]).reshape(b, s, nkv, hd)
-    v = _linear(h, lp["v"]).reshape(b, s, nkv, hd)
+    q = _linear(h, lp["q"], a8=a8).reshape(b, s, nh, hd)
+    k = _linear(h, lp["k"], a8=a8).reshape(b, s, nkv, hd)
+    v = _linear(h, lp["v"], a8=a8).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
     use_flash_prefill = flash_ok and s > 1
@@ -199,15 +200,16 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
         else:
             attn = gqa_attention(q, k, v, mask=mask)
         new_kv = None
-    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o"])
+    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o"], a8=a8)
 
     h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
     mlp = lp["mlp"]
     if isinstance(mlp["gate"], dict):  # int8 weight-only MLP
-        from audio_flamingo_tpu.ops.quant import q_matmul
+        from audio_flamingo_tpu.ops.quant import q_matmul, q_matmul_a8
 
-        act = jax.nn.silu(q_matmul(h, mlp["gate"])) * q_matmul(h, mlp["up"])
-        x = x + q_matmul(act, mlp["down"])
+        qmm = q_matmul_a8 if a8 else q_matmul
+        act = jax.nn.silu(qmm(h, mlp["gate"])) * qmm(h, mlp["up"])
+        x = x + qmm(act, mlp["down"])
     else:
         x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in mlp.items()})
     return x, new_kv
@@ -330,7 +332,12 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
                                   flash_ok=flash_ok)
             return h, None
 
-        x, _ = jax.lax.scan(body, x, (params["layers"], layer_slides))
+        # cache-free forward is the training path: apply the activation-recompute
+        # policy here so backward saves O(1) layers instead of O(L) (ops/remat.py)
+        from audio_flamingo_tpu.ops.remat import remat_wrap
+
+        x, _ = jax.lax.scan(remat_wrap(body, cfg.remat),
+                            x, (params["layers"], layer_slides))
         new_cache = None
 
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
@@ -381,7 +388,9 @@ def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
             h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in lp["mlp"].items()})
             return h, None
 
-        x, _ = jax.lax.scan(body, x, layers)
+        from audio_flamingo_tpu.ops.remat import remat_wrap
+
+        x, _ = jax.lax.scan(remat_wrap(body, cfg.remat), x, layers)
         return rms_norm(x, ln_f_w, cfg.rms_norm_eps)
 
     # batch stays sharded over the non-SP mesh axes (DP x SP composition: e.g. batch
@@ -391,10 +400,13 @@ def forward_sp(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray,
     seq_spec = P(bspec, axis, None)
     pos_spec = P(bspec, axis)
     layer_specs = jax.tree.map(lambda _: P(), params["layers"])
+    # ring runs the Pallas flash kernel per block (interpret-mode on CPU), which
+    # trips shard_map's vma checker under lax.switch — disable the check there
+    # (jax's own suggested workaround; ring==dense parity tests gate numerics)
     return jax.shard_map(
         stack, mesh=mesh,
         in_specs=(seq_spec, pos_spec, layer_specs, P()),
-        out_specs=seq_spec,
+        out_specs=seq_spec, check_vma=(attn_impl != "ring"),
     )(embeds, positions, params["layers"], params["ln_f_w"])
 
 

@@ -142,7 +142,9 @@ def apply(params: dict, cfg: WhisperEncoderConfig, mels: jnp.ndarray,
     def body(h, lp):
         return _layer_forward(h, lp, cfg), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    from audio_flamingo_tpu.ops.remat import remat_wrap
+
+    x, _ = jax.lax.scan(remat_wrap(body, cfg.remat), x, params["layers"])
     # pooling runs BEFORE the final LayerNorm, matching
     # [hf] models/qwen2_audio/modeling_qwen2_audio.py:434-439 (avg_pooler then layer_norm)
     x = pool_output(x, cfg.pool_stride)

@@ -50,7 +50,8 @@ def init_state(params, stage: Stage, **opt_kwargs) -> tuple[TrainState, optax.Gr
 
 def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
                opt: optax.GradientTransformation, compute_dtype=jnp.bfloat16,
-               sp_mesh=None, sp_axis: str = "model", sp_attn: str = "ring"):
+               sp_mesh=None, sp_axis: str = "model", sp_attn: str = "ring",
+               accum_steps: int = 1):
     """One step. batch: {'ids': [B,T], 'labels': [B,T], 'mels': [B,W,F,M] | None}.
 
     Pure function of (state, batch) — jit/pjit it with donated state. Under a sharded
@@ -60,17 +61,52 @@ def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
     mesh (af3.loss_sp — ring/Ulysses attention, O(T/sp) activation memory/device) for
     context-extension stages (AF3 stage 3.5 / MF full-song, SURVEY.md §2.9 SP row).
     Freeze masks apply unchanged (they live in the optimizer, not the loss).
+
+    accum_steps: gradient accumulation — the batch axis is split into `accum_steps`
+    microbatches processed by a `lax.scan` (activation memory drops by that factor;
+    compose with cfg.lm.remat for the stage-3.5 memory budget). Gradients are summed
+    UNNORMALIZED and divided by the GLOBAL valid-token count, so the result equals the
+    full-batch loss exactly (not an average of per-microbatch means) — the DeepSpeed
+    micro_batch_per_gpu role (SURVEY.md §3.3).
     """
 
-    def loss_fn(params):
+    def terms_fn(params, mb):
         if sp_mesh is not None:
-            return af3.loss_sp(params, cfg, batch["ids"], batch["labels"],
-                               batch.get("mels"), mesh=sp_mesh, axis=sp_axis,
-                               attn_impl=sp_attn, compute_dtype=compute_dtype)
-        return af3.loss(params, cfg, batch["ids"], batch["labels"], batch.get("mels"),
-                        compute_dtype=compute_dtype)
+            return af3.loss_sp_terms(params, cfg, mb["ids"], mb["labels"],
+                                     mb.get("mels"), mesh=sp_mesh, axis=sp_axis,
+                                     attn_impl=sp_attn, compute_dtype=compute_dtype)
+        return af3.loss_terms(params, cfg, mb["ids"], mb["labels"], mb.get("mels"),
+                              compute_dtype=compute_dtype)
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    if accum_steps == 1:
+        def loss_fn(params):
+            nll_sum, count = terms_fn(params, batch)
+            return nll_sum / jnp.maximum(count, 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    else:
+        b = batch["ids"].shape[0]
+        assert b % accum_steps == 0, (b, accum_steps)
+        micro = {k: v.reshape(accum_steps, b // accum_steps, *v.shape[1:])
+                 for k, v in batch.items() if v is not None}
+
+        def nll_fn(params, mb):
+            nll_sum, count = terms_fn(params, mb)
+            return nll_sum, count
+
+        def body(carry, mb):
+            gsum, ssum, csum = carry
+            (s, c), g = jax.value_and_grad(nll_fn, has_aux=True)(state.params, mb)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (gsum, ssum + s, csum + c), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (gsum, ssum, csum), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), micro)
+        denom = jnp.maximum(csum, 1).astype(jnp.float32)
+        grads = jax.tree.map(lambda g: (g / denom).astype(g.dtype), gsum)
+        loss = ssum / denom
+
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -79,12 +115,14 @@ def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
 
 def make_jit_train_step(cfg: AF3Config, opt, mesh=None, state_sharding=None,
                         batch_sharding=None, compute_dtype=jnp.bfloat16,
-                        sp: bool = False, sp_axis: str = "model", sp_attn: str = "ring"):
+                        sp: bool = False, sp_axis: str = "model", sp_attn: str = "ring",
+                        accum_steps: int = 1):
     """Compiled train step; with a mesh, in/out shardings pin params/opt-state placement.
 
     sp=True (requires mesh): run the LM forward sequence-parallel over `sp_axis`."""
     step = partial(train_step, cfg=cfg, opt=opt, compute_dtype=compute_dtype,
-                   sp_mesh=(mesh if sp else None), sp_axis=sp_axis, sp_attn=sp_attn)
+                   sp_mesh=(mesh if sp else None), sp_axis=sp_axis, sp_attn=sp_attn,
+                   accum_steps=accum_steps)
     if mesh is None:
         assert not sp, "sequence parallelism needs a mesh"
         return jax.jit(step, donate_argnums=0)
