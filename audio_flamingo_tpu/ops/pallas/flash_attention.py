@@ -29,6 +29,19 @@ def _interpret() -> bool:
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _out_struct(shape, dtype, *arrays):
+    """ShapeDtypeStruct that works inside shard_map(check_vma=True): outputs inherit
+    the union of the inputs' varying-mesh-axes sets (pallas_call cannot infer them)."""
+    vma = set()
+    for a in arrays:
+        v = getattr(jax.core.get_aval(a), "vma", None)
+        if v:
+            vma |= set(v)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _dot_precision(dtype):
     """f32 inputs must pin HIGHEST or Mosaic demotes the MXU dot to bf16 passes
     (silent ~1e-2 error — same gotcha as the fused mel kernel); bf16 stays native."""
@@ -101,6 +114,54 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     return _flash_vjp(q, k, v, causal, scale, q_offset, block_q, block_k)
 
 
+def flash_attention_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                        causal: bool = False, scale: float | None = None,
+                        q_offset: int = 0, block_q: int = 256, block_k: int = 512):
+    """Like flash_attention but also returns the per-row log-sum-exp [B, Tq, H] (f32).
+
+    This is the primitive cross-block attention composes on: two partial results
+    (out_a, lse_a), (out_b, lse_b) over disjoint KV merge exactly as
+    lse = logaddexp(lse_a, lse_b); out = out_a*exp(lse_a-lse) + out_b*exp(lse_b-lse) —
+    the mechanism ring attention (parallel/sequence.py) uses so each ring step runs
+    this kernel at O(tile) memory instead of materializing block scores.
+
+    Fully differentiable in BOTH outputs: the lse cotangent folds into the fused
+    backward's delta term (ds = p*(dp - (delta - g_lse))), so no extra kernel pass.
+    """
+    return _flash_lse_vjp(q, k, v, causal, scale, q_offset, block_q, block_k)
+
+
+def _lse_out_layout(lse_raw: jnp.ndarray, b: int, h: int, tq: int) -> jnp.ndarray:
+    """[B*H, 1, Tq_pad] kernel layout -> [B, Tq, H] caller layout."""
+    return jnp.transpose(lse_raw.reshape(b, h, -1)[:, :, :tq], (0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_lse_vjp(q, k, v, causal, scale, q_offset, block_q, block_k):
+    out, lse_raw = _flash_forward(q, k, v, causal=causal, scale=scale,
+                                  q_offset=q_offset, block_q=block_q, block_k=block_k)
+    b, tq, h, _ = q.shape
+    return out, _lse_out_layout(lse_raw, b, h, tq)
+
+
+def _flash_lse_fwd(q, k, v, causal, scale, q_offset, block_q, block_k):
+    out, lse_raw = _flash_forward(q, k, v, causal=causal, scale=scale,
+                                  q_offset=q_offset, block_q=block_q, block_k=block_k)
+    b, tq, h, _ = q.shape
+    return (out, _lse_out_layout(lse_raw, b, h, tq)), (q, k, v, out, lse_raw)
+
+
+def _flash_lse_bwd(causal, scale, q_offset, block_q, block_k, res, g):
+    q, k, v, out, lse_raw = res
+    g_out, g_lse = g
+    return _flash_backward(q, k, v, out, lse_raw, g_out, g_lse, causal=causal,
+                           scale=scale, q_offset=q_offset, block_q=block_q,
+                           block_k=block_k)
+
+
+_flash_lse_vjp.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_vjp(q, k, v, causal, scale, q_offset, block_q, block_k):
     out, _ = _flash_forward(q, k, v, causal=causal, scale=scale, q_offset=q_offset,
@@ -123,7 +184,7 @@ def _flash_fwd(q, k, v, causal, scale, q_offset, block_q, block_k):
 
 def _flash_bwd(causal, scale, q_offset, block_q, block_k, res, g):
     q, k, v, out, lse = res
-    return _flash_backward(q, k, v, out, lse, g, causal=causal, scale=scale,
+    return _flash_backward(q, k, v, out, lse, g, None, causal=causal, scale=scale,
                            q_offset=q_offset, block_q=block_q, block_k=block_k)
 
 
@@ -180,8 +241,8 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, tq), jnp.float32),
+            _out_struct((b * h, tq, d), q.dtype, qh, kh, vh),
+            _out_struct((b * h, 1, tq), jnp.float32, qh, kh, vh),
         ],
         interpret=_interpret(),
     )(qh, kh, vh)
@@ -277,10 +338,14 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
                                               "q_offset"))
-def _flash_backward(q, k, v, out, lse, g, *, causal, scale, q_offset,
+def _flash_backward(q, k, v, out, lse, g, g_lse=None, *, causal, scale, q_offset,
                     block_q, block_k):
     """Fused FlashAttention-2 backward. q/k/v/out/g at caller shapes; lse is the padded
     [B*H, 1, Tq_pad] statistic the forward kernel produced. Returns (dq, dk, dv).
+
+    g_lse ([B, Tq, H] or None): cotangent of the log-sum-exp output (flash_attention_lse
+    callers). d lse/d s_j = p_j, so it enters the score gradient as
+    ds = p*(dp - (delta - g_lse)) — a rowwise shift of delta, no extra kernel work.
 
     GQA: dk/dv are computed per QUERY head (same i//g block mapping as the forward)
     then summed over each group of g query heads in XLA.
@@ -314,6 +379,12 @@ def _flash_backward(q, k, v, out, lse, g, *, causal, scale, q_offset,
     delta = jnp.sum(doh.astype(jnp.float32)
                     * jnp.swapaxes(out, 1, 2).reshape(b * h, tq_pad, d)
                     .astype(jnp.float32), axis=-1)[:, None, :]     # [B*H, 1, Tq]
+    if g_lse is not None:
+        # lse cotangent: ds_j = p_j*(dp_j - delta + g_lse) == shift delta by -g_lse
+        gl = jnp.transpose(g_lse.astype(jnp.float32), (0, 2, 1))   # [B, H, Tq]
+        if tq_pad != tq_orig:
+            gl = jnp.pad(gl, ((0, 0), (0, 0), (0, tq_pad - tq_orig)))
+        delta = delta - gl.reshape(b * h, 1, tq_pad)
 
     dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, bq=bq, bk=bk, scale=scale,
                                    causal=causal, q_offset=q_offset, kv_len=kv_len)
@@ -333,8 +404,8 @@ def _flash_backward(q, k, v, out, lse, g, *, causal, scale, q_offset,
             pl.BlockSpec((1, bk, d), lambda i, j, qi: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, tk_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, tk_pad, d), jnp.float32),
+            _out_struct((b * h, tk_pad, d), jnp.float32, qh, kh, vh, doh),
+            _out_struct((b * h, tk_pad, d), jnp.float32, qh, kh, vh, doh),
         ],
         interpret=_interpret(),
     )(qh, doh, lse, delta, kh, vh)
@@ -353,7 +424,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal, scale, q_offset,
             pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),        # q
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d), jnp.float32),
+        out_shape=_out_struct((b * h, tq_pad, d), jnp.float32, qh, kh, vh, doh),
         interpret=_interpret(),
     )(kh, vh, doh, lse, delta, qh)
 

@@ -60,11 +60,23 @@ def ulysses_attention_local(q, k, v, axis: str, causal: bool = False) -> jnp.nda
     return jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=2, tiled=True)
 
 
-def ring_attention_local(q, k, v, axis: str, causal: bool = False) -> jnp.ndarray:
+def ring_attention_local(q, k, v, axis: str, causal: bool = False,
+                         impl: str = "flash") -> jnp.ndarray:
     """Ring attention for callers already inside a shard_map over `axis`.
 
     q [B, T/sp, H, D], k/v [B, T/sp, Hkv, D] local sequence shards; KV rotates around
-    the ring via ppermute with online-softmax accumulation. Exact == full attention.
+    the ring via ppermute with log-sum-exp block merging. Exact == full attention.
+
+    impl="flash" (default): each ring step runs the Pallas flash kernel over the
+    resident KV block — O(tile) score memory, so per-device memory is O(T/sp) as the
+    mechanism promises even at 32k+ training lengths. Block partials (out_i, lse_i)
+    merge exactly: lse = logaddexp(lse, lse_i); out = Σ out_i·exp(lse_i − lse).
+    Each device picks its block relation at runtime (lax.switch on a traced index,
+    fine under SPMD): future block → masked constant, diagonal → causal flash,
+    past → full flash.
+
+    impl="xla": reference path materializing per-step f32 scores [b, blk, h, blk]
+    (O((T/sp)^2) memory) — kept for cross-validation tests.
     """
     sp = jax.lax.axis_size(axis)
     b, block, h, d = q.shape
@@ -74,6 +86,45 @@ def ring_attention_local(q, k, v, axis: str, causal: bool = False) -> jnp.ndarra
     idx = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % sp) for i in range(sp)]
 
+    if impl == "flash":
+        from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention_lse
+
+        def full_blk(kv):
+            return flash_attention_lse(q, kv[0], kv[1], causal=False)
+
+        def diag_blk(kv):
+            # same global offset for q and k rows -> local causal comparison is exact
+            return flash_attention_lse(q, kv[0], kv[1], causal=True)
+
+        def masked_blk(kv):
+            # derive outputs arithmetically from q (and kv) so they carry the
+            # device-varying type through lax.switch under shard_map
+            zero = q * 0 + (kv[0][..., :1, :] * 0).sum()
+            return zero, zero[..., 0].astype(jnp.float32) + NEG_INF
+
+        def step(i, carry):
+            acc, lse, k_blk, v_blk = carry
+            if causal:
+                src = (idx - i) % sp  # global block index this KV shard holds now
+                case = jnp.clip(idx - src + 1, 0, 2)  # 0 future, 1 diagonal, 2 past
+                out_i, lse_i = jax.lax.switch(
+                    case, [masked_blk, diag_blk, full_blk], (k_blk, v_blk))
+            else:
+                out_i, lse_i = full_blk((k_blk, v_blk))
+            lse_new = jnp.logaddexp(lse, lse_i)
+            w_old = jnp.exp(lse - lse_new)[..., None]
+            w_new = jnp.exp(lse_i - lse_new)[..., None]
+            acc = acc * w_old + out_i.astype(jnp.float32) * w_new
+            k_nxt = jax.lax.ppermute(k_blk, axis, perm)
+            v_nxt = jax.lax.ppermute(v_blk, axis, perm)
+            return acc, lse_new, k_nxt, v_nxt
+
+        acc0 = q.astype(jnp.float32) * 0.0
+        lse0 = jnp.zeros((b, block, h), jnp.float32) + NEG_INF + acc0[..., 0]
+        acc, _, _, _ = jax.lax.fori_loop(0, sp, step, (acc0, lse0, k, v))
+        return acc.astype(q.dtype)
+
+    assert impl == "xla", impl
     qf = q.astype(jnp.float32)
     # accumulators derived arithmetically from qf so they carry qf's device-varying
     # type through the fori carry (no jax.lax.pvary — deprecated)
@@ -123,16 +174,20 @@ def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "model",
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "model",
-                   causal: bool = False) -> jnp.ndarray:
+                   causal: bool = False, impl: str = "flash") -> jnp.ndarray:
     """Ring attention with ppermute KV rotation and online softmax.
 
     q [B, T, H, D], k/v [B, T, Hkv, D] sharded on T over `axis`. Exact == full attention.
-    Standalone wrapper: opens its own shard_map.
+    Standalone wrapper: opens its own shard_map. impl: see ring_attention_local.
     """
     spec = P(None, axis, None, None)
+    # check_vma=False for the flash path: interpret-mode pallas_call inside
+    # lax.switch trips shard_map's varying-mesh-axes checker (jax suggests this
+    # exact workaround); numerics are unchanged (exactness tests cover both impls)
     return jax.shard_map(
-        lambda q, k, v: ring_attention_local(q, k, v, axis, causal=causal),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
+        lambda q, k, v: ring_attention_local(q, k, v, axis, causal=causal, impl=impl),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=(impl != "flash"))(q, k, v)
 
 
 def shard_windows(mels: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
