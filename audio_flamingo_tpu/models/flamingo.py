@@ -289,10 +289,15 @@ def generate(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,
     if sampling.repetition_penalty != 1.0:  # HF: penalty spans prompt + generated
         valid = jnp.arange(t)[None] < (prompt_len if prompt_len is not None else t)
         prompt_history = jnp.where(valid, token_ids, -1)
+    if sampling.no_repeat_ngram_size > 0:
+        assert prompt_len is None, \
+            "no_repeat_ngram_size needs the exact prompt (no shape bucket padding)"
     return decode_loop(logits0, cache, start, decode_fn, max_new_tokens=max_new_tokens,
                        eos_token_id=eos_token_id, sampling=sampling, rng=rng,
                        prompt_history=prompt_history, stop_sequences=stop_sequences,
-                       return_logprobs=return_logprobs)
+                       return_logprobs=return_logprobs,
+                       prompt_tokens=token_ids
+                       if sampling.no_repeat_ngram_size > 0 else None)
 
 
 def logits_with_media_mask(params: dict, cfg: AF2Config, token_ids: jnp.ndarray,

@@ -62,16 +62,14 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
-def apply_no_repeat_ngram(logits: jnp.ndarray, history: jnp.ndarray,
-                          length: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Ban tokens that would complete an n-gram already present in `history`
-    ([hf] generation/logits_process.py:969 NoRepeatNGramLogitsProcessor — the
-    fairseq rule; the prompt counts).
+def apply_no_repeat_ngram_rows(logits: jnp.ndarray, history: jnp.ndarray,
+                               lengths: jnp.ndarray, n: int,
+                               enable: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-row-length n-gram ban: the serving-engine variant of apply_no_repeat_ngram.
 
-    history: [B, H] CONTIGUOUS token buffer (prompt + generated so far); only
-    positions < `length` ([] int32) are valid. Static-shape TPU formulation: the
-    current (n-1)-token prefix is compared against every history window at once
-    and the matching windows' successor tokens are scattered to -inf.
+    history: [B, H] contiguous prompt+generated buffer; lengths: [B] int32 valid
+    counts PER ROW (engines: rows sit at different positions). enable: optional [B]
+    bool — rows with enable=False pass through unchanged (per-request opt-in).
     """
     if n <= 0:
         return logits
@@ -79,20 +77,55 @@ def apply_no_repeat_ngram(logits: jnp.ndarray, history: jnp.ndarray,
     v = logits.shape[-1]
     if h < n:   # can never contain a full n-gram
         return logits
-    prefix = jax.lax.dynamic_slice(
-        history, (0, jnp.maximum(length - (n - 1), 0)), (b, n - 1))     # [B, n-1]
+    lengths = jnp.broadcast_to(lengths, (b,)).astype(jnp.int32)
+    # current (n-1)-token prefix per row, gathered at that row's own offset
+    pidx = jnp.clip(lengths[:, None] - (n - 1) + jnp.arange(n - 1)[None], 0, h - 1)
+    prefix = jnp.take_along_axis(history, pidx, axis=1)                 # [B, n-1]
     w = h - (n - 1)
     idx = jnp.arange(w)[:, None] + jnp.arange(n - 1)[None]              # [W, n-1]
     wins = history[:, idx]                                              # [B, W, n-1]
     nxt = history[:, n - 1:]                                            # [B, W]
     # window j is a realized n-gram iff its successor lies in the valid region
-    valid = (jnp.arange(w)[None] + n) <= length
+    valid = (jnp.arange(w)[None] + n) <= lengths[:, None]
     match = jnp.logical_and(jnp.all(wins == prefix[:, None, :], axis=-1), valid)
     tok = jnp.where(match, nxt, v)          # out-of-range -> dropped by the pad col
     banned = jnp.zeros((b, v + 1), bool).at[
         jnp.arange(b)[:, None], tok].set(True)[:, :v]
     out = jnp.where(banned, NEG_INF, logits)
-    return jnp.where(length >= n, out, logits)   # no full n-gram yet -> no-op
+    active = lengths >= n                    # no full n-gram yet -> no-op
+    if enable is not None:
+        active = jnp.logical_and(active, enable)
+    return jnp.where(active[:, None], out, logits)
+
+
+def apply_no_repeat_ngram(logits: jnp.ndarray, history: jnp.ndarray,
+                          length: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Ban tokens that would complete an n-gram already present in `history`
+    ([hf] generation/logits_process.py:969 NoRepeatNGramLogitsProcessor — the
+    fairseq rule; the prompt counts).
+
+    history: [B, H] CONTIGUOUS token buffer (prompt + generated so far); only
+    positions < `length` ([] int32, shared by all rows) are valid.
+    """
+    return apply_no_repeat_ngram_rows(logits, history, length, n)
+
+
+def apply_repetition_penalty_rows(logits: jnp.ndarray, token_history: jnp.ndarray,
+                                  penalty: jnp.ndarray) -> jnp.ndarray:
+    """Per-row HF repetition penalty ([B] f32 penalties; 1.0 = off).
+
+    token_history: [B, H] int32 with -1 for empty slots. Seen-token mask built by
+    scatter (O(B*H) writes) — NOT a [B, H, V] one-hot, which would materialize
+    gigabytes at serving history lengths x a 152k vocab.
+    """
+    b, h = token_history.shape
+    v = logits.shape[-1]
+    tok = jnp.where((token_history < 0) | (token_history >= v), v, token_history)
+    seen = jnp.zeros((b, v + 1), bool).at[
+        jnp.arange(b)[:, None], tok].set(True)[:, :v]
+    pen = jnp.broadcast_to(penalty, (b,)).astype(logits.dtype)[:, None]
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    return jnp.where(seen & (pen != 1.0), penalized, logits)
 
 
 def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
@@ -103,23 +136,21 @@ def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
     """
     if penalty == 1.0:
         return logits
-    seen = jnp.zeros(logits.shape, bool)
-    oh = jax.nn.one_hot(jnp.where(token_history < 0, vocab_size, token_history),
-                        vocab_size + 1, dtype=jnp.bool_)[..., :vocab_size]
-    seen = oh.any(axis=-2)
-    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
-    return jnp.where(seen, penalized, logits)
+    return apply_repetition_penalty_rows(
+        logits, token_history, jnp.full((logits.shape[0],), penalty, logits.dtype))
 
 
 class RowSampling(NamedTuple):
     """Per-row sampling parameters (TRACED arrays, one compiled program for any mix
-    of greedy/temperature/top-k/top-p across a batch — the serving engines' per-
-    request sampling). Build with `row_sampling`."""
+    of greedy/temperature/top-k/top-p/repetition-penalty across a batch — the
+    serving engines' per-request sampling). Build with `row_sampling`."""
 
-    temperature: jnp.ndarray    # [B] f32
-    top_k: jnp.ndarray          # [B] i32, 0 = off
-    top_p: jnp.ndarray          # [B] f32, 1.0 = off
-    greedy: jnp.ndarray         # [B] bool
+    temperature: jnp.ndarray         # [B] f32
+    top_k: jnp.ndarray               # [B] i32, 0 = off
+    top_p: jnp.ndarray               # [B] f32, 1.0 = off
+    greedy: jnp.ndarray              # [B] bool
+    repetition_penalty: jnp.ndarray  # [B] f32, 1.0 = off
+    ngram_n: jnp.ndarray             # [B] i32, 0 = off
 
 
 def row_sampling(params_per_row: "list[SamplingParams]") -> RowSampling:
@@ -129,7 +160,33 @@ def row_sampling(params_per_row: "list[SamplingParams]") -> RowSampling:
         jnp.asarray(np.array([p.temperature for p in params_per_row], np.float32)),
         jnp.asarray(np.array([p.top_k for p in params_per_row], np.int32)),
         jnp.asarray(np.array([p.top_p for p in params_per_row], np.float32)),
-        jnp.asarray(np.array([p.greedy for p in params_per_row], bool)))
+        jnp.asarray(np.array([p.greedy for p in params_per_row], bool)),
+        jnp.asarray(np.array([p.repetition_penalty for p in params_per_row],
+                             np.float32)),
+        jnp.asarray(np.array([p.no_repeat_ngram_size for p in params_per_row],
+                             np.int32)))
+
+
+def apply_row_processors(logits: jnp.ndarray, history: jnp.ndarray,
+                         lengths: jnp.ndarray, rows: RowSampling, *,
+                         use_penalty: bool, ngram_ns: tuple) -> jnp.ndarray:
+    """Engine-side history processors over a device-resident per-row history buffer.
+
+    history: [B, H] prompt+generated ids (-1 = empty); lengths: [B] valid counts.
+    use_penalty / ngram_ns are STATIC (compiled out when off): ngram_ns is the
+    sorted tuple of distinct nonzero n among active rows; each n bans only the
+    rows that requested it (rows.ngram_n == n). Order matches the single-request
+    decode loop (ban sets -inf; the penalty rescales — commutes for sampling).
+    """
+    if use_penalty:
+        logits = apply_repetition_penalty_rows(
+            logits, jnp.where(jnp.arange(history.shape[1])[None] < lengths[:, None],
+                              history, -1),
+            rows.repetition_penalty)
+    for n in ngram_ns:
+        logits = apply_no_repeat_ngram_rows(logits, history, lengths, n,
+                                            enable=rows.ngram_n == n)
+    return logits
 
 
 def apply_top_k_rows(logits: jnp.ndarray, ks: jnp.ndarray) -> jnp.ndarray:

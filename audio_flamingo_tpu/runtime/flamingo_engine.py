@@ -124,46 +124,65 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                              "compute_dtype", "mixed_sampling",
-                                             "want_logprobs", "use_min_new"),
-                   donate_argnames=("cache",))
+                                             "want_logprobs", "use_min_new",
+                                             "use_penalty", "ngram_ns"),
+                   donate_argnames=("cache", "hist"))
 def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, done,
-                       rng, rows, min_left, *, chunk: int,
+                       rng, rows, min_left, hist=None, *, chunk: int,
                        eos_token_id: int, compute_dtype=jnp.float32,
                        mixed_sampling: bool = False, want_logprobs: bool = False,
-                       use_min_new: bool = False):
+                       use_min_new: bool = False, use_penalty: bool = False,
+                       ngram_ns: tuple = ()):
     """Advance all slots `chunk` steps (one host sync). media [B, S, d] per slot.
 
     min_left: [B] remaining min-new-tokens (EOS masked while positive); also
-    returns lp [B, chunk] sampled-token logprobs."""
+    returns lp [B, chunk] sampled-token logprobs.
+    hist [B, H]: device-resident prompt+generated history for the repetition-
+    penalty / n-gram processors (engine.decode_chunk contract); returned updated."""
+    from audio_flamingo_tpu.ops.sampling import apply_row_processors
+
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
     lp0 = jnp.zeros((b, chunk), jnp.float32)
+    if hist is None:
+        hist = jnp.full((b, 8), -1, jnp.int32)   # unused placeholder (processors off)
 
     def body(i, carry):
-        cache, tok, done, rng, out, lp = carry
+        cache, tok, done, rng, out, lp, hist = carry
         x = flamingo._embed(params, cfg, tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward_xattn(params, cfg, x, cache.lengths, cache, media)
         logits = flamingo._unembed(params, cfg, h[:, 0])
+        # same processor/logprob split as runtime.generate.decode_loop
+        if ngram_ns:
+            logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
+                                          use_penalty=False, ngram_ns=ngram_ns)
         if use_min_new:
             logits = mask_eos(logits, eos_token_id, min_left > i)
+        s_logits = logits
+        if use_penalty:
+            s_logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
+                                            use_penalty=True, ngram_ns=())
         rng, k = jax.random.split(rng)
         # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
-        nxt = sample_token_rows(k, logits, rows) if mixed_sampling \
-            else jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = sample_token_rows(k, s_logits, rows) if mixed_sampling \
+            else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_token_id, nxt)
         if want_logprobs:
             logp = jax.nn.log_softmax(logits, axis=-1)
             lp = lp.at[:, i].set(jnp.where(
                 done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
+        if use_penalty or ngram_ns:
+            pos = jnp.where(done, hist.shape[1], cache.lengths + 1)
+            hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
         cache2 = SlotCache(cache2.k, cache2.v,
                            cache.lengths + jnp.where(done, 0, 1))
         out = out.at[:, i].set(nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return cache2, nxt, done, rng, out, lp
+        return cache2, nxt, done, rng, out, lp, hist
 
-    cache, tokens, done, rng, out, lp = jax.lax.fori_loop(
-        0, chunk, body, (cache, tokens, done, rng, out0, lp0))
-    return cache, tokens, done, rng, out, lp
+    cache, tokens, done, rng, out, lp, hist = jax.lax.fori_loop(
+        0, chunk, body, (cache, tokens, done, rng, out0, lp0, hist))
+    return cache, tokens, done, rng, out, lp, hist
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "slot_capacity", "compute_dtype"),
@@ -215,10 +234,7 @@ class FlamingoEngine:
     def __post_init__(self):
         self.row_params = [self.sampling] * self.num_slots
         self.rows = row_sampling(self.row_params)
-        assert self.sampling.repetition_penalty == 1.0 \
-            and self.sampling.no_repeat_ngram_size == 0, \
-            "engines do not support repetition_penalty / n-gram blocking; " \
-            "use runtime.generate"
+        self.hist = jnp.full((self.num_slots, self.capacity), -1, jnp.int32)
         lcfg = self.cfg.lm
         if flamingo._is_opt(self.cfg):
             hd = lcfg.hidden_size // lcfg.num_heads
@@ -242,11 +258,6 @@ class FlamingoEngine:
         self.request_metrics: dict[str, dict] = {}
 
     def submit(self, req: FlamingoRequest) -> None:
-        if req.sampling is not None:
-            assert req.sampling.repetition_penalty == 1.0 \
-                and req.sampling.no_repeat_ngram_size == 0, \
-                "engines do not support repetition_penalty / n-gram blocking; " \
-                "use runtime.generate"
         _start_request_metrics(req)
         self.queue.append(req)
 
@@ -291,6 +302,14 @@ class FlamingoEngine:
                 continue
             self.row_params[slot] = req_sampling
             self.rows = row_sampling(self.row_params)
+            if (req_sampling.repetition_penalty != 1.0
+                    or req_sampling.no_repeat_ngram_size > 0):
+                row = np.full((self.capacity,), -1, np.int32)
+                t0 = min(req.ids.shape[1], self.capacity)
+                row[:t0] = np.asarray(req.ids[0])[:t0]
+                if t0 < self.capacity:
+                    row[t0] = first
+                self.hist = self.hist.at[slot].set(jnp.asarray(row))
             self.tokens = self.tokens.at[slot].set(first)
             self.done = self.done.at[slot].set(False)
             self.active[slot] = req
@@ -308,11 +327,17 @@ class FlamingoEngine:
                     for req in self.active.values())
         want_lp = any(req.logprobs for req in self.active.values())
         use_min = bool(min_left.any())
-        self.cache, self.tokens, self.done, self.rng, out, lp = decode_chunk_xattn(
+        active_s = [req.sampling or self.sampling for req in self.active.values()]
+        use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
+        ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
+                                 if s.no_repeat_ngram_size > 0}))
+        (self.cache, self.tokens, self.done, self.rng, out, lp,
+         self.hist) = decode_chunk_xattn(
             self.params, self.cfg, self.cache, self.media, self.tokens, self.done,
-            self.rng, self.rows, jnp.asarray(min_left), chunk=self.chunk,
+            self.rng, self.rows, jnp.asarray(min_left), self.hist, chunk=self.chunk,
             eos_token_id=self.eos_token_id, compute_dtype=self.compute_dtype,
-            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min)
+            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min,
+            use_penalty=use_pen, ngram_ns=ngram_ns)
         out = np.asarray(out)
         lp = np.asarray(lp)
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits

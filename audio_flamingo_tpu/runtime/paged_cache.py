@@ -195,48 +195,68 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                    "compute_dtype", "mixed_sampling",
-                                   "want_logprobs", "use_min_new"),
-         donate_argnames=("cache",))
+                                   "want_logprobs", "use_min_new",
+                                   "use_penalty", "ngram_ns"),
+         donate_argnames=("cache", "hist"))
 def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, rng,
-                       rows, min_left, *, chunk: int, eos_token_id: int,
+                       rows, min_left, hist=None, *, chunk: int, eos_token_id: int,
                        compute_dtype=jnp.bfloat16, mixed_sampling: bool = False,
-                       want_logprobs: bool = False, use_min_new: bool = False):
+                       want_logprobs: bool = False, use_min_new: bool = False,
+                       use_penalty: bool = False, ngram_ns: tuple = ()):
     """Advance all rows `chunk` steps through their pages (one host sync per chunk).
 
     rows: ops.sampling.RowSampling — PER-ROW sampling parameters as traced arrays
     (per-request sampling with a single compiled program). min_left: [B] int32
     remaining min-new-tokens per row (EOS masked while positive). Also returns
-    lp [B, chunk] fp32 sampled-token logprobs ([hf] output_scores role)."""
-    from audio_flamingo_tpu.ops.sampling import mask_eos, sample_token_rows
+    lp [B, chunk] fp32 sampled-token logprobs ([hf] output_scores role).
+    hist [B, H]: device-resident prompt+generated history for the repetition-
+    penalty / n-gram processors (same contract as engine.decode_chunk: row b holds
+    lengths[b]+1 valid tokens, -1 elsewhere); returned updated."""
+    from audio_flamingo_tpu.ops.sampling import (apply_row_processors, mask_eos,
+                                                 sample_token_rows)
 
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
     lp0 = jnp.zeros((b, chunk), jnp.float32)
+    if hist is None:
+        hist = jnp.full((b, 8), -1, jnp.int32)   # unused placeholder (processors off)
 
     def body(i, carry):
-        cache, tok, done, rng, out, lp = carry
+        cache, tok, done, rng, out, lp, hist = carry
         cache2, logits = paged_decode_step(params, cfg, cache, tok, compute_dtype)
+        # processor split matches runtime.generate.decode_loop: ngram/min-new shape
+        # the reported logits; the penalty warps only the sampling distribution
+        if ngram_ns:
+            logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
+                                          use_penalty=False, ngram_ns=ngram_ns)
         if use_min_new:
             logits = mask_eos(logits, eos_token_id, min_left > i)
+        s_logits = logits
+        if use_penalty:
+            s_logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
+                                            use_penalty=True, ngram_ns=())
         rng, kk = jax.random.split(rng)
         # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
-        nxt = sample_token_rows(kk, logits, rows) if mixed_sampling \
-            else jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = sample_token_rows(kk, s_logits, rows) if mixed_sampling \
+            else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_token_id, nxt)
         if want_logprobs:
             logp = jax.nn.log_softmax(logits, axis=-1)
             lp = lp.at[:, i].set(jnp.where(
                 done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
+        if use_penalty or ngram_ns:
+            pos = jnp.where(done, hist.shape[1], cache.lengths + 1)
+            hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
         # rows that are done must not advance their length (paged_decode_step adds 1)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)
         cache2 = cache2._replace(lengths=lengths)
         out = out.at[:, i].set(nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return cache2, nxt, done, rng, out, lp
+        return cache2, nxt, done, rng, out, lp, hist
 
-    cache, tokens, done, rng, out, lp = jax.lax.fori_loop(
-        0, chunk, body, (cache, tokens, done, rng, out0, lp0))
-    return cache, tokens, done, rng, out, lp
+    cache, tokens, done, rng, out, lp, hist = jax.lax.fori_loop(
+        0, chunk, body, (cache, tokens, done, rng, out0, lp0, hist))
+    return cache, tokens, done, rng, out, lp, hist
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("cache",))

@@ -154,10 +154,6 @@ class PagedEngine:
     metrics: object = None         # optional utils.metrics.MetricsLogger sink
 
     def __post_init__(self):
-        assert self.sampling.repetition_penalty == 1.0 \
-            and self.sampling.no_repeat_ngram_size == 0, \
-            "engines do not support repetition_penalty / n-gram blocking; " \
-            "use runtime.generate"
         assert self.prefill_chunk % self.block_size == 0, \
             "prefill_chunk must be a multiple of block_size"
         self.prefilling: dict | None = None   # at most one chunked prefill in flight
@@ -183,19 +179,29 @@ class PagedEngine:
         self.finished: dict[str, list[int]] = {}
         self.row_params: list[SamplingParams] = [self.sampling] * self.num_rows
         self.rows = row_sampling(self.row_params)
+        # per-row prompt+generated history (-1 = empty) for the repetition-penalty /
+        # n-gram processors; device-resident across chunks, reseeded on (re)admission
+        self.hist = jnp.full((self.num_rows, self.capacity), -1, jnp.int32)
 
     @property
     def capacity(self) -> int:
         return self.max_blocks_per_seq * self.block_size
 
     def submit(self, req: Request) -> None:
-        if req.sampling is not None:
-            assert req.sampling.repetition_penalty == 1.0 \
-                and req.sampling.no_repeat_ngram_size == 0, \
-                "engines do not support repetition_penalty / n-gram blocking; " \
-                "use runtime.generate"
         _start_request_metrics(req)
         self.queue.append(req)
+
+    def _seed_hist(self, row: int, req: Request) -> None:
+        """Seed the device history row with prompt + all emitted tokens (admission
+        AND preempt-resume: req.tokens already holds everything emitted)."""
+        s = req.sampling or self.sampling
+        if s.repetition_penalty == 1.0 and s.no_repeat_ngram_size == 0:
+            return
+        buf = np.full((self.capacity,), -1, np.int32)
+        toks = np.concatenate([np.asarray(req.ids[0], np.int32),
+                               np.asarray(req.tokens, np.int32)])[: self.capacity]
+        buf[: len(toks)] = toks
+        self.hist = self.hist.at[row].set(jnp.asarray(buf))
 
     def _free_pages(self) -> int:
         n = len(self.allocator.free)
@@ -325,6 +331,7 @@ class PagedEngine:
                 continue
             self.row_params[row] = req_sampling
             self.rows = row_sampling(self.row_params)
+            self._seed_hist(row, req)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks, held)
@@ -393,6 +400,7 @@ class PagedEngine:
         self.lengths_np[row] = sw["n_tok"]
         self.row_params[row] = req.sampling or self.sampling
         self.rows = row_sampling(self.row_params)
+        self._seed_hist(row, req)
         self.tokens = self.tokens.at[row].set(sw["last"])
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, [])
@@ -483,6 +491,7 @@ class PagedEngine:
             return
         self.row_params[row] = req_sampling
         self.rows = row_sampling(self.row_params)
+        self._seed_hist(row, req)
         self.tokens = self.tokens.at[row].set(first)
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, held)
@@ -546,12 +555,19 @@ class PagedEngine:
                     for req, _, _ in self.active.values())
         want_lp = any(req.logprobs for req, _, _ in self.active.values())
         use_min = bool(min_left.any())
-        self.cache, self.tokens, self.done, self.rng, out, lp = paged_decode_chunk(
+        active_s = [req.sampling or self.sampling
+                    for req, _, _ in self.active.values()]
+        use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
+        ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
+                                 if s.no_repeat_ngram_size > 0}))
+        (self.cache, self.tokens, self.done, self.rng, out, lp,
+         self.hist) = paged_decode_chunk(
             self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,
-            self.rows, jnp.asarray(min_left), chunk=self.chunk,
+            self.rows, jnp.asarray(min_left), self.hist, chunk=self.chunk,
             eos_token_id=self.eos_token_id,
             compute_dtype=self.compute_dtype,
-            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min)
+            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min,
+            use_penalty=use_pen, ngram_ns=ngram_ns)
         out = np.asarray(out)
         lp = np.asarray(lp)
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits

@@ -257,7 +257,7 @@ def test_first_token_eos_recorded_in_metrics(params):
     assert "r" in eng.request_metrics and eng.request_metrics["r"]["tokens"] == 1
 
 
-def test_flamingo_engine_rejects_repetition_penalty(params):
+def test_flamingo_engine_accepts_repetition_penalty(params):
     from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig
     from audio_flamingo_tpu.models import flamingo as flamingo_mod
     from audio_flamingo_tpu.runtime.flamingo_engine import (FlamingoEngine,
@@ -273,6 +273,10 @@ def test_flamingo_engine_rejects_repetition_penalty(params):
     p2 = flamingo_mod.init(jax.random.PRNGKey(0), cfg2)
     eng = FlamingoEngine(params=p2, cfg=cfg2, num_slots=1, capacity=128,
                          eos_token_id=90, compute_dtype=jnp.float32)
-    with pytest.raises(AssertionError):
-        eng.submit(FlamingoRequest(request_id="x", ids=np.zeros((1, 4), np.int32),
-                                   sampling=SamplingParams(repetition_penalty=1.3)))
+    # round-3: engines support the history processors (device-side per-row buffer);
+    # exactness is gated in test_engine_history_processors.py — here just accept+run
+    eng.submit(FlamingoRequest(request_id="x", ids=np.zeros((1, 4), np.int32),
+                               max_new_tokens=3,
+                               sampling=SamplingParams(greedy=True,
+                                                       repetition_penalty=1.3)))
+    assert len(eng.run_until_done()["x"]) >= 1

@@ -122,12 +122,18 @@ def test_engines_per_request_override(params, engine_cls, kw):
     assert len(got["r2"]) > 0 and all(0 <= t < 128 for t in got["r2"])
 
 
-def test_engine_rejects_per_request_repetition_penalty(params):
+def test_engine_accepts_per_request_repetition_penalty(params):
+    """Round-3: engines maintain a device-side history buffer, so per-request
+    repetition penalty is supported (exactness gated in
+    test_engine_history_processors.py)."""
     eng = BatchEngine(params=params, cfg=CFG, num_slots=1, capacity=256,
                       eos_token_id=EOS, compute_dtype=jnp.float32)
-    with pytest.raises(AssertionError):
-        eng.submit(Request(request_id="x", ids=np.zeros((1, 4), np.int32),
-                           sampling=SamplingParams(repetition_penalty=1.3)))
+    eng.submit(Request(request_id="x", ids=np.zeros((1, 4), np.int32),
+                       max_new_tokens=3,
+                       sampling=SamplingParams(greedy=True,
+                                               repetition_penalty=1.3)))
+    got = eng.run_until_done()
+    assert len(got["x"]) >= 1
 
 
 def test_streaming_callbacks(params):
