@@ -43,6 +43,27 @@ def q_matmul(x: jnp.ndarray, p: dict, use_pallas: bool = False) -> jnp.ndarray:
     return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
 
 
+def q_matmul_a8(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """w8a8: per-token dynamic int8 activation quantization x int8 weights.
+
+    The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197 TOPS), so
+    compute-bound PREFILL halves its matmul time; decode stays w8a16 (bandwidth-
+    bound — activation quantization would add work without saving bytes that
+    matter). Scales: per-token (row) for activations, per-output-channel for
+    weights — the standard dynamic-quant recipe; accuracy is a tolerance band, not
+    bit-exactness (tests/test_quant.py gates the divergence).
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-6) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+                   ).astype(jnp.int8)
+    y = jax.lax.dot_general(x_q, p["w_q"],
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * x_scale * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def random_quantized_lm(rng: jax.Array, cfg) -> dict:
     """Random int8-quantized Qwen2 params WITHOUT materializing f32 weights first.
 

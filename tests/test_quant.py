@@ -118,3 +118,51 @@ def test_q8_kv_cache_close_to_fp_cache():
     assert rel < 0.05, rel
     agree = (np.asarray(fp.argmax(-1)) == np.asarray(q8.argmax(-1))).mean()
     assert agree >= 0.8, agree
+
+
+def test_q_matmul_a8_close_to_float():
+    """w8a8 dynamic activation quantization: y within the int8 quantization band of
+    the exact float product (per-token act scales x per-channel weight scales)."""
+    from audio_flamingo_tpu.ops.quant import q_matmul_a8, quantize_linear
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 96)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(4, 8, 64)).astype(np.float32))
+    p = quantize_linear(jnp.asarray(w))
+    y = q_matmul_a8(x, p)
+    ref = x @ w
+    rel = float(jnp.abs(y - ref).max() / (jnp.abs(ref).max() + 1e-6))
+    assert rel < 0.03, rel
+
+
+def test_a8_prefill_logits_close_and_decode_unchanged():
+    """cfg.a8_prefill speeds multi-token forwards at a bounded accuracy cost; DECODE
+    (s=1) must be bit-identical to the w8a16 path (the knob only touches prefill)."""
+    import dataclasses
+
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+    from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+    cfg = Qwen2Config(vocab_size=96, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      tie_word_embeddings=True)
+    params = quantize_lm_params(qwen2.init(jax.random.PRNGKey(3), cfg))
+    cfg_a8 = dataclasses.replace(cfg, a8_prefill=True)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 96, (2, 12)))
+
+    base = qwen2.logits_from_ids(params, cfg, ids)
+    a8 = qwen2.logits_from_ids(params, cfg_a8, ids)
+    rel = float(jnp.abs(a8 - base).max() / (jnp.abs(base).max() + 1e-6))
+    assert rel < 0.05, rel
+    agree = (np.asarray(base.argmax(-1)) == np.asarray(a8.argmax(-1))).mean()
+    assert agree >= 0.8, agree
+
+    # decode path: single-token forwards identical regardless of the knob
+    x = qwen2.embed(params, ids[:, :1], dtype=jnp.float32)
+    pos = jnp.zeros((2, 1), jnp.int32)
+    c1 = qwen2.init_cache(cfg, 2, 8, dtype=jnp.float32)
+    c2 = qwen2.init_cache(cfg_a8, 2, 8, dtype=jnp.float32)
+    h1, _ = qwen2.forward(params, cfg, x, pos, cache=c1)
+    h2, _ = qwen2.forward(params, cfg_a8, x, pos, cache=c2)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
