@@ -190,6 +190,79 @@ def loss(params: dict, cfg: VocoderConfig, log_mel: jnp.ndarray,
         2.0 * jnp.mean(jnp.abs(pred - target_wav))
 
 
+def speaker_spec(spk_id: int) -> dict:
+    """Deterministic per-speaker voice parameters: f0 base + 3 formant resonances.
+
+    Formant ranges span male->female->child-like voices; speaker identity is a
+    STABLE (f0, F1-F3, rolloff) tuple, while utterances vary prosody/segments —
+    the structure the speaker-separation and intelligibility gates need."""
+    r = np.random.default_rng(1000 + spk_id)
+    return {
+        "f0": float(r.uniform(85.0, 280.0)),
+        "formants": np.array([r.uniform(300, 850), r.uniform(900, 2300),
+                              r.uniform(2400, 3200)], np.float32),
+        "bw": np.array([r.uniform(60, 110), r.uniform(90, 160),
+                        r.uniform(120, 220)], np.float32),
+        "rolloff": float(r.uniform(0.6, 1.1)),
+    }
+
+
+# vowel-like formant targets (F1, F2) the sentence generator moves between
+_VOWELS = np.array([[730, 1090], [270, 2290], [300, 870], [530, 1840], [660, 1720]],
+                   np.float32)
+
+
+def synthetic_sentence(rng: np.random.Generator, spk: dict, seconds: float,
+                       sr: int = 16_000) -> np.ndarray:
+    """One speech-like 'sentence' for a speaker: a sequence of vowel segments with
+    per-segment formant targets (interpolated), f0 declination + vibrato, amplitude
+    envelope with syllable structure, and breath noise."""
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    n_seg = max(2, int(seconds / 0.12))
+    seg_ids = rng.integers(0, len(_VOWELS), n_seg)
+    # piecewise-constant formant targets -> smooth trajectories
+    bounds = np.linspace(0, n, n_seg + 1).astype(int)
+    f1 = np.empty(n, np.float32)
+    f2 = np.empty(n, np.float32)
+    env = np.empty(n, np.float32)
+    for i in range(n_seg):
+        sl = slice(bounds[i], bounds[i + 1])
+        v = _VOWELS[seg_ids[i]]
+        scale = spk["formants"][0] / 500.0   # speaker's vocal-tract scaling
+        f1[sl], f2[sl] = v[0] * scale, v[1] * scale
+        env[sl] = rng.uniform(0.45, 1.0)     # syllable stress
+    k = int(0.02 * sr) | 1
+    kernel = np.hanning(k)
+    kernel /= kernel.sum()
+    f1 = np.convolve(f1, kernel, mode="same")
+    f2 = np.convolve(f2, kernel, mode="same")
+    env = np.convolve(env, kernel, mode="same")
+
+    f0 = spk["f0"] * (1.06 - 0.12 * t / max(seconds, 1e-3))       # declination
+    f0 = f0 * (1.0 + 0.008 * np.sin(2 * np.pi * rng.uniform(4.5, 6.5) * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    wav = np.zeros(n, np.float32)
+    f3, bw = float(spk["formants"][2]), spk["bw"]
+    for h in range(1, 16):
+        fh = h * spk["f0"]
+        if fh > sr / 2 - 200:
+            break
+        res = (1.0 / (1 + ((fh - f1) / bw[0]) ** 2)
+               + 0.7 / (1 + ((fh - f2) / bw[1]) ** 2)
+               + 0.3 / (1 + ((fh - f3) / bw[2]) ** 2))
+        wav += (h ** -spk["rolloff"]) * res * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    wav = wav * env + 0.008 * rng.normal(size=n)
+    return (0.6 * wav / max(np.max(np.abs(wav)), 1e-6)).astype(np.float32)
+
+
+def synthetic_speaker_batch(rng: np.random.Generator, spk_ids, seconds: float,
+                            sr: int = 16_000) -> np.ndarray:
+    """[len(spk_ids), T] sentences, one per requested speaker id."""
+    return np.stack([synthetic_sentence(rng, speaker_spec(int(s)), seconds, sr)
+                     for s in spk_ids])
+
+
 def synthetic_voice_batch(rng: np.random.Generator, batch: int, seconds: float,
                           sr: int = 16_000) -> tuple[np.ndarray, np.ndarray]:
     """Procedural speech-like corpus: harmonic stacks with vibrato + drifting f0,
@@ -218,8 +291,13 @@ def synthetic_voice_batch(rng: np.random.Generator, batch: int, seconds: float,
 
 def train(rng: jax.Array, cfg: VocoderConfig, *, steps: int = 300, batch: int = 8,
           seconds: float = 0.5, lr: float = 2e-4, seed: int = 0,
-          log_every: int = 0) -> tuple[dict, list[float]]:
-    """Train the generator on the synthetic corpus. Returns (params, loss history)."""
+          log_every: int = 0, corpus: str = "speakers",
+          num_speakers: int = 8) -> tuple[dict, list[float]]:
+    """Train the generator on the synthetic corpus. Returns (params, loss history).
+
+    corpus="speakers" (default): multi-speaker formant sentences
+    (synthetic_speaker_batch — varied vocal tracts, the round-3 quality push);
+    corpus="voice": the round-2 single-style harmonic corpus."""
     import optax
 
     params = init(rng, cfg)
@@ -236,7 +314,11 @@ def train(rng: jax.Array, cfg: VocoderConfig, *, steps: int = 300, batch: int = 
     np_rng = np.random.default_rng(seed)
     history = []
     for step in range(steps):
-        wavs, _ = synthetic_voice_batch(np_rng, batch, seconds, cfg.sr)
+        if corpus == "speakers":
+            wavs = synthetic_speaker_batch(
+                np_rng, np_rng.integers(0, num_speakers, batch), seconds, cfg.sr)
+        else:
+            wavs, _ = synthetic_voice_batch(np_rng, batch, seconds, cfg.sr)
         wavs_j = jnp.asarray(wavs)
         mels = mel_fe(wavs_j)
         params, opt_state, l = update(params, opt_state, mels, wavs_j)
@@ -284,6 +366,45 @@ def evaluate(params: dict, cfg: VocoderConfig, *, n: int = 8, seconds: float = 0
     mel_mse = float(jnp.mean((pred_mels - mels) ** 2))
     f0_err = [abs(estimate_f0(np.asarray(pred[i]), cfg.sr) - f0s[i]) for i in range(n)]
     return {"mel_mse": mel_mse, "f0_mae_hz": float(np.mean(f0_err))}
+
+
+def envelope_correlation(params: dict, cfg: VocoderConfig, *, n: int = 6,
+                         seconds: float = 0.6, seed: int = 321,
+                         num_speakers: int = 8) -> float:
+    """Spectral-envelope intelligibility proxy on HELD-OUT multi-speaker sentences:
+    mean per-frame Pearson correlation between the target sentence's mel envelope
+    and the resynthesized waveform's mel envelope. The formant trajectories ARE the
+    'phonetic' content of the procedural corpus, so tracking them across frames is
+    the closest no-ASR intelligibility measure available in-environment."""
+    mel_fe = VocoderMel(cfg)
+    rng = np.random.default_rng(seed)
+    wavs = synthetic_speaker_batch(rng, rng.integers(0, num_speakers, n),
+                                   seconds, cfg.sr)
+    mels = mel_fe(jnp.asarray(wavs))
+    pred_mels = mel_fe(apply(params, cfg, mels))
+    a = np.asarray(mels)
+    b = np.asarray(pred_mels)
+    # per-frame correlation over the mel axis, averaged over frames & sentences
+    a = a - a.mean(axis=-1, keepdims=True)
+    b = b - b.mean(axis=-1, keepdims=True)
+    num = (a * b).sum(-1)
+    den = np.sqrt((a * a).sum(-1) * (b * b).sum(-1)) + 1e-9
+    return float((num / den).mean())
+
+
+_DEFAULT_VOCODER: "NeuralVocoder | None" = None
+
+
+def default_vocoder(steps: int = 200) -> "NeuralVocoder":
+    """Process-cached NeuralVocoder trained on the multi-speaker corpus — the
+    default voice-out path (runtime/voice.py); Griffin-Lim remains the zero-setup
+    fallback."""
+    global _DEFAULT_VOCODER
+    if _DEFAULT_VOCODER is None:
+        cfg = VocoderConfig()
+        params, _ = train(jax.random.PRNGKey(0), cfg, steps=steps)
+        _DEFAULT_VOCODER = NeuralVocoder(params, cfg)
+    return _DEFAULT_VOCODER
 
 
 # --------------------------------------------------------------------------------------

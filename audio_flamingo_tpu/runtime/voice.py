@@ -23,13 +23,21 @@ from audio_flamingo_tpu.models.tts import TTSConfig, synthesize_chunk
 class StreamingTTSSession:
     tts_params: dict
     tts_cfg: TTSConfig
-    vocoder: GriffinLim            # or audio.neural_vocoder.NeuralVocoder (duck-typed
-    pad_id: int = 0                # on .mel_to_waveform(log_mel))
+    vocoder: object = None         # default: the trained NeuralVocoder
+    #                                (audio.neural_vocoder.default_vocoder, round-3
+    #                                default); pass a GriffinLim for the zero-setup
+    #                                DSP fallback — both duck-typed on
+    #                                .mel_to_waveform(log_mel)
+    pad_id: int = 0
     speaker: int | None = None     # voice id when tts_cfg.num_speakers > 0
     _buf: list = field(default_factory=list)
     _state: object = None
 
     def __post_init__(self):
+        if self.vocoder is None:
+            from audio_flamingo_tpu.audio.neural_vocoder import default_vocoder
+
+            self.vocoder = default_vocoder()
         self._state = jnp.zeros((1, self.tts_cfg.state_frames, self.tts_cfg.n_mels),
                                 jnp.float32)
         self._speaker = (None if self.speaker is None

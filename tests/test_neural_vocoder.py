@@ -71,3 +71,28 @@ def test_training_improves_objective_eval():
     first, last = float(np.mean(hist[:10])), float(np.mean(hist[-10:]))
     assert last < 0.8 * first, (first, last)
     assert ev1["mel_mse"] < ev0["mel_mse"], (ev0, ev1)
+
+
+def test_multi_speaker_corpus_speaker_stability():
+    """speaker_spec is deterministic; sentences from the same speaker share f0 while
+    different speakers differ (the property the separation gate builds on)."""
+    rng = np.random.default_rng(0)
+    a1 = nv.synthetic_sentence(rng, nv.speaker_spec(0), 0.4)
+    a2 = nv.synthetic_sentence(rng, nv.speaker_spec(0), 0.4)
+    b = nv.synthetic_sentence(rng, nv.speaker_spec(3), 0.4)
+    f_a1, f_a2, f_b = (nv.estimate_f0(x) for x in (a1, a2, b))
+    assert abs(f_a1 - f_a2) < 0.12 * f_a1, (f_a1, f_a2)
+    assert abs(f_a1 - f_b) > 3 * abs(f_a1 - f_a2) or abs(f_a1 - f_b) > 20.0
+
+
+def test_training_improves_envelope_correlation():
+    """Intelligibility proxy (round-3 gate): training on the multi-speaker formant
+    corpus must raise the held-out spectral-envelope correlation well above the
+    untrained net's."""
+    params0 = nv.init(jax.random.PRNGKey(5), TINY)
+    c0 = nv.envelope_correlation(params0, TINY, n=3, seconds=0.4)
+    params, _ = nv.train(jax.random.PRNGKey(5), TINY, steps=220, batch=4,
+                         seconds=0.4, lr=5e-4, corpus="speakers")
+    c1 = nv.envelope_correlation(params, TINY, n=3, seconds=0.4)
+    assert c1 > c0 + 0.1, (c0, c1)
+    assert c1 > 0.5, c1

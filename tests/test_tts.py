@@ -79,3 +79,62 @@ def test_griffin_lim_recovers_tone_frequency():
     spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
     peak_hz = np.argmax(spec) * sr / len(out)
     assert abs(peak_hz - 440) < 15, peak_hz
+
+
+def test_speaker_conditioning_separates_voices():
+    """Round-3 gate (VERDICT r2 Next #8): train a 2-speaker TTS where the mel target
+    depends on the speaker id (speaker 0 -> low-band energy, speaker 1 -> high-band),
+    then check (a) conditioning flips the synthesized band balance the right way and
+    (b) between-speaker output distance dominates within-speaker run-to-run noise."""
+    import optax
+
+    cfg = tts.TTSConfig(vocab_size=64, d_model=32, num_layers=2, num_heads=4,
+                        ffn_dim=64, n_mels=16, chunk_tokens=4, frames_per_chunk=8,
+                        state_frames=2, num_speakers=2)
+    params = tts.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+
+    def target_for(spk, ids):
+        base = np.tile(np.asarray(ids, np.float32)[:, :, None] / 64.0, (1, 2, 16))
+        base = base[:, :8, :]
+        band = np.zeros((1, 8, 16), np.float32)
+        if spk == 0:
+            band[..., :8] = 1.0
+        else:
+            band[..., 8:] = 1.0
+        return jnp.asarray(base * 0.2 + band)
+
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(lambda p, s, ids, prev, tgt, spk: _upd(p, s, ids, prev, tgt, spk))
+
+    def _upd(p, s, ids, prev, tgt, spk):
+        l, g = jax.value_and_grad(
+            lambda pp: tts.loss(pp, cfg, ids, prev, tgt, speaker=spk))(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    prev = jnp.zeros((1, 2, 16))
+    for i in range(150):
+        ids = jnp.asarray(rng.integers(1, 64, (1, 4)))
+        spk = int(rng.integers(0, 2))
+        params, opt_state, l = step(params, opt_state, ids, prev,
+                                    target_for(spk, np.asarray(ids)),
+                                    jnp.asarray([spk]))
+
+    ids = jnp.asarray([[5, 9, 13, 21]])
+    mel0 = np.asarray(tts.synthesize_chunk(params, cfg, ids, prev,
+                                           jnp.asarray([0]))[0])
+    mel1 = np.asarray(tts.synthesize_chunk(params, cfg, ids, prev,
+                                           jnp.asarray([1]))[0])
+    low0, high0 = mel0[..., :8].mean(), mel0[..., 8:].mean()
+    low1, high1 = mel1[..., :8].mean(), mel1[..., 8:].mean()
+    assert low0 > high0, (low0, high0)      # speaker 0 learned the low band
+    assert high1 > low1, (low1, high1)      # speaker 1 learned the high band
+    # separation: between-speaker distance dwarfs the (deterministic) within noise
+    between = float(np.abs(mel0 - mel1).mean())
+    ids2 = jnp.asarray([[6, 10, 14, 22]])   # different text, same speaker
+    mel0b = np.asarray(tts.synthesize_chunk(params, cfg, ids2, prev,
+                                            jnp.asarray([0]))[0])
+    within = float(np.abs(mel0 - mel0b).mean())
+    assert between > 2.0 * within, (between, within)
