@@ -473,10 +473,12 @@ def bench_spec_engine() -> dict:
     lm_cfg = Qwen2Config.qwen25_7b()
     draft_cfg = Qwen2Config.qwen25_0_5b()
     cfg = AF3Config(lm=lm_cfg)
-    log("bench_spec_engine: init 7B int8 target + 0.5B bf16 draft...")
+    # int8 draft: the round-3 profile measured the bf16 0.5B draft step at 5.4 ms
+    # (x4 per round = 21.7 ms vs 16.7 ms verify) — draft weight reads dominate the
+    # round, so the draft gets the same w8a16 treatment as the target
+    log("bench_spec_engine: init 7B int8 target + 0.5B int8 draft...")
     lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
-    draft_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                           qwen2.init(jax.random.PRNGKey(1), draft_cfg))
+    draft_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(1), draft_cfg))()
     _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
     params = {"lm": lm_p}
 
