@@ -4,10 +4,12 @@ Replaces the reference's FlashAttention-2 CUDA kernels (SURVEY.md §2.10). Numer
 match ops/attention.gqa_attention (fp32 softmax accumulation) — tested in
 tests/test_flash_attention.py against the XLA path.
 
-Layout: q [B, Tq, H, D], k/v [B, Tk, Hkv, D] with H = G*Hkv. Grid: (B*H, Tq/BQ); each
-program streams KV tiles of size BK with running (max, sumexp, acc) state — O(BQ*BK)
-VMEM instead of O(Tq*Tk) HBM for scores. Supports causal masking (decode/prefill) via a
-q_offset and kv length masking for padded caches.
+Layout: q [B, Tq, H, D], k/v [B, Tk, Hkv, D] with H = G*Hkv. Grid: (B*H, Tq/BQ, Tk/BK);
+KV tiles stream through the grid's innermost axis with (max, sumexp, acc) persisted in
+VMEM scratch — per-program VMEM is O(BQ*D + BK*D), independent of context length (the
+round-2 full-KV-per-program layout hit the 16 MB VMEM cliff at ~15-16k tokens). Causal
+masking (decode/prefill) via a q_offset; kv-length masking for padded caches; causal
+non-contributing tiles skip both compute (pl.when) and DMA (clamped index_map).
 """
 
 from __future__ import annotations
@@ -44,59 +46,73 @@ def _out_struct(shape, dtype, *arrays):
 
 def _dot_precision(dtype):
     """f32 inputs must pin HIGHEST or Mosaic demotes the MXU dot to bf16 passes
-    (silent ~1e-2 error — same gotcha as the fused mel kernel); bf16 stays native."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    (silent ~1e-2 error — same gotcha as the fused mel kernel). bf16 inputs must
+    pin DEFAULT explicitly: precision=None inherits the GLOBAL
+    jax_default_matmul_precision, and a global "highest" (the test-suite/parity
+    setting) makes Mosaic reject the bf16 matmul ("Bad lhs type")."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, tk: int,
-                  scale: float, causal: bool, q_offset: int, kv_len: int):
-    # q_ref: [1, bq, D]; k_ref/v_ref: [1, tk, D] (full K/V for this head); o_ref: [1, bq, D]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                  bq: int, bk: int, num_kv: int, scale: float, causal: bool,
+                  q_offset: int, kv_len: int):
+    """Grid (B*H, Tq/bq, Tk/bk): KV STREAMS through the grid's innermost axis with
+    (m, l, acc) persisted in VMEM scratch across tiles — per-program VMEM is
+    O(bq*d + bk*d), independent of Tk. (Round 2 loaded the whole [tk, d] K/V per
+    program: simpler, but it hits the 16 MB VMEM cliff right at ~15-16k-token
+    context — exactly the 10-min-audio prefill shape.) Causal tiles that cannot
+    contribute are compute-skipped via pl.when, and their DMA is skipped by the
+    caller's clamped index_map (repeated block index -> no refetch)."""
     qi = pl.program_id(1)
+    j = pl.program_id(2)
     # MXU dots run in the INPUT dtype (bf16-native for bf16 callers, full f32 for f32
     # parity callers) with f32 accumulation; softmax statistics are always f32.
     prec = _dot_precision(q_ref.dtype)
-    q = q_ref[0]                                                   # [bq, D]
 
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, q_ref.shape[-1]), jnp.float32)
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    num_kv = tk // bk
+    if causal:
+        contributes = j * bk <= qi * bq + bq - 1 + q_offset
+    else:
+        contributes = j >= 0  # always
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(j * bk, bk), :]                         # [bk, D]
-        v = v_ref[0, pl.ds(j * bk, bk), :]
+    @pl.when(contributes)
+    def _compute():
+        q = q_ref[0]                                               # [bq, D]
+        k = k_ref[0]                                               # [bk, D]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=prec) * scale  # [bq, bk]
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale            # [bq, bk]
         if causal:
             q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
             k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             s = jnp.where(k_ids <= q_ids, s, NEG_INF)
-        if kv_len < tk:
+        if kv_len < num_kv * bk:
             k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             s = jnp.where(k_ids < kv_len, s, NEG_INF)
+        m = m_scr[...]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
             p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        return m_new, l, acc
 
-    if causal:
-        # only KV tiles that can pass the causal test: k_id_min <= q_id_max
-        max_q_id = qi * bq + bq - 1 + q_offset
-        num_kv_needed = jnp.minimum(num_kv, (max_q_id // bk) + 1)
-        m, l, acc = jax.lax.fori_loop(0, num_kv_needed, body, (m, l, acc))
-    else:
-        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
-
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    # log-sum-exp per query row: the softmax statistic the backward kernels need to
-    # reconstruct p = exp(s - lse) without re-running the online max/sum recursion.
-    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        l = l_scr[...]
+        o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        # log-sum-exp per query row: the softmax statistic the backward kernels need
+        # to reconstruct p = exp(s - lse) without re-running the online recursion.
+        lse_ref[0, 0] = (m_scr[...] + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
@@ -225,24 +241,42 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     kh = jnp.swapaxes(k, 1, 2).reshape(b * hkv, tk, d)
     vh = jnp.swapaxes(v, 1, 2).reshape(b * hkv, tk, d)
 
-    kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, tk=tk, scale=scale,
-                               causal=causal, q_offset=q_offset, kv_len=kv_len)
+    num_kv = tk // bk
+    kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, num_kv=num_kv,
+                               scale=scale, causal=causal, q_offset=q_offset,
+                               kv_len=kv_len)
+
+    if causal:
+        # DMA-skip for non-contributing causal tiles: clamp the kv block index so a
+        # repeated index means Pallas never refetches the block
+        def kv_index(i, qi, j):
+            return (i // g, jnp.minimum(j, (qi * bq + bq - 1 + q_offset) // bk), 0)
+    else:
+        def kv_index(i, qi, j):
+            return (i // g, j, 0)
+
+    from jax.experimental.pallas import tpu as pltpu
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, tq // bq),
+        grid=(b * h, tq // bq, num_kv),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, tk, d), lambda i, j: (i // g, 0, 0)),
-            pl.BlockSpec((1, tk, d), lambda i, j: (i // g, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),
+            pl.BlockSpec((1, bk, d), kv_index),
+            pl.BlockSpec((1, bk, d), kv_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda i, qi, j: (i, 0, qi)),
         ],
         out_shape=[
             _out_struct((b * h, tq, d), q.dtype, qh, kh, vh),
             _out_struct((b * h, 1, tq), jnp.float32, qh, kh, vh),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
         interpret=_interpret(),
     )(qh, kh, vh)
