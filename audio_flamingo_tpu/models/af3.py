@@ -110,15 +110,67 @@ def _shifted_ce(lg: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def loss_terms(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
-               mels: jnp.ndarray | None = None, compute_dtype=jnp.float32):
-    """Unnormalized (nll_sum, valid_count) for gradient accumulation (see _shifted_ce_terms)."""
-    return _shifted_ce_terms(logits(params, cfg, token_ids, mels, compute_dtype), labels)
+               mels: jnp.ndarray | None = None, compute_dtype=jnp.float32,
+               ce_chunk: int = 0):
+    """Unnormalized (nll_sum, valid_count) for gradient accumulation (see _shifted_ce_terms).
+
+    ce_chunk > 0: memory-efficient cross-entropy — the [B, T, 152k] f32 logits
+    tensor costs gigabytes at training shapes (e.g. 2 GB at B4 x T814), so the
+    unembed + log-softmax run per `ce_chunk`-token slice inside a remat'd scan:
+    peak CE memory is [B, ce_chunk, V] and the backward recomputes each chunk's
+    logits (one extra unembed matmul per chunk — cheap next to the saved HBM).
+    """
+    if ce_chunk <= 0:
+        return _shifted_ce_terms(logits(params, cfg, token_ids, mels, compute_dtype),
+                                 labels)
+    b, t = token_ids.shape
+    x = build_input_embeds(params, cfg, token_ids, mels, compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    h, _ = qwen2.forward(params["lm"], cfg.lm, x, pos)
+    return _chunked_ce_terms(params, cfg, h, labels, ce_chunk)
+
+
+def _chunked_ce_terms(params: dict, cfg: AF3Config, h: jnp.ndarray,
+                      labels: jnp.ndarray, ce_chunk: int):
+    """Shifted-CE terms from HIDDEN states, unembedding ce_chunk tokens at a time."""
+    from audio_flamingo_tpu.ops.remat import remat_wrap
+
+    b, t, d = h.shape
+    hs = h[:, :-1]
+    ls = labels[:, 1:]
+    n = t - 1
+    pad = (-n) % ce_chunk
+    if pad:
+        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
+        ls = jnp.pad(ls, ((0, 0), (0, pad)), constant_values=-100)
+    nchunks = (n + pad) // ce_chunk
+    hs = hs.reshape(b, nchunks, ce_chunk, d).transpose(1, 0, 2, 3)
+    ls = ls.reshape(b, nchunks, ce_chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        s, c = carry
+        hc, lc = xs
+        lg = qwen2.unembed(params["lm"], cfg.lm, hc)
+        valid = lc >= 0
+        safe = jnp.where(valid, lc, 0)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        return (s + nll.sum(), c + valid.sum()), None
+
+    (s, c), _ = jax.lax.scan(
+        remat_wrap(body, "full"),
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (hs, ls))
+    return s, c
 
 
 def loss(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,
-         mels: jnp.ndarray | None = None, compute_dtype=jnp.float32):
-    """Dense training loss (see _shifted_ce for semantics)."""
-    return _shifted_ce(logits(params, cfg, token_ids, mels, compute_dtype), labels)
+         mels: jnp.ndarray | None = None, compute_dtype=jnp.float32,
+         ce_chunk: int = 0):
+    """Dense training loss (see _shifted_ce for semantics; ce_chunk: loss_terms)."""
+    s, c = loss_terms(params, cfg, token_ids, labels, mels, compute_dtype,
+                      ce_chunk=ce_chunk)
+    return s / jnp.maximum(c, 1)
 
 
 def loss_sp(params: dict, cfg: AF3Config, token_ids: jnp.ndarray, labels: jnp.ndarray,

@@ -51,7 +51,7 @@ def init_state(params, stage: Stage, **opt_kwargs) -> tuple[TrainState, optax.Gr
 def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
                opt: optax.GradientTransformation, compute_dtype=jnp.bfloat16,
                sp_mesh=None, sp_axis: str = "model", sp_attn: str = "ring",
-               accum_steps: int = 1):
+               accum_steps: int = 1, ce_chunk: int = 0):
     """One step. batch: {'ids': [B,T], 'labels': [B,T], 'mels': [B,W,F,M] | None}.
 
     Pure function of (state, batch) — jit/pjit it with donated state. Under a sharded
@@ -76,7 +76,7 @@ def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
                                      mb.get("mels"), mesh=sp_mesh, axis=sp_axis,
                                      attn_impl=sp_attn, compute_dtype=compute_dtype)
         return af3.loss_terms(params, cfg, mb["ids"], mb["labels"], mb.get("mels"),
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, ce_chunk=ce_chunk)
 
     if accum_steps == 1:
         def loss_fn(params):
@@ -116,13 +116,13 @@ def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
 def make_jit_train_step(cfg: AF3Config, opt, mesh=None, state_sharding=None,
                         batch_sharding=None, compute_dtype=jnp.bfloat16,
                         sp: bool = False, sp_axis: str = "model", sp_attn: str = "ring",
-                        accum_steps: int = 1):
+                        accum_steps: int = 1, ce_chunk: int = 0):
     """Compiled train step; with a mesh, in/out shardings pin params/opt-state placement.
 
     sp=True (requires mesh): run the LM forward sequence-parallel over `sp_axis`."""
     step = partial(train_step, cfg=cfg, opt=opt, compute_dtype=compute_dtype,
                    sp_mesh=(mesh if sp else None), sp_axis=sp_axis, sp_attn=sp_attn,
-                   accum_steps=accum_steps)
+                   accum_steps=accum_steps, ce_chunk=ce_chunk)
     if mesh is None:
         assert not sp, "sequence parallelism needs a mesh"
         return jax.jit(step, donate_argnums=0)

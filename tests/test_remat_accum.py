@@ -177,3 +177,21 @@ def test_accum_composes_with_sp(tiny):
     np.testing.assert_allclose(float(m_sp["loss"]), float(m_base["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state_base.params), jax.tree.leaves(state_sp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_ce_matches_dense(tiny):
+    """Memory-efficient chunked cross-entropy (ce_chunk>0) must equal the dense CE
+    in loss AND grads — it only reorders the unembed, never the math."""
+    cfg, params, batch = tiny
+    base = jax.jit(jax.value_and_grad(
+        lambda p: af3.loss(p, cfg, batch["ids"], batch["labels"], batch["mels"],
+                           compute_dtype=jnp.float32)))
+    chunked = jax.jit(jax.value_and_grad(
+        lambda p: af3.loss(p, cfg, batch["ids"], batch["labels"], batch["mels"],
+                           compute_dtype=jnp.float32, ce_chunk=7)))  # uneven chunk
+    l0, g0 = base(params)
+    l1, g1 = chunked(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)
