@@ -308,14 +308,16 @@ class AudioFlamingo2:
 
 
 def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = False,
-         use_flash: bool = True) -> AudioFlamingo:
+         use_flash: bool = True, a8_prefill: bool = False) -> AudioFlamingo:
     """Load an AF3-family checkpoint directory (HF '-hf' layout).
 
     Expects: config.json (qwen2_audio-style nesting), tokenizer.json (or vocab.json +
     merges.txt), model.safetensors[.index.json].
     quantize_lm=True converts LM weights to int8 on load (weight-only, per-channel) —
     required to fit the 7B LM on a single 16 GB chip. use_flash enables Pallas flash
-    attention for the encoder and LM prefill.
+    attention for the encoder and LM prefill. a8_prefill (requires quantize_lm):
+    w8a8 prefill matmuls at the MXU's 2x int8 rate — a TTFT knob with a small
+    accuracy band (ops/quant.q_matmul_a8); decode stays w8a16.
     """
     import json
 
@@ -353,12 +355,14 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = Fal
         ),
         audio_token_id=raw.get("audio_token_id", raw.get("audio_token_index", 151_646)),
     )
-    if use_flash:
+    if use_flash or a8_prefill:
         import dataclasses
 
+        assert not a8_prefill or quantize_lm, "a8_prefill requires quantize_lm=True"
         cfg = dataclasses.replace(
-            cfg, encoder=dataclasses.replace(cfg.encoder, use_flash=True),
-            lm=dataclasses.replace(cfg.lm, use_flash=True))
+            cfg, encoder=dataclasses.replace(cfg.encoder, use_flash=use_flash),
+            lm=dataclasses.replace(cfg.lm, use_flash=use_flash,
+                                   a8_prefill=a8_prefill))
     sd = load_checkpoint_dir(model_path)
     params = import_qwen2_audio(sd, cfg)
     if quantize_lm:

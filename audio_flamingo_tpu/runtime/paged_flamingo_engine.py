@@ -43,6 +43,7 @@ from audio_flamingo_tpu.runtime.paged_cache import (BlockAllocator, PagedKV,
                                                     init_paged,
                                                     paged_install_pages,
                                                     paged_restore_pages)
+from audio_flamingo_tpu.runtime.paged_engine import PrefixStore, _block_keys
 
 
 def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
@@ -216,13 +217,111 @@ def paged_decode_chunk_xattn(params, cfg: AF2Config, cache: PagedKV, media, toke
     return cache, tokens, done, rng, out, lp, hist
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_prefix_pages", "suffix_len",
+                                             "compute_dtype"))
+def flamingo_prefill_suffix(params, cfg: AF2Config, cache: PagedKV,
+                            prefix_page_ids, suffix_ids, window_embeds,
+                            prompt_len, *, n_prefix_pages: int, suffix_len: int,
+                            compute_dtype=jnp.float32):
+    """Prefill only a prompt's SUFFIX against prefix KV already resident in pages
+    (automatic prefix caching for the xattn family).
+
+    Unlike AF3 (audio rides placeholder positions), gated cross-attention makes
+    EVERY token's output depend on the media — so prefix blocks are only shareable
+    when ids AND audio match (the block keys fold in the media digest), and the
+    media features are recomputed here for the suffix's xattn blocks (cheap: a few
+    self-attention layers over <=30 window embeddings).
+
+    Returns (media [B, S, d], suffix_k, suffix_v [L, 1, suffix_len, nkv, hd],
+    last-token logits fp32)."""
+    prefix_len = n_prefix_pages * cache.block_size
+    nkv, hd = cache.k.shape[-2], cache.k.shape[-1]
+    num_layers = cache.k.shape[0]
+
+    media = flamingo.transform_audio(params, cfg, window_embeds.astype(compute_dtype))
+    embeds = flamingo._embed(params, cfg, suffix_ids, dtype=compute_dtype)
+
+    k_pref = jnp.take(cache.k, prefix_page_ids, axis=1)
+    v_pref = jnp.take(cache.v, prefix_page_ids, axis=1)
+    if cache.quantized:
+        ks = jnp.take(cache.k_scale, prefix_page_ids, axis=1)
+        vs = jnp.take(cache.v_scale, prefix_page_ids, axis=1)
+        k_pref = k_pref.astype(jnp.float32) * ks[..., None]
+        v_pref = v_pref.astype(jnp.float32) * vs[..., None]
+    capacity = prefix_len + suffix_len
+    k0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
+    k0 = k0.at[:, 0, :prefix_len].set(
+        k_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
+    v0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
+    v0 = v0.at[:, 0, :prefix_len].set(
+        v_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
+    lm_cache = qwen2.KVCache(k=k0, v=v0, index=jnp.asarray(prefix_len, jnp.int32))
+    pos = (prefix_len + jnp.arange(suffix_len))[None]
+    h, new_cache = flamingo._lm_forward_with_xattn(
+        params, cfg, embeds, pos, media, media_mask=None, cache=lm_cache)
+    last = jnp.take_along_axis(
+        h, jnp.full((1, 1, 1), prompt_len - 1 - prefix_len, jnp.int32)
+        .repeat(h.shape[-1], -1), axis=1)
+    logits = flamingo._unembed(params, cfg, last[:, 0])
+    return (media, new_cache.k[:, :, prefix_len:], new_cache.v[:, :, prefix_len:],
+            logits)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_prefix_pages", "chunk_len",
+                                             "compute_dtype"))
+def flamingo_prefill_chunk(params, cfg: AF2Config, cache: PagedKV,
+                           prefix_page_ids, chunk_ids, media, prompt_len, *,
+                           n_prefix_pages: int, chunk_len: int,
+                           compute_dtype=jnp.float32):
+    """One chunk of a CHUNKED xattn prefill against already-filled pages.
+
+    Like flamingo_prefill_suffix but media is precomputed once at chunk-prefill
+    start (the CLAP transform need not rerun per chunk). Returns
+    (chunk_k, chunk_v, last-token logits of this chunk)."""
+    prefix_len = n_prefix_pages * cache.block_size
+    nkv, hd = cache.k.shape[-2], cache.k.shape[-1]
+    num_layers = cache.k.shape[0]
+    embeds = flamingo._embed(params, cfg, chunk_ids, dtype=compute_dtype)
+    k_pref = jnp.take(cache.k, prefix_page_ids, axis=1)
+    v_pref = jnp.take(cache.v, prefix_page_ids, axis=1)
+    if cache.quantized:
+        ks = jnp.take(cache.k_scale, prefix_page_ids, axis=1)
+        vs = jnp.take(cache.v_scale, prefix_page_ids, axis=1)
+        k_pref = k_pref.astype(jnp.float32) * ks[..., None]
+        v_pref = v_pref.astype(jnp.float32) * vs[..., None]
+    capacity = prefix_len + chunk_len
+    k0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
+    k0 = k0.at[:, 0, :prefix_len].set(
+        k_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
+    v0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
+    v0 = v0.at[:, 0, :prefix_len].set(
+        v_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
+    lm_cache = qwen2.KVCache(k=k0, v=v0, index=jnp.asarray(prefix_len, jnp.int32))
+    pos = (prefix_len + jnp.arange(chunk_len))[None]
+    h, new_cache = flamingo._lm_forward_with_xattn(
+        params, cfg, embeds, pos, media.astype(compute_dtype), media_mask=None,
+        cache=lm_cache)
+    last = jnp.take_along_axis(
+        h, jnp.clip(prompt_len - 1 - prefix_len, 0, chunk_len - 1)
+        .reshape(1, 1, 1).astype(jnp.int32).repeat(h.shape[-1], -1), axis=1)
+    logits = flamingo._unembed(params, cfg, last[:, 0])
+    return new_cache.k[:, :, prefix_len:], new_cache.v[:, :, prefix_len:], logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _transform_media(params, cfg: AF2Config, window_embeds, compute_dtype=jnp.float32):
+    return flamingo.transform_audio(params, cfg, window_embeds.astype(compute_dtype))
+
+
 @dataclass
 class PagedFlamingoEngine:
     """Paged scheduler for AF1/AF2: shared page pool + per-row media buffer.
 
     vs FlamingoEngine (slot): no per-slot worst-case KV reservation — a 5-min-audio
     prompt and short chats coexist in one pool; rows grow lazily and preempt to host
-    under pressure (vLLM swap semantics), like the AF3 PagedEngine."""
+    under pressure (vLLM swap semantics), like the AF3 PagedEngine. With
+    prefix_cache=True, full prompt blocks are shared across requests (keys hash
+    ids + the media digest — xattn makes every position audio-dependent)."""
 
     params: dict
     cfg: AF2Config
@@ -237,6 +336,10 @@ class PagedFlamingoEngine:
     seed: int = 0
     kv_dtype: object = None          # jnp.int8 -> int8 page pool
     preempt: bool = True
+    prefix_cache: bool = False       # share full prompt blocks (ids+media keyed)
+    prefill_chunk: int = 0           # >0: Sarathi-style chunked prefill (tokens,
+    #                                  multiple of block_size): long xattn prompts
+    #                                  prefill one chunk per round, decode between
     n_media: int = 1
     windows_per_media: int = 1
     metrics: object = None
@@ -255,7 +358,11 @@ class PagedFlamingoEngine:
                                       jnp.int32),
                              jnp.zeros((self.num_rows,), jnp.int32),
                              scales, None if scales is None else scales.copy())
+        assert self.prefill_chunk % self.block_size == 0, \
+            "prefill_chunk must be a multiple of block_size"
         self.allocator = BlockAllocator(self.num_blocks, reserve=1)  # 0 = trash page
+        self.store = PrefixStore() if self.prefix_cache else None
+        self.prefilling: dict | None = None   # at most one chunked prefill in flight
         self.tables_np = np.full((self.num_rows, self.max_blocks_per_seq), -1, np.int32)
         self.lengths_np = np.zeros((self.num_rows,), np.int32)
         s_media = self.n_media * self.windows_per_media
@@ -265,7 +372,8 @@ class PagedFlamingoEngine:
         self.done = jnp.ones((self.num_rows,), bool)
         self.rng = jax.random.PRNGKey(self.seed)
         self.queue: deque[FlamingoRequest] = deque()
-        self.active: dict[int, tuple[FlamingoRequest, list[int]]] = {}
+        # row -> (request, private pages, held prefix-store keys)
+        self.active: dict[int, tuple[FlamingoRequest, list[int], list]] = {}
         self.finished: dict[str, list[int]] = {}
         self.row_params: list[SamplingParams] = [self.sampling] * self.num_rows
         self.rows = row_sampling(self.row_params)
@@ -290,6 +398,18 @@ class PagedFlamingoEngine:
             full[:, :n, :w] = we
         return jnp.asarray(full)
 
+    def _free_pages(self) -> int:
+        n = len(self.allocator.free)
+        if self.store is not None:
+            n += sum(1 for e in self.store.entries.values() if e[1] == 0)
+        return n
+
+    def _alloc(self, n: int) -> list[int]:
+        short = n - len(self.allocator.free)
+        if short > 0 and self.store is not None:
+            self.allocator.release(self.store.evict(short))
+        return self.allocator.alloc(n)
+
     def _seed_hist(self, row: int, req: FlamingoRequest) -> None:
         s = req.sampling or self.sampling
         if s.repetition_penalty == 1.0 and s.no_repeat_ngram_size == 0:
@@ -306,6 +426,8 @@ class PagedFlamingoEngine:
         for row in range(self.num_rows):
             if row in self.active or not self.queue:
                 continue
+            if self.prefilling is not None and self.prefilling["row"] == row:
+                continue
             req = self.queue[0]
             if req.request_id in self.swapped:
                 if not self._resume_row(req, row):
@@ -316,11 +438,41 @@ class PagedFlamingoEngine:
             bucket = min(max(bucket_tokens(t), bs), self.capacity)
             bucket = -(-bucket // bs) * bs
             n_prompt = bucket // bs
+
+            # prefix-cache lookup: keys hash ids + media digest (xattn makes every
+            # position audio-dependent); hit run rounded DOWN to a power of two
+            keys: list = []
+            n_hit = 0
+            if self.store is not None:
+                import hashlib
+
+                ids_np = np.asarray(req.ids[0])
+                media_digest = None
+                if req.window_embeds is not None:
+                    media_digest = hashlib.blake2b(
+                        np.ascontiguousarray(req.window_embeds).tobytes(),
+                        digest_size=16).digest()
+                keys = _block_keys(ids_np, bs, media_digest, 0)
+                run = min(self.store.longest_run(keys), (t - 1) // bs)
+                n_hit = 1 << (run.bit_length() - 1) if run > 0 else 0
+
+            start0 = n_hit * bs
+            if self.prefill_chunk and bucket - start0 > self.prefill_chunk:
+                # one chunked prefill at a time; a failed start (pool short)
+                # also stops admission so FIFO order holds
+                if (self.prefilling is not None
+                        or not self._start_chunked_prefill(req, row, t, bucket,
+                                                           n_hit, keys)):
+                    return
+                continue
+
             headroom = 1 if n_prompt < self.max_blocks_per_seq else 0
-            if len(self.allocator.free) < n_prompt + headroom:
+            if self._free_pages() < n_prompt - n_hit + headroom:
                 return  # pool exhausted; wait
             self.queue.popleft()
-            blocks = self.allocator.alloc(n_prompt)
+            held: list = list(keys[:n_hit])
+            prefix_pages = self.store.acquire(held) if n_hit else []
+            blocks = self._alloc(n_prompt - n_hit)
             ids = jnp.asarray(req.ids)
             prompt_len = None
             if bucket != t:
@@ -329,22 +481,42 @@ class PagedFlamingoEngine:
                     axis=1)
                 prompt_len = jnp.asarray(t, jnp.int32)
             wins = self._pad_windows(req.window_embeds)
-            sub_cache, media, logits = flamingo.prefill(
-                self.params, self.cfg, ids, wins, bucket, self.compute_dtype,
-                prompt_len=prompt_len)
-            self.cache = paged_install_pages(
-                self.cache, sub_cache.k, sub_cache.v,
-                jnp.asarray(blocks, jnp.int32), self.cfg.lm,
-                compute_dtype=self.compute_dtype)
+            if n_hit:
+                start = n_hit * bs
+                media, sub_k, sub_v, logits = flamingo_prefill_suffix(
+                    self.params, self.cfg, self.cache,
+                    jnp.asarray(prefix_pages, jnp.int32), ids[:, start:], wins,
+                    jnp.asarray(t, jnp.int32), n_prefix_pages=n_hit,
+                    suffix_len=bucket - start, compute_dtype=self.compute_dtype)
+                self.cache = paged_install_pages(
+                    self.cache, sub_k, sub_v, jnp.asarray(blocks, jnp.int32),
+                    self.cfg.lm, compute_dtype=self.compute_dtype)
+            else:
+                sub_cache, media, logits = flamingo.prefill(
+                    self.params, self.cfg, ids, wins, bucket, self.compute_dtype,
+                    prompt_len=prompt_len)
+                self.cache = paged_install_pages(
+                    self.cache, sub_cache.k, sub_cache.v,
+                    jnp.asarray(blocks, jnp.int32), self.cfg.lm,
+                    compute_dtype=self.compute_dtype)
+            table_pages = prefix_pages + blocks
+            # register this prompt's full blocks for future sharing
+            if self.store is not None:
+                for i in range(n_hit, t // bs):
+                    if self.store.register(keys[i], table_pages[i]):
+                        blocks.remove(table_pages[i])
+                        held.append(keys[i])
             self.media = self.media.at[row].set(
                 media[0].astype(self.media.dtype))
             self.tables_np[row] = -1
-            self.tables_np[row, :n_prompt] = blocks
+            self.tables_np[row, :n_prompt] = table_pages
             self.lengths_np[row] = t
             self.rng, k = jax.random.split(self.rng)
             first, finished, req_sampling = _emit_first_token(self, req, logits, k)
             if finished:
                 self.allocator.release(blocks)
+                if self.store is not None and held:
+                    self.store.release(held)
                 self.tables_np[row] = -1
                 self.lengths_np[row] = 0
                 continue
@@ -353,10 +525,93 @@ class PagedFlamingoEngine:
             self._seed_hist(row, req)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
-            self.active[row] = (req, blocks)
+            self.active[row] = (req, blocks, held)
+
+    def _start_chunked_prefill(self, req: FlamingoRequest, row: int, t: int,
+                               bucket: int, n_hit: int, keys: list) -> bool:
+        """Reserve a row + pages, transform media ONCE, and stage a chunked xattn
+        prefill; the LM then advances one chunk per engine round (_prefill_step)
+        so active rows keep decoding in between. Returns False when the pool
+        cannot hold the covered pages yet."""
+        bs = self.block_size
+        start0 = n_hit * bs
+        n_chunks = -(-(t - start0) // self.prefill_chunk)
+        ce = min(start0 + n_chunks * self.prefill_chunk, bucket)
+        headroom = 1 if ce // bs < self.max_blocks_per_seq else 0
+        if self._free_pages() < (ce - start0) // bs + headroom:
+            return False
+        self.queue.popleft()
+        held: list = list(keys[:n_hit])
+        prefix_pages = self.store.acquire(held) if n_hit else []
+        own = self._alloc((ce - start0) // bs)
+        ids = jnp.asarray(req.ids)
+        if bucket != t:
+            ids = jnp.concatenate(
+                [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
+                axis=1)
+        media = _transform_media(self.params, self.cfg,
+                                 self._pad_windows(req.window_embeds),
+                                 self.compute_dtype)
+        self.prefilling = dict(req=req, row=row, t=t, bucket=bucket, n_hit=n_hit,
+                               keys=keys, held=held, prefix_pages=prefix_pages,
+                               own=own, ids=ids, media=media, done=start0, ce=ce)
+        return True
+
+    def _prefill_step(self) -> None:
+        """Advance the in-flight chunked prefill by ONE chunk."""
+        st = self.prefilling
+        if st is None:
+            return
+        bs = self.block_size
+        start, ce = st["done"], st["ce"]
+        end = min(start + self.prefill_chunk, ce)
+        table_pages = st["prefix_pages"] + st["own"]
+        n_pref = start // bs
+        plen = st["t"] if end >= st["t"] else end
+        sub_k, sub_v, logits = flamingo_prefill_chunk(
+            self.params, self.cfg, self.cache,
+            jnp.asarray(table_pages[:n_pref], jnp.int32),
+            st["ids"][:, start:end], st["media"], jnp.asarray(plen, jnp.int32),
+            n_prefix_pages=n_pref, chunk_len=end - start,
+            compute_dtype=self.compute_dtype)
+        self.cache = paged_install_pages(
+            self.cache, sub_k, sub_v,
+            jnp.asarray(table_pages[n_pref: end // bs], jnp.int32),
+            self.cfg.lm, compute_dtype=self.compute_dtype)
+        st["done"] = end
+        if end < st["t"]:
+            return
+        # final chunk: register shareable blocks, emit first token, activate
+        row, req, t = st["row"], st["req"], st["t"]
+        blocks, held, keys = st["own"], st["held"], st["keys"]
+        self.prefilling = None
+        if self.store is not None:
+            for i in range(st["n_hit"], t // bs):
+                if self.store.register(keys[i], table_pages[i]):
+                    blocks.remove(table_pages[i])
+                    held.append(keys[i])
+        self.media = self.media.at[row].set(st["media"][0].astype(self.media.dtype))
+        self.tables_np[row] = -1
+        self.tables_np[row, :len(table_pages)] = table_pages
+        self.lengths_np[row] = t
+        self.rng, k = jax.random.split(self.rng)
+        first, finished, req_sampling = _emit_first_token(self, req, logits, k)
+        if finished:
+            self.allocator.release(blocks)
+            if self.store is not None and held:
+                self.store.release(held)
+            self.tables_np[row] = -1
+            self.lengths_np[row] = 0
+            return
+        self.row_params[row] = req_sampling
+        self.rows = row_sampling(self.row_params)
+        self._seed_hist(row, req)
+        self.tokens = self.tokens.at[row].set(first)
+        self.done = self.done.at[row].set(False)
+        self.active[row] = (req, blocks, held)
 
     def _preempt_row(self, row: int) -> None:
-        req, blocks = self.active.pop(row)
+        req, blocks, held = self.active.pop(row)
         bs = self.block_size
         n_tok = int(self.lengths_np[row])
         n_pages = -(-n_tok // bs)
@@ -377,6 +632,8 @@ class PagedFlamingoEngine:
         self.swapped[req.request_id] = sw
         self.preemptions += 1
         self.allocator.release(blocks)
+        if self.store is not None and held:
+            self.store.release(held)
         self.done = self.done.at[row].set(True)
         self.tables_np[row] = -1
         self.lengths_np[row] = 0
@@ -386,11 +643,11 @@ class PagedFlamingoEngine:
         sw = self.swapped[req.request_id]
         bs = self.block_size
         n_pages = -(-sw["n_tok"] // bs)
-        if len(self.allocator.free) < n_pages + 1:
+        if self._free_pages() < n_pages + 1:
             return False
         self.queue.popleft()
         del self.swapped[req.request_id]
-        blocks = self.allocator.alloc(n_pages)
+        blocks = self._alloc(n_pages)
         p2 = 1 << max(0, (n_pages - 1).bit_length())
         ids = np.zeros((p2,), np.int32)
         ids[:n_pages] = blocks
@@ -414,16 +671,20 @@ class PagedFlamingoEngine:
         self._seed_hist(row, req)
         self.tokens = self.tokens.at[row].set(sw["last"])
         self.done = self.done.at[row].set(False)
-        self.active[row] = (req, blocks)
+        self.active[row] = (req, blocks, [])
         return True
 
     def _grow_pages(self) -> list[int]:
         starved: list[int] = []
-        for row, (req, blocks) in self.active.items():
+        for row, (req, blocks, held) in self.active.items():
             needed = -(-(int(self.lengths_np[row]) + self.chunk + 1) // self.block_size)
             needed = min(needed, self.max_blocks_per_seq)
             mapped = int((self.tables_np[row] >= 0).sum())
-            while mapped < needed and self.allocator.free:
+            while mapped < needed:
+                if not self.allocator.free and self.store is not None:
+                    self.allocator.release(self.store.evict(1))
+                if not self.allocator.free:
+                    break
                 nb = self.allocator.alloc(1)[0]
                 self.tables_np[row, mapped] = nb
                 blocks.append(nb)
@@ -433,17 +694,20 @@ class PagedFlamingoEngine:
         return starved
 
     def _finish_row(self, row: int) -> None:
-        req, blocks = self.active.pop(row)
+        req, blocks, held = self.active.pop(row)
         req.done = True
         self.finished[req.request_id] = req.tokens
         _finish_request_metrics(self, req)
         self.allocator.release(blocks)
+        if self.store is not None and held:
+            self.store.release(held)
         self.done = self.done.at[row].set(True)
         self.tables_np[row] = -1
         self.lengths_np[row] = 0
 
     def step(self) -> None:
         self._admit()
+        self._prefill_step()            # one chunk, then back to decoding
         starved = self._grow_pages()
         while starved and self.preempt and len(self.active) > 1:
             self._preempt_row(starved[-1])
@@ -455,14 +719,14 @@ class PagedFlamingoEngine:
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
                                     lengths=jnp.asarray(self.lengths_np))
         min_left = np.zeros((self.num_rows,), np.int32)
-        for row, (req, _) in self.active.items():
+        for row, (req, *_ignore) in self.active.items():
             want = max(req.min_new_tokens,
                        (req.sampling or self.sampling).min_new_tokens)
             min_left[row] = max(want - len(req.tokens), 0)
         active_s = [req.sampling or self.sampling
-                    for req, _ in self.active.values()]
+                    for req, *_x in self.active.values()]
         mixed = any(not s.greedy for s in active_s)
-        want_lp = any(req.logprobs for req, _ in self.active.values())
+        want_lp = any(req.logprobs for req, *_x in self.active.values())
         use_min = bool(min_left.any())
         use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
         ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
@@ -479,7 +743,7 @@ class PagedFlamingoEngine:
         lp = np.asarray(lp)
         done = np.asarray(self.done).copy()
         self.lengths_np = np.asarray(self.cache.lengths).copy()
-        for row, (req, blocks) in list(self.active.items()):
+        for row, (req, *_x) in list(self.active.items()):
             if _postprocess_chunk_row(self, req, out[row].tolist(),
                                       lp[row] if req.logprobs else None):
                 done[row] = True
@@ -489,7 +753,8 @@ class PagedFlamingoEngine:
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
         rounds = 0
-        while (self.queue or self.active) and rounds < max_rounds:
+        while ((self.queue or self.active or self.prefilling is not None)
+               and rounds < max_rounds):
             self.step()
             rounds += 1
         return self.finished

@@ -127,14 +127,20 @@ def main():
     log(f"component sum: {ideal*1e3:.2f} ms/round "
         f"(k*draft {k*draft_step*1e3:.1f} + verify {verify_step*1e3:.1f})")
 
-    # 4/5) full spec round at various rounds-per-dispatch
+    # 4/5) full spec round at various rounds-per-dispatch. decode_spec_chunk
+    # DONATES its cache args; re-donating the same buffers across timing calls
+    # both invalidates them and doubles HBM (the r3 profile crash) — so the
+    # integrated section threads ONE set of donated buffers through the calls.
+    state = {"c": SlotCache(jnp.array(cache.k), jnp.array(cache.v), cache.lengths),
+             "dk": jnp.array(d_cache.k), "dv": jnp.array(d_cache.v)}
     for rounds in (1, 2, 4, 8):
         def run_spec(rounds=rounds):
             c, dk, dv, t2, dn, out, valid = decode_spec_chunk(
                 params, draft_p, cfg, draft_cfg,
-                SlotCache(cache.k, cache.v, cache.lengths),
-                d_cache.k, d_cache.v, tok, jnp.zeros((b,), bool),
+                SlotCache(state["c"].k, state["c"].v, cache.lengths),
+                state["dk"], state["dv"], tok, jnp.zeros((b,), bool),
                 k=k, rounds=rounds, eos_token_id=-1)
+            state["c"], state["dk"], state["dv"] = SlotCache(c.k, c.v, cache.lengths), dk, dv
             _ = int(t2[0])
         dt = timeit(run_spec)
         log(f"spec rounds={rounds}: {dt*1e3:.1f} ms total -> "

@@ -114,3 +114,22 @@ def test_spec_engine_sampling_falls_back(params, draft_params):
                           max_new_tokens=6))
     results = engine.run_until_done()
     assert len(results["s"]) >= 1
+
+
+def test_spec_engine_accept_sim_harness(params, draft_params):
+    """The acceptance-injection measurement harness (spec_accept_sim): every real
+    computation still runs; at a=1.0 each round emits up to k+1 tokens per row
+    (draft proposals + correction), at a=0.0 exactly 1. Token CONTENT is
+    meaningless by design — this gates mechanics (counts, termination, no crash)."""
+    for a, min_per_round in ((1.0, 3), (0.0, 1)):
+        engine = BatchEngine(params=params, cfg=CFG, num_slots=1, capacity=256,
+                             eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                             compute_dtype=jnp.float32,
+                             draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                             spec_k=2, spec_rounds=2, spec_accept_sim=a)
+        assert engine._speculating()
+        engine.submit(Request(request_id="x",
+                              ids=np.arange(1, 7, dtype=np.int32)[None],
+                              max_new_tokens=9))
+        results = engine.run_until_done(max_rounds=50)
+        assert 1 <= len(results["x"]) <= 9

@@ -172,3 +172,72 @@ def test_paged_engine_media_isolation():
     ref_b = _reference(params, AF2_CFG, ids, wins_b, 8)
     n = min(len(ref_b), len(results["b"]))
     assert results["b"][:n] == ref_b[:n]
+
+
+def test_paged_engine_prefix_cache_exact_and_audio_isolated():
+    """Automatic prefix caching for the xattn family: a shared (ids-prefix, SAME
+    audio) pair reuses pages and stays token-exact; identical ids with DIFFERENT
+    audio must not share (keys fold in the media digest — xattn makes every
+    position audio-dependent)."""
+    params = _params(AF2_CFG)
+    rng = np.random.default_rng(5)
+    prefix = rng.integers(0, 90, size=(1, 128)).astype(np.int32)
+    tail_a = rng.integers(0, 90, size=(1, 16)).astype(np.int32)
+    tail_b = rng.integers(0, 90, size=(1, 24)).astype(np.int32)
+    wins = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+    wins2 = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+    ids_a = np.concatenate([prefix, tail_a], axis=1)
+    ids_b = np.concatenate([prefix, tail_b], axis=1)
+
+    eng = PagedFlamingoEngine(
+        params=params, cfg=AF2_CFG, num_rows=2, num_blocks=48, block_size=16,
+        max_blocks_per_seq=16, chunk=4, eos_token_id=EOS,
+        sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32,
+        prefix_cache=True, n_media=N_MEDIA, windows_per_media=WPM)
+    eng.submit(FlamingoRequest(request_id="a", ids=ids_a, max_new_tokens=8,
+                               window_embeds=wins))
+    eng.run_until_done()
+    assert eng.store.entries, "full prompt blocks registered"
+    # same audio + shared prefix: must HIT and stay exact
+    eng.submit(FlamingoRequest(request_id="b", ids=ids_b, max_new_tokens=8,
+                               window_embeds=wins))
+    results = eng.run_until_done()
+    assert eng.store.hits > 0, "expected a prefix hit"
+    ref_b = _reference(params, AF2_CFG, ids_b, wins, 8)
+    n = min(len(ref_b), len(results["b"]))
+    assert results["b"][:n] == ref_b[:n], (results["b"], ref_b)
+    # different audio, same ids: must MISS (no false sharing) and stay exact
+    hits_before = eng.store.hits
+    eng.submit(FlamingoRequest(request_id="c", ids=ids_b, max_new_tokens=8,
+                               window_embeds=wins2))
+    results = eng.run_until_done()
+    assert eng.store.hits == hits_before, "different audio must not share pages"
+    ref_c = _reference(params, AF2_CFG, ids_b, wins2, 8)
+    n = min(len(ref_c), len(results["c"]))
+    assert results["c"][:n] == ref_c[:n], (results["c"], ref_c)
+
+
+def test_paged_engine_chunked_prefill_exact():
+    """Chunked xattn prefill: a long prompt prefills one chunk per engine round
+    (media transformed once up front) and the stream stays token-exact; a short
+    request admitted behind it decodes in between (no full-prompt stall)."""
+    params = _params(AF2_CFG)
+    rng = np.random.default_rng(6)
+    long_ids = rng.integers(0, 90, size=(1, 120)).astype(np.int32)
+    short_ids = rng.integers(0, 90, size=(1, 6)).astype(np.int32)
+    wins = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+    eng = PagedFlamingoEngine(
+        params=params, cfg=AF2_CFG, num_rows=2, num_blocks=24, block_size=16,
+        max_blocks_per_seq=12, chunk=4, eos_token_id=EOS,
+        sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32,
+        prefill_chunk=32, n_media=N_MEDIA, windows_per_media=WPM)
+    eng.submit(FlamingoRequest(request_id="long", ids=long_ids, max_new_tokens=8,
+                               window_embeds=wins))
+    eng.submit(FlamingoRequest(request_id="short", ids=short_ids, max_new_tokens=8,
+                               window_embeds=wins))
+    results = eng.run_until_done()
+    for rid, ids in (("long", long_ids), ("short", short_ids)):
+        ref = _reference(params, AF2_CFG, ids, wins, 8)
+        got = results[rid]
+        n = min(len(ref), len(got))
+        assert got[:n] == ref[:n], (rid, got, ref)
