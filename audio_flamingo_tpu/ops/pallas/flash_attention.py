@@ -30,6 +30,12 @@ def _interpret() -> bool:
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# KV super-tile size (tokens) streamed per grid step; VMEM per program is
+# ~2 x _BLOCK_SUPER x d x 2B x 2 (double-buffer) — 8.4 MB at d=128 bf16 (halved
+# for f32 callers below). Swept on-chip at the 15k-token prefill shape:
+# (bq=512, bk=1024, super=8192) = 43.6 ms vs 54.9 ms at (256, 512, 4096).
+_BLOCK_SUPER = 8192
+
 
 def _out_struct(shape, dtype, *arrays):
     """ShapeDtypeStruct that works inside shard_map(check_vma=True): outputs inherit
@@ -55,58 +61,76 @@ def _dot_precision(dtype):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                  bq: int, bk: int, num_kv: int, scale: float, causal: bool,
-                  q_offset: int, kv_len: int):
-    """Grid (B*H, Tq/bq, Tk/bk): KV STREAMS through the grid's innermost axis with
-    (m, l, acc) persisted in VMEM scratch across tiles — per-program VMEM is
-    O(bq*d + bk*d), independent of Tk. (Round 2 loaded the whole [tk, d] K/V per
-    program: simpler, but it hits the 16 MB VMEM cliff right at ~15-16k-token
-    context — exactly the 10-min-audio prefill shape.) Causal tiles that cannot
-    contribute are compute-skipped via pl.when, and their DMA is skipped by the
-    caller's clamped index_map (repeated block index -> no refetch)."""
+                  bq: int, bk: int, bks: int, num_super: int, scale: float,
+                  causal: bool, q_offset: int, kv_len: int):
+    """Grid (B*H, Tq/bq, Tk/bks): KV streams through the grid's innermost axis in
+    SUPER-tiles of bks tokens (bounded VMEM — round 2 loaded the whole [tk, d] K/V
+    per program and hit the 16 MB VMEM cliff right at the ~15-16k-token 10-min-audio
+    prefill shape), while an inner register-carried fori loops over bk-sized slices
+    WITHIN the resident super-tile (amortizes grid-step overhead — a pure
+    one-tile-per-grid-step layout costs ~1 us x tens of thousands of steps at 15k
+    context, ~50 ms of pure overhead). (m, l, acc) persist across super-tiles in
+    VMEM scratch; causal non-contributing super-tiles skip compute (pl.when) and
+    DMA (clamped index_map), and the inner loop trip count is causally clamped."""
     qi = pl.program_id(1)
-    j = pl.program_id(2)
+    js = pl.program_id(2)
     # MXU dots run in the INPUT dtype (bf16-native for bf16 callers, full f32 for f32
     # parity callers) with f32 accumulation; softmax statistics are always f32.
     prec = _dot_precision(q_ref.dtype)
 
-    @pl.when(j == 0)
+    @pl.when(js == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if causal:
-        contributes = j * bk <= qi * bq + bq - 1 + q_offset
+        contributes = js * bks <= qi * bq + bq - 1 + q_offset
     else:
-        contributes = j >= 0  # always
+        contributes = js >= 0  # always
 
     @pl.when(contributes)
     def _compute():
         q = q_ref[0]                                               # [bq, D]
-        k = k_ref[0]                                               # [bk, D]
-        v = v_ref[0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec) * scale            # [bq, bk]
-        if causal:
-            q_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
-            k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(k_ids <= q_ids, s, NEG_INF)
-        if kv_len < num_kv * bk:
-            k_ids = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(k_ids < kv_len, s, NEG_INF)
-        m = m_scr[...]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        m_scr[...] = m_new
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        inner = bks // bk
 
-    @pl.when(j == num_kv - 1)
+        def body(t, carry):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(t * bk, bk), :]                     # [bk, D]
+            v = v_ref[0, pl.ds(t * bk, bk), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec) * scale        # [bq, bk]
+            k_ids = js * bks + t * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1)
+            if causal:
+                q_ids = qi * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk), 0) + q_offset
+                s = jnp.where(k_ids <= q_ids, s, NEG_INF)
+            if kv_len < num_super * bks:
+                s = jnp.where(k_ids < kv_len, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            return m_new, l, acc
+
+        if causal:
+            # inner tiles past the causal frontier contribute nothing: clamp trips
+            max_q_id = qi * bq + bq - 1 + q_offset
+            n_in = jnp.clip((max_q_id - js * bks) // bk + 1, 0, inner)
+        else:
+            n_in = inner
+        m, l, acc = jax.lax.fori_loop(
+            0, n_in, body, (m_scr[...], l_scr[...], acc_scr[...]))
+        m_scr[...] = m
+        l_scr[...] = l
+        acc_scr[...] = acc
+
+    @pl.when(js == num_super - 1)
     def _finish():
         l = l_scr[...]
         o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -117,7 +141,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = False, scale: float | None = None,
-                    q_offset: int = 0, block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
+                    q_offset: int = 0, block_q: int = 512, block_k: int = 1024) -> jnp.ndarray:
     """q [B,Tq,H,D], k/v [B,Tk,Hkv,D] -> [B,Tq,H,D]. GQA via head-index mapping.
 
     Tq/Tk are padded up to tile multiples internally (padded keys are masked out, padded
@@ -132,7 +156,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
 def flash_attention_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                         causal: bool = False, scale: float | None = None,
-                        q_offset: int = 0, block_q: int = 256, block_k: int = 512):
+                        q_offset: int = 0, block_q: int = 512, block_k: int = 1024):
     """Like flash_attention but also returns the per-row log-sum-exp [B, Tq, H] (f32).
 
     This is the primitive cross-block attention composes on: two partial results
@@ -211,7 +235,7 @@ _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
                                               "q_offset"))
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                    causal: bool = False, scale: float | None = None,
-                   q_offset: int = 0, block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
+                   q_offset: int = 0, block_q: int = 512, block_k: int = 1024) -> jnp.ndarray:
     b, tq, h, d = q.shape
     _, tk, hkv, _ = k.shape
     assert h % hkv == 0
@@ -241,16 +265,26 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     kh = jnp.swapaxes(k, 1, 2).reshape(b * hkv, tk, d)
     vh = jnp.swapaxes(v, 1, 2).reshape(b * hkv, tk, d)
 
-    num_kv = tk // bk
-    kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, num_kv=num_kv,
-                               scale=scale, causal=causal, q_offset=q_offset,
-                               kv_len=kv_len)
+    # KV super-tile: bounded VMEM (~2 x bks x d x 2B x double-buffer), few grid
+    # steps. tk re-pads to a bks multiple (over-pad is masked via kv_len).
+    sup = _BLOCK_SUPER if q.dtype != jnp.float32 else _BLOCK_SUPER // 2
+    bks = min(sup, -(-tk // bk) * bk)
+    bks = -(-bks // bk) * bk
+    tk_s = -(-tk // bks) * bks
+    if tk_s != tk:
+        kh_pad = tk_s - tk
+        kh = jnp.pad(kh, ((0, 0), (0, kh_pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, kh_pad), (0, 0)))
+    num_super = tk_s // bks
+    kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, bks=bks,
+                               num_super=num_super, scale=scale, causal=causal,
+                               q_offset=q_offset, kv_len=kv_len)
 
     if causal:
-        # DMA-skip for non-contributing causal tiles: clamp the kv block index so a
+        # DMA-skip for non-contributing causal super-tiles: clamp the index so a
         # repeated index means Pallas never refetches the block
         def kv_index(i, qi, j):
-            return (i // g, jnp.minimum(j, (qi * bq + bq - 1 + q_offset) // bk), 0)
+            return (i // g, jnp.minimum(j, (qi * bq + bq - 1 + q_offset) // bks), 0)
     else:
         def kv_index(i, qi, j):
             return (i // g, j, 0)
@@ -259,11 +293,11 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, tq // bq, num_kv),
+        grid=(b * h, tq // bq, num_super),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),
-            pl.BlockSpec((1, bk, d), kv_index),
-            pl.BlockSpec((1, bk, d), kv_index),
+            pl.BlockSpec((1, bks, d), kv_index),
+            pl.BlockSpec((1, bks, d), kv_index),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda i, qi, j: (i, qi, 0)),
