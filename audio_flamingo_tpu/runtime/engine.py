@@ -27,7 +27,6 @@ from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops.sampling import (RowSampling, SamplingParams,
                                              apply_no_repeat_ngram,
-                                             apply_repetition_penalty,
                                              apply_row_processors, mask_eos,
                                              row_sampling, sample_token,
                                              sample_token_rows)

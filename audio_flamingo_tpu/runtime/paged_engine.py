@@ -188,6 +188,11 @@ class PagedEngine:
         return self.max_blocks_per_seq * self.block_size
 
     def submit(self, req: Request) -> None:
+        # prompts longer than row capacity would negative-pad in _admit after page
+        # allocation (leaking pages); reject at the boundary instead
+        assert req.ids.shape[1] <= self.capacity, (
+            f"prompt ({req.ids.shape[1]} tokens) exceeds row capacity "
+            f"({self.capacity} = max_blocks_per_seq * block_size)")
         _start_request_metrics(req)
         self.queue.append(req)
 

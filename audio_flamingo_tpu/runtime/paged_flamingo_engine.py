@@ -387,6 +387,11 @@ class PagedFlamingoEngine:
         return self.max_blocks_per_seq * self.block_size
 
     def submit(self, req: FlamingoRequest) -> None:
+        # a prompt longer than row capacity would pad by a NEGATIVE amount deep in
+        # _admit (after pages were allocated) — reject loudly at the boundary
+        assert req.ids.shape[1] <= self.capacity, (
+            f"prompt ({req.ids.shape[1]} tokens) exceeds row capacity "
+            f"({self.capacity} = max_blocks_per_seq * block_size)")
         _start_request_metrics(req)
         self.queue.append(req)
 

@@ -97,14 +97,17 @@ def train_step(state: TrainState, batch: dict, *, cfg: AF3Config,
         def body(carry, mb):
             gsum, ssum, csum = carry
             (s, c), g = jax.value_and_grad(nll_fn, has_aux=True)(state.params, mb)
-            gsum = jax.tree.map(jnp.add, gsum, g)
+            # accumulate in f32 regardless of param dtype: bf16 accumulators round
+            # to 8 mantissa bits per add and drift from the full-batch gradient
+            gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), gsum, g)
             return (gsum, ssum + s, csum + c), None
 
-        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
         (gsum, ssum, csum), _ = jax.lax.scan(
             body, (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), micro)
         denom = jnp.maximum(csum, 1).astype(jnp.float32)
-        grads = jax.tree.map(lambda g: (g / denom).astype(g.dtype), gsum)
+        grads = jax.tree.map(lambda g, p: (g / denom).astype(p.dtype),
+                             gsum, state.params)
         loss = ssum / denom
 
     updates, opt_state = opt.update(grads, state.opt_state, state.params)

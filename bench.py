@@ -553,6 +553,98 @@ def bench_spec_engine() -> dict:
     out["spec_b8_tps_target_as_draft"] = round(tad, 1)
     log(f"bench_spec_engine: target-as-draft {tad:.1f} tok/s "
         f"({tad/plain_tps:.2f}x plain)")
+
+    # DECODE-PHASE rates (chunk-level, one dispatch chain, no prefill/admission):
+    # the workload numbers above amortize prefill over only 48 generated tokens —
+    # real requests generate far more, so the steady-state decode ratio is the
+    # honest speculative-gain number. Directly times decode_chunk vs
+    # decode_spec_chunk (shallow draft) at batch 8.
+    try:
+        return {**out, **_spec_decode_phase(params, cfg, lm_cfg, shallow_p,
+                                            shallow_cfg, k, rounds)}
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_spec_engine: decode-phase section failed: {type(e).__name__}: {e}")
+        return out
+
+
+def _spec_decode_phase(params, cfg, lm_cfg, shallow_p, shallow_cfg, k, rounds) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.ops.sampling import SamplingParams, row_sampling
+    from audio_flamingo_tpu.runtime.engine import (SlotCache, decode_chunk,
+                                                   decode_spec_chunk,
+                                                   init_slot_cache)
+
+    out = {}
+    b = 8
+    afcfg = cfg
+
+    # every phase gets FRESH cache buffers: decode_chunk/decode_spec_chunk DONATE
+    # their caches, so reusing one `cache` object across phases reads deleted
+    # buffers on TPU (the r3 decode-phase crash)
+    def fresh_cache():
+        c = init_slot_cache(lm_cfg, b, 1024, jnp.bfloat16)
+        return SlotCache(c.k, c.v, jnp.full((b,), 500, jnp.int32))
+
+    def fresh_draft():
+        return init_slot_cache(shallow_cfg, b, 1024, jnp.bfloat16)
+
+    tok = jnp.ones((b,), jnp.int32)
+    rows_greedy = row_sampling([SamplingParams(greedy=True)] * b)
+    min_left = jnp.zeros((b,), jnp.int32)
+
+    log("bench_spec_engine: decode-phase plain chunk...")
+    st = {"c": fresh_cache(), "t": tok, "d": jnp.zeros((b,), bool),
+          "r": jax.random.PRNGKey(0)}
+
+    def plain_step():
+        c, t, d, r, out_, lp_, _h = decode_chunk(
+            params, afcfg, st["c"], st["t"], st["d"], st["r"], rows_greedy,
+            min_left, None, chunk=16, eos_token_id=-1)
+        st["c"], st["t"], st["d"], st["r"] = c, t, d, r
+        _ = int(t[0])
+
+    plain_step()
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        plain_step()
+        times.append(time.perf_counter() - t0)
+    plain_dp = b * 16 / float(np.median(times))
+    log(f"bench_spec_engine: decode-phase plain {plain_dp:.1f} tok/s")
+    out["decode_phase_plain_b8_tps"] = round(plain_dp, 1)
+
+    for a in (0.6, 0.8, 1.0):
+        dc = fresh_draft()
+        st2 = {"c": fresh_cache(), "dk": dc.k, "dv": dc.v,
+               "t": tok, "d": jnp.zeros((b,), bool)}
+        emitted = {"n": 0}
+
+        def spec_step(a=a, st2=st2, emitted=emitted):
+            c, dk, dv, t, d, out_, valid = decode_spec_chunk(
+                params, shallow_p, afcfg, shallow_cfg,
+                SlotCache(st2["c"].k, st2["c"].v,
+                          jnp.full((b,), 500, jnp.int32)),
+                st2["dk"], st2["dv"], t0k, st2["d"], jax.random.PRNGKey(1),
+                k=k, rounds=rounds, eos_token_id=-1, accept_sim=a)
+            st2["c"] = SlotCache(c.k, c.v, jnp.full((b,), 500, jnp.int32))
+            st2["dk"], st2["dv"] = dk, dv
+            emitted["n"] = int(np.asarray(valid).sum())
+            _ = int(t[0])
+
+        t0k = tok
+        spec_step()
+        times = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            spec_step()
+            times.append(time.perf_counter() - t0)
+        dp = emitted["n"] / float(np.median(times))
+        out[f"decode_phase_spec_shallow_a{a}_tps"] = round(dp, 1)
+        out[f"decode_phase_spec_vs_plain_a{a}"] = round(dp / plain_dp, 2)
+        log(f"bench_spec_engine: decode-phase spec@a={a} {dp:.1f} tok/s "
+            f"({dp/plain_dp:.2f}x plain)")
     return out
 
 
@@ -588,8 +680,11 @@ def bench_train() -> dict:
 
     # ---- stage-1: adaptor-only over frozen int8 7B + bf16 encoder ----
     enc_cfg = WhisperEncoderConfig(use_flash=True)
+    # remat="full": the "dots" policy SAVES each layer's f32 MLP dot outputs
+    # (2 x [28, B, T, 18944] f32 = 13 GB at this shape — measured HBM OOM);
+    # "full" keeps only layer-boundary residuals (~0.7 GB) and recomputes
     lm_cfg = dataclasses.replace(Qwen2Config.qwen25_7b(), use_flash=True,
-                                 remat="dots")
+                                 remat="full")
     cfg1 = AF3Config(encoder=enc_cfg, lm=lm_cfg)
     log("bench_train: stage-1 init (frozen int8 7B + bf16 encoder)...")
     from audio_flamingo_tpu.models import adaptor as adaptor_mod
@@ -649,7 +744,7 @@ def bench_train() -> dict:
     from audio_flamingo_tpu.models import qwen2 as qwen2_mod
 
     ft_cfg_lm = dataclasses.replace(Qwen2Config.qwen25_1_5b(), use_flash=True,
-                                    remat="dots")
+                                    remat="full")
     tiny_enc = WhisperEncoderConfig(num_mel_bins=16, d_model=64, num_layers=2,
                                     num_heads=4, ffn_dim=128)
     ft_cfg = AF3Config(encoder=tiny_enc, lm=ft_cfg_lm)
