@@ -242,3 +242,54 @@ def sample_token(rng: jax.Array, logits: jnp.ndarray, params: SamplingParams,
     lg = apply_top_k(lg, params.top_k)
     lg = apply_top_p(lg, params.top_p)
     return jax.random.categorical(rng, lg, axis=-1).astype(jnp.int32)
+
+
+def engine_row_step(rng_key, logits: jnp.ndarray, hist: jnp.ndarray,
+                    hist_len: jnp.ndarray, rows: RowSampling, done: jnp.ndarray,
+                    min_left: jnp.ndarray, step_i, *, eos_token_id: int,
+                    mixed_sampling: bool, want_logprobs: bool, use_min_new: bool,
+                    use_penalty: bool, ngram_ns: tuple):
+    """ONE shared per-step pipeline for every serving engine's decode-chunk body:
+    n-gram ban -> min-new-tokens EOS mask -> (sampling-only) repetition penalty ->
+    sample -> reported logprob -> history append.
+
+    The processor/logprob split matches runtime.generate.decode_loop exactly: the
+    ban and the EOS mask shape the REPORTED distribution; the penalty warps only
+    the sampling distribution ([hf] output_scores semantics). Returns
+    (next_token [B], logprob [B] | None, hist) — extracted so the four engine
+    families (slot, paged, xattn-slot, xattn-paged) cannot drift.
+    """
+    b = logits.shape[0]
+    if ngram_ns:
+        logits = apply_row_processors(logits, hist, hist_len, rows,
+                                      use_penalty=False, ngram_ns=ngram_ns)
+    if use_min_new:
+        logits = mask_eos(logits, eos_token_id, min_left > step_i)
+    s_logits = logits
+    if use_penalty:
+        s_logits = apply_row_processors(logits, hist, hist_len, rows,
+                                        use_penalty=True, ngram_ns=())
+    # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
+    nxt = sample_token_rows(rng_key, s_logits, rows) if mixed_sampling \
+        else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
+    nxt = jnp.where(done, eos_token_id, nxt)
+    lp_val = None
+    if want_logprobs:
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        lp_val = jnp.where(done, 0.0,
+                           jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0])
+    if use_penalty or ngram_ns:
+        # append for live rows; done rows aim out of bounds (mode="drop" skips)
+        pos = jnp.where(done, hist.shape[1], hist_len)
+        hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
+    return nxt, lp_val, hist
+
+
+def processor_flags(active_sampling_params) -> tuple:
+    """(use_penalty, ngram_ns) static flags from the active rows' SamplingParams —
+    shared by every engine's step() so the flag logic cannot drift."""
+    ps = list(active_sampling_params)
+    use_pen = any(p.repetition_penalty != 1.0 for p in ps)
+    ngram_ns = tuple(sorted({p.no_repeat_ngram_size for p in ps
+                             if p.no_repeat_ngram_size > 0}))
+    return use_pen, ngram_ns

@@ -27,9 +27,9 @@ from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops.sampling import (RowSampling, SamplingParams,
                                              apply_no_repeat_ngram,
-                                             apply_row_processors, mask_eos,
-                                             row_sampling, sample_token,
-                                             sample_token_rows)
+                                             engine_row_step, mask_eos,
+                                             processor_flags, row_sampling,
+                                             sample_token)
 
 
 class SlotCache(NamedTuple):
@@ -133,34 +133,14 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
         x = qwen2.embed(params["lm"], tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
         logits = qwen2.unembed(params["lm"], cfg.lm, h[:, 0])
-        # processor/logprob ordering matches runtime.generate.decode_loop exactly:
-        # n-gram ban + min-new mask shape the REPORTED distribution; the repetition
-        # penalty warps only the SAMPLING distribution ([hf] output_scores are the
-        # processed-but-unwarped logits)
-        if ngram_ns:
-            logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                          use_penalty=False, ngram_ns=ngram_ns)
-        if use_min_new:
-            logits = mask_eos(logits, eos_token_id, min_left > i)
-        s_logits = logits
-        if use_penalty:
-            s_logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                            use_penalty=True, ngram_ns=())
         rng, k = jax.random.split(rng)
-        # STATIC fast path: an all-greedy batch needs no warpers (the row-wise
-        # top-k/top-p warpers each SORT the full vocab — measurable at 150k)
-        nxt = sample_token_rows(k, s_logits, rows) if mixed_sampling \
-            else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, eos_token_id, nxt)
+        nxt, lp_val, hist = engine_row_step(
+            k, logits, hist, cache.lengths + 1, rows, done, min_left, i,
+            eos_token_id=eos_token_id, mixed_sampling=mixed_sampling,
+            want_logprobs=want_logprobs, use_min_new=use_min_new,
+            use_penalty=use_penalty, ngram_ns=ngram_ns)
         if want_logprobs:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            lp = lp.at[:, i].set(jnp.where(
-                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
-        if use_penalty or ngram_ns:
-            # append the sampled token at position lengths+1 for live rows; done
-            # rows aim out of bounds and mode="drop" skips the write
-            pos = jnp.where(done, hist.shape[1], cache.lengths + 1)
-            hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
+            lp = lp.at[:, i].set(lp_val)
         new_lengths = cache.lengths + jnp.where(done, 0, 1)
         cache2 = SlotCache(cache2.k, cache2.v, new_lengths)
         out = out.at[:, i].set(nxt)
@@ -317,6 +297,19 @@ def prefill_into_slot(params, cfg: AF3Config, cache: SlotCache, slot, token_ids,
     lengths = cache.lengths.at[slot].set(
         t if prompt_len is None else prompt_len.astype(jnp.int32))
     return SlotCache(k, v, lengths), logits[0]
+
+
+def seed_history(hist, row: int, capacity: int, req, sampling) -> "jnp.ndarray":
+    """Seed one device-history row with the request's prompt + ALL emitted tokens
+    (req.tokens already includes the first token at admission, and everything
+    emitted by resume time). No-op unless the request uses a history processor."""
+    if sampling.repetition_penalty == 1.0 and sampling.no_repeat_ngram_size == 0:
+        return hist
+    buf = np.full((capacity,), -1, np.int32)
+    toks = np.concatenate([np.asarray(req.ids[0], np.int32),
+                           np.asarray(req.tokens, np.int32)])[:capacity]
+    buf[: len(toks)] = toks
+    return hist.at[row].set(jnp.asarray(buf))
 
 
 def _find_stop(tokens: list, stops) -> int | None:
@@ -535,15 +528,8 @@ class BatchEngine:
                 continue
             self.row_params[slot] = req_sampling
             self.rows = row_sampling(self.row_params)
-            if (req_sampling.repetition_penalty != 1.0
-                    or req_sampling.no_repeat_ngram_size > 0):
-                # seed the device history with the TRUE prompt + first token
-                row = np.full((self.capacity,), -1, np.int32)
-                t0 = min(req.ids.shape[1], self.capacity)
-                row[:t0] = np.asarray(req.ids[0])[:t0]
-                if t0 < self.capacity:
-                    row[t0] = first
-                self.hist = self.hist.at[slot].set(jnp.asarray(row))
+            self.hist = seed_history(self.hist, slot, self.capacity, req,
+                                     req_sampling)
             if self._speculating():
                 self.d_cache = draft_prefill_into_slot(
                     self.draft_params, self.draft_cfg, self.d_cache, slot, ids,
@@ -583,11 +569,8 @@ class BatchEngine:
                         for req in self.active.values())
             want_lp = any(req.logprobs for req in self.active.values())
             use_min = bool(min_left.any())
-            active_s = [req.sampling or self.sampling
-                        for req in self.active.values()]
-            use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
-            ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
-                                     if s.no_repeat_ngram_size > 0}))
+            use_pen, ngram_ns = processor_flags(
+                req.sampling or self.sampling for req in self.active.values())
             (self.cache, self.tokens, self.done, self.rng, out, lp,
              self.hist) = decode_chunk(
                 self.params, self.cfg, self.cache, self.tokens, self.done, self.rng,

@@ -29,8 +29,9 @@ from audio_flamingo_tpu.models import opt as opt_mod
 from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops import xattn as xattn_op
-from audio_flamingo_tpu.ops.sampling import (SamplingParams, mask_eos, row_sampling,
-                                             sample_token, sample_token_rows)
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, engine_row_step,
+                                             mask_eos, processor_flags,
+                                             row_sampling, sample_token)
 from audio_flamingo_tpu.runtime.engine import (Request, SlotCache,
                                                _emit_first_token,
                                                _finish_request_metrics,
@@ -139,8 +140,6 @@ def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, 
     returns lp [B, chunk] sampled-token logprobs.
     hist [B, H]: device-resident prompt+generated history for the repetition-
     penalty / n-gram processors (engine.decode_chunk contract); returned updated."""
-    from audio_flamingo_tpu.ops.sampling import apply_row_processors
-
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
     lp0 = jnp.zeros((b, chunk), jnp.float32)
@@ -152,28 +151,14 @@ def decode_chunk_xattn(params, cfg: AF2Config, cache: SlotCache, media, tokens, 
         x = flamingo._embed(params, cfg, tok[:, None], dtype=compute_dtype)
         h, cache2 = _rows_forward_xattn(params, cfg, x, cache.lengths, cache, media)
         logits = flamingo._unembed(params, cfg, h[:, 0])
-        # same processor/logprob split as runtime.generate.decode_loop
-        if ngram_ns:
-            logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                          use_penalty=False, ngram_ns=ngram_ns)
-        if use_min_new:
-            logits = mask_eos(logits, eos_token_id, min_left > i)
-        s_logits = logits
-        if use_penalty:
-            s_logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                            use_penalty=True, ngram_ns=())
         rng, k = jax.random.split(rng)
-        # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
-        nxt = sample_token_rows(k, s_logits, rows) if mixed_sampling \
-            else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, eos_token_id, nxt)
+        nxt, lp_val, hist = engine_row_step(
+            k, logits, hist, cache.lengths + 1, rows, done, min_left, i,
+            eos_token_id=eos_token_id, mixed_sampling=mixed_sampling,
+            want_logprobs=want_logprobs, use_min_new=use_min_new,
+            use_penalty=use_penalty, ngram_ns=ngram_ns)
         if want_logprobs:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            lp = lp.at[:, i].set(jnp.where(
-                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
-        if use_penalty or ngram_ns:
-            pos = jnp.where(done, hist.shape[1], cache.lengths + 1)
-            hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
+            lp = lp.at[:, i].set(lp_val)
         cache2 = SlotCache(cache2.k, cache2.v,
                            cache.lengths + jnp.where(done, 0, 1))
         out = out.at[:, i].set(nxt)
@@ -302,14 +287,10 @@ class FlamingoEngine:
                 continue
             self.row_params[slot] = req_sampling
             self.rows = row_sampling(self.row_params)
-            if (req_sampling.repetition_penalty != 1.0
-                    or req_sampling.no_repeat_ngram_size > 0):
-                row = np.full((self.capacity,), -1, np.int32)
-                t0 = min(req.ids.shape[1], self.capacity)
-                row[:t0] = np.asarray(req.ids[0])[:t0]
-                if t0 < self.capacity:
-                    row[t0] = first
-                self.hist = self.hist.at[slot].set(jnp.asarray(row))
+            from audio_flamingo_tpu.runtime.engine import seed_history
+
+            self.hist = seed_history(self.hist, slot, self.capacity, req,
+                                     req_sampling)
             self.tokens = self.tokens.at[slot].set(first)
             self.done = self.done.at[slot].set(False)
             self.active[slot] = req
@@ -327,10 +308,8 @@ class FlamingoEngine:
                     for req in self.active.values())
         want_lp = any(req.logprobs for req in self.active.values())
         use_min = bool(min_left.any())
-        active_s = [req.sampling or self.sampling for req in self.active.values()]
-        use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
-        ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
-                                 if s.no_repeat_ngram_size > 0}))
+        use_pen, ngram_ns = processor_flags(
+            req.sampling or self.sampling for req in self.active.values())
         (self.cache, self.tokens, self.done, self.rng, out, lp,
          self.hist) = decode_chunk_xattn(
             self.params, self.cfg, self.cache, self.media, self.tokens, self.done,

@@ -212,8 +212,7 @@ def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, r
     hist [B, H]: device-resident prompt+generated history for the repetition-
     penalty / n-gram processors (same contract as engine.decode_chunk: row b holds
     lengths[b]+1 valid tokens, -1 elsewhere); returned updated."""
-    from audio_flamingo_tpu.ops.sampling import (apply_row_processors, mask_eos,
-                                                 sample_token_rows)
+    from audio_flamingo_tpu.ops.sampling import engine_row_step
 
     b = tokens.shape[0]
     out0 = jnp.full((b, chunk), eos_token_id, jnp.int32)
@@ -224,29 +223,14 @@ def paged_decode_chunk(params, cfg: Qwen2Config, cache: PagedKV, tokens, done, r
     def body(i, carry):
         cache, tok, done, rng, out, lp, hist = carry
         cache2, logits = paged_decode_step(params, cfg, cache, tok, compute_dtype)
-        # processor split matches runtime.generate.decode_loop: ngram/min-new shape
-        # the reported logits; the penalty warps only the sampling distribution
-        if ngram_ns:
-            logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                          use_penalty=False, ngram_ns=ngram_ns)
-        if use_min_new:
-            logits = mask_eos(logits, eos_token_id, min_left > i)
-        s_logits = logits
-        if use_penalty:
-            s_logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                            use_penalty=True, ngram_ns=())
         rng, kk = jax.random.split(rng)
-        # STATIC fast path: all-greedy batches skip the full-vocab warper sorts
-        nxt = sample_token_rows(kk, s_logits, rows) if mixed_sampling \
-            else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, eos_token_id, nxt)
+        nxt, lp_val, hist = engine_row_step(
+            kk, logits, hist, cache.lengths + 1, rows, done, min_left, i,
+            eos_token_id=eos_token_id, mixed_sampling=mixed_sampling,
+            want_logprobs=want_logprobs, use_min_new=use_min_new,
+            use_penalty=use_penalty, ngram_ns=ngram_ns)
         if want_logprobs:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            lp = lp.at[:, i].set(jnp.where(
-                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
-        if use_penalty or ngram_ns:
-            pos = jnp.where(done, hist.shape[1], cache.lengths + 1)
-            hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
+            lp = lp.at[:, i].set(lp_val)
         # rows that are done must not advance their length (paged_decode_step adds 1)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)
         cache2 = cache2._replace(lengths=lengths)

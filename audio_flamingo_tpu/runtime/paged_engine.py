@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_flamingo_tpu.config import AF3Config
-from audio_flamingo_tpu.ops.sampling import SamplingParams, row_sampling
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, processor_flags,
+                                             row_sampling)
 from audio_flamingo_tpu.runtime.engine import (Request, _emit_first_token,
                                                _finish_request_metrics,
                                                _postprocess_chunk_row,
@@ -197,16 +198,10 @@ class PagedEngine:
         self.queue.append(req)
 
     def _seed_hist(self, row: int, req: Request) -> None:
-        """Seed the device history row with prompt + all emitted tokens (admission
-        AND preempt-resume: req.tokens already holds everything emitted)."""
-        s = req.sampling or self.sampling
-        if s.repetition_penalty == 1.0 and s.no_repeat_ngram_size == 0:
-            return
-        buf = np.full((self.capacity,), -1, np.int32)
-        toks = np.concatenate([np.asarray(req.ids[0], np.int32),
-                               np.asarray(req.tokens, np.int32)])[: self.capacity]
-        buf[: len(toks)] = toks
-        self.hist = self.hist.at[row].set(jnp.asarray(buf))
+        from audio_flamingo_tpu.runtime.engine import seed_history
+
+        self.hist = seed_history(self.hist, row, self.capacity, req,
+                                 req.sampling or self.sampling)
 
     def _free_pages(self) -> int:
         n = len(self.allocator.free)
@@ -560,11 +555,8 @@ class PagedEngine:
                     for req, _, _ in self.active.values())
         want_lp = any(req.logprobs for req, _, _ in self.active.values())
         use_min = bool(min_left.any())
-        active_s = [req.sampling or self.sampling
-                    for req, _, _ in self.active.values()]
-        use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
-        ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
-                                 if s.no_repeat_ngram_size > 0}))
+        use_pen, ngram_ns = processor_flags(
+            req.sampling or self.sampling for req, _, _ in self.active.values())
         (self.cache, self.tokens, self.done, self.rng, out, lp,
          self.hist) = paged_decode_chunk(
             self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,

@@ -31,9 +31,8 @@ from audio_flamingo_tpu.models import opt as opt_mod
 from audio_flamingo_tpu.models import qwen2
 from audio_flamingo_tpu.ops import apply_rope, layer_norm, rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops import xattn as xattn_op
-from audio_flamingo_tpu.ops.sampling import (SamplingParams, apply_row_processors,
-                                             mask_eos, row_sampling,
-                                             sample_token_rows)
+from audio_flamingo_tpu.ops.sampling import (SamplingParams, engine_row_step,
+                                             processor_flags, row_sampling)
 from audio_flamingo_tpu.runtime.engine import (_emit_first_token,
                                                _finish_request_metrics,
                                                _postprocess_chunk_row,
@@ -186,26 +185,14 @@ def paged_decode_chunk_xattn(params, cfg: AF2Config, cache: PagedKV, media, toke
         cache, tok, done, rng, out, lp, hist = carry
         cache2, logits = _xattn_paged_step(params, cfg, cache, media, tok,
                                            compute_dtype)
-        if ngram_ns:
-            logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                          use_penalty=False, ngram_ns=ngram_ns)
-        if use_min_new:
-            logits = mask_eos(logits, eos_token_id, min_left > i)
-        s_logits = logits
-        if use_penalty:
-            s_logits = apply_row_processors(logits, hist, cache.lengths + 1, rows,
-                                            use_penalty=True, ngram_ns=())
         rng, k = jax.random.split(rng)
-        nxt = sample_token_rows(k, s_logits, rows) if mixed_sampling \
-            else jnp.argmax(s_logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, eos_token_id, nxt)
+        nxt, lp_val, hist = engine_row_step(
+            k, logits, hist, cache.lengths + 1, rows, done, min_left, i,
+            eos_token_id=eos_token_id, mixed_sampling=mixed_sampling,
+            want_logprobs=want_logprobs, use_min_new=use_min_new,
+            use_penalty=use_penalty, ngram_ns=ngram_ns)
         if want_logprobs:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            lp = lp.at[:, i].set(jnp.where(
-                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]))
-        if use_penalty or ngram_ns:
-            pos = jnp.where(done, hist.shape[1], cache.lengths + 1)
-            hist = hist.at[jnp.arange(b), pos].set(nxt, mode="drop")
+            lp = lp.at[:, i].set(lp_val)
         lengths = jnp.where(done, cache.lengths, cache2.lengths)
         cache2 = cache2._replace(lengths=lengths)
         out = out.at[:, i].set(nxt)
@@ -416,14 +403,10 @@ class PagedFlamingoEngine:
         return self.allocator.alloc(n)
 
     def _seed_hist(self, row: int, req: FlamingoRequest) -> None:
-        s = req.sampling or self.sampling
-        if s.repetition_penalty == 1.0 and s.no_repeat_ngram_size == 0:
-            return
-        buf = np.full((self.capacity,), -1, np.int32)
-        toks = np.concatenate([np.asarray(req.ids[0], np.int32),
-                               np.asarray(req.tokens, np.int32)])[: self.capacity]
-        buf[: len(toks)] = toks
-        self.hist = self.hist.at[row].set(jnp.asarray(buf))
+        from audio_flamingo_tpu.runtime.engine import seed_history
+
+        self.hist = seed_history(self.hist, row, self.capacity, req,
+                                 req.sampling or self.sampling)
 
     def _admit(self) -> None:
         from audio_flamingo_tpu.train.data import bucket_tokens
@@ -733,9 +716,7 @@ class PagedFlamingoEngine:
         mixed = any(not s.greedy for s in active_s)
         want_lp = any(req.logprobs for req, *_x in self.active.values())
         use_min = bool(min_left.any())
-        use_pen = any(s.repetition_penalty != 1.0 for s in active_s)
-        ngram_ns = tuple(sorted({s.no_repeat_ngram_size for s in active_s
-                                 if s.no_repeat_ngram_size > 0}))
+        use_pen, ngram_ns = processor_flags(active_s)
         (self.cache, self.tokens, self.done, self.rng, out, lp,
          self.hist) = paged_decode_chunk_xattn(
             self.params, self.cfg, cache, self.media, self.tokens, self.done,
