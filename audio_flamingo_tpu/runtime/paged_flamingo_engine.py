@@ -221,13 +221,40 @@ def flamingo_prefill_suffix(params, cfg: AF2Config, cache: PagedKV,
 
     Returns (media [B, S, d], suffix_k, suffix_v [L, 1, suffix_len, nkv, hd],
     last-token logits fp32)."""
+    media = flamingo.transform_audio(params, cfg, window_embeds.astype(compute_dtype))
+    sub_k, sub_v, logits = _xattn_suffix_forward(
+        params, cfg, cache, prefix_page_ids, suffix_ids, media, prompt_len,
+        n_prefix_pages=n_prefix_pages, suffix_len=suffix_len,
+        compute_dtype=compute_dtype)
+    return media, sub_k, sub_v, logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_prefix_pages", "chunk_len",
+                                             "compute_dtype"))
+def flamingo_prefill_chunk(params, cfg: AF2Config, cache: PagedKV,
+                           prefix_page_ids, chunk_ids, media, prompt_len, *,
+                           n_prefix_pages: int, chunk_len: int,
+                           compute_dtype=jnp.float32):
+    """One chunk of a CHUNKED xattn prefill against already-filled pages.
+
+    Like flamingo_prefill_suffix but media is precomputed once at chunk-prefill
+    start (the CLAP transform need not rerun per chunk). Returns
+    (chunk_k, chunk_v, last-token logits of this chunk)."""
+    return _xattn_suffix_forward(params, cfg, cache, prefix_page_ids, chunk_ids,
+                                 media, prompt_len, n_prefix_pages=n_prefix_pages,
+                                 suffix_len=chunk_len, compute_dtype=compute_dtype)
+
+
+def _xattn_suffix_forward(params, cfg: AF2Config, cache: PagedKV, prefix_page_ids,
+                          suffix_ids, media, prompt_len, *, n_prefix_pages: int,
+                          suffix_len: int, compute_dtype):
+    """Shared body of flamingo_prefill_suffix/_chunk: gather+dequantize the prefix
+    pages into a contiguous KVCache, run the xattn LM over the suffix ids at the
+    offset positions, and return (suffix_k, suffix_v, last-token logits)."""
     prefix_len = n_prefix_pages * cache.block_size
     nkv, hd = cache.k.shape[-2], cache.k.shape[-1]
     num_layers = cache.k.shape[0]
-
-    media = flamingo.transform_audio(params, cfg, window_embeds.astype(compute_dtype))
     embeds = flamingo._embed(params, cfg, suffix_ids, dtype=compute_dtype)
-
     k_pref = jnp.take(cache.k, prefix_page_ids, axis=1)
     v_pref = jnp.take(cache.v, prefix_page_ids, axis=1)
     if cache.quantized:
@@ -245,51 +272,10 @@ def flamingo_prefill_suffix(params, cfg: AF2Config, cache: PagedKV,
     lm_cache = qwen2.KVCache(k=k0, v=v0, index=jnp.asarray(prefix_len, jnp.int32))
     pos = (prefix_len + jnp.arange(suffix_len))[None]
     h, new_cache = flamingo._lm_forward_with_xattn(
-        params, cfg, embeds, pos, media, media_mask=None, cache=lm_cache)
-    last = jnp.take_along_axis(
-        h, jnp.full((1, 1, 1), prompt_len - 1 - prefix_len, jnp.int32)
-        .repeat(h.shape[-1], -1), axis=1)
-    logits = flamingo._unembed(params, cfg, last[:, 0])
-    return (media, new_cache.k[:, :, prefix_len:], new_cache.v[:, :, prefix_len:],
-            logits)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "n_prefix_pages", "chunk_len",
-                                             "compute_dtype"))
-def flamingo_prefill_chunk(params, cfg: AF2Config, cache: PagedKV,
-                           prefix_page_ids, chunk_ids, media, prompt_len, *,
-                           n_prefix_pages: int, chunk_len: int,
-                           compute_dtype=jnp.float32):
-    """One chunk of a CHUNKED xattn prefill against already-filled pages.
-
-    Like flamingo_prefill_suffix but media is precomputed once at chunk-prefill
-    start (the CLAP transform need not rerun per chunk). Returns
-    (chunk_k, chunk_v, last-token logits of this chunk)."""
-    prefix_len = n_prefix_pages * cache.block_size
-    nkv, hd = cache.k.shape[-2], cache.k.shape[-1]
-    num_layers = cache.k.shape[0]
-    embeds = flamingo._embed(params, cfg, chunk_ids, dtype=compute_dtype)
-    k_pref = jnp.take(cache.k, prefix_page_ids, axis=1)
-    v_pref = jnp.take(cache.v, prefix_page_ids, axis=1)
-    if cache.quantized:
-        ks = jnp.take(cache.k_scale, prefix_page_ids, axis=1)
-        vs = jnp.take(cache.v_scale, prefix_page_ids, axis=1)
-        k_pref = k_pref.astype(jnp.float32) * ks[..., None]
-        v_pref = v_pref.astype(jnp.float32) * vs[..., None]
-    capacity = prefix_len + chunk_len
-    k0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
-    k0 = k0.at[:, 0, :prefix_len].set(
-        k_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
-    v0 = jnp.zeros((num_layers, 1, capacity, nkv, hd), compute_dtype)
-    v0 = v0.at[:, 0, :prefix_len].set(
-        v_pref.reshape(num_layers, prefix_len, nkv, hd).astype(compute_dtype))
-    lm_cache = qwen2.KVCache(k=k0, v=v0, index=jnp.asarray(prefix_len, jnp.int32))
-    pos = (prefix_len + jnp.arange(chunk_len))[None]
-    h, new_cache = flamingo._lm_forward_with_xattn(
         params, cfg, embeds, pos, media.astype(compute_dtype), media_mask=None,
         cache=lm_cache)
     last = jnp.take_along_axis(
-        h, jnp.clip(prompt_len - 1 - prefix_len, 0, chunk_len - 1)
+        h, jnp.clip(prompt_len - 1 - prefix_len, 0, suffix_len - 1)
         .reshape(1, 1, 1).astype(jnp.int32).repeat(h.shape[-1], -1), axis=1)
     logits = flamingo._unembed(params, cfg, last[:, 0])
     return new_cache.k[:, :, prefix_len:], new_cache.v[:, :, prefix_len:], logits
