@@ -136,6 +136,22 @@ def _linear(x, p, a8: bool = False):
     return y
 
 
+def _linear_shared_a8(xq_xs, x, p):
+    """_linear for consumers sharing one pre-quantized activation (a8 prefill).
+
+    xq_xs: (x_q, x_scale) from ops.quant.quantize_act — q/k/v share the ln1
+    output and gate/up the ln2 output, so the ~0.7 ms/[15k,d] quant sweep runs
+    once instead of per-projection. Falls back to bf16 when p is unquantized."""
+    if "w_q" not in p:
+        return _linear(x, p)
+    from audio_flamingo_tpu.ops.quant import q_matmul_a8q
+
+    y = q_matmul_a8q(*xq_xs, p, out_dtype=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache_index=None,
                    flash_ok: bool = False):
     """One decoder block. Returns (x, (new_k, new_v)) where new_k/v are this step's KV.
@@ -155,9 +171,17 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     a8 = cfg.a8_prefill and s > 1   # w8a8 on compute-bound multi-token forwards only
 
     h = rms_norm(x, lp["ln1_w"], cfg.rms_norm_eps)
-    q = _linear(h, lp["q"], a8=a8).reshape(b, s, nh, hd)
-    k = _linear(h, lp["k"], a8=a8).reshape(b, s, nkv, hd)
-    v = _linear(h, lp["v"], a8=a8).reshape(b, s, nkv, hd)
+    if a8 and "w_q" in lp["q"]:
+        from audio_flamingo_tpu.ops.quant import quantize_act
+
+        hq = quantize_act(h)   # one quant sweep shared by q/k/v
+        q = _linear_shared_a8(hq, h, lp["q"]).reshape(b, s, nh, hd)
+        k = _linear_shared_a8(hq, h, lp["k"]).reshape(b, s, nkv, hd)
+        v = _linear_shared_a8(hq, h, lp["v"]).reshape(b, s, nkv, hd)
+    else:
+        q = _linear(h, lp["q"], a8=a8).reshape(b, s, nh, hd)
+        k = _linear(h, lp["k"], a8=a8).reshape(b, s, nkv, hd)
+        v = _linear(h, lp["v"], a8=a8).reshape(b, s, nkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
     use_flash_prefill = flash_ok and s > 1
@@ -205,11 +229,17 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
     mlp = lp["mlp"]
     if isinstance(mlp["gate"], dict):  # int8 weight-only MLP
-        from audio_flamingo_tpu.ops.quant import q_matmul, q_matmul_a8
+        from audio_flamingo_tpu.ops.quant import (q_matmul, q_matmul_a8,
+                                                  q_matmul_a8q, quantize_act)
 
-        qmm = q_matmul_a8 if a8 else q_matmul
-        act = jax.nn.silu(qmm(h, mlp["gate"])) * qmm(h, mlp["up"])
-        x = x + qmm(act, mlp["down"])
+        if a8:
+            hq = quantize_act(h)   # one quant sweep shared by gate/up
+            act = (jax.nn.silu(q_matmul_a8q(*hq, mlp["gate"], out_dtype=h.dtype))
+                   * q_matmul_a8q(*hq, mlp["up"], out_dtype=h.dtype))
+            x = x + q_matmul_a8(act, mlp["down"])
+        else:
+            act = jax.nn.silu(q_matmul(h, mlp["gate"])) * q_matmul(h, mlp["up"])
+            x = x + q_matmul(act, mlp["down"])
     else:
         x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in mlp.items()})
     return x, new_kv

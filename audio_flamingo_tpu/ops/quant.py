@@ -43,6 +43,30 @@ def q_matmul(x: jnp.ndarray, p: dict, use_pallas: bool = False) -> jnp.ndarray:
     return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
 
 
+def quantize_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token dynamic int8 activation quantization: x -> (x_q int8, x_scale f32).
+
+    Split out of q_matmul_a8 so consumers sharing one activation (q/k/v share the
+    ln1 output, gate/up the ln2 output) quantize it ONCE — the quant pass is pure
+    VPU+HBM work (~0.7 ms per [15k, 3584] sweep on v5e) that the MXU never sees,
+    so every duplicate is wall-clock added to a FLOP-bound prefill."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-6) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+                   ).astype(jnp.int8)
+    return x_q, x_scale
+
+
+def q_matmul_a8q(x_q: jnp.ndarray, x_scale: jnp.ndarray, p: dict,
+                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8-activation x int8-weight matmul on pre-quantized activations."""
+    y = jax.lax.dot_general(x_q, p["w_q"],
+                            (((x_q.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * x_scale * p["scale"].astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def q_matmul_a8(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """w8a8: per-token dynamic int8 activation quantization x int8 weights.
 
@@ -53,15 +77,8 @@ def q_matmul_a8(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     weights — the standard dynamic-quant recipe; accuracy is a tolerance band, not
     bit-exactness (tests/test_quant.py gates the divergence).
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(amax, 1e-6) / 127.0
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
-                   ).astype(jnp.int8)
-    y = jax.lax.dot_general(x_q, p["w_q"],
-                            (((x.ndim - 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * x_scale * p["scale"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    x_q, x_scale = quantize_act(x)
+    return q_matmul_a8q(x_q, x_scale, p, out_dtype=x.dtype)
 
 
 def random_quantized_lm(rng: jax.Array, cfg) -> dict:

@@ -499,6 +499,20 @@ class BatchEngine:
         _start_request_metrics(req)
         self.queue.append(req)
 
+    def submit_beam(self, req) -> None:
+        """Queue a beam-search request ([hf] generate(num_beams=K) role). It is
+        served by a BeamLane time-sliced against decode rounds; results appear
+        in `finished_beams` as (sequences [R, max_new], scores [R])."""
+        from audio_flamingo_tpu.runtime.beam_lane import attach_beam_lane
+
+        attach_beam_lane(self, family="af3").submit(req)
+
+    @property
+    def finished_beams(self) -> dict:
+        from audio_flamingo_tpu.runtime.beam_lane import finished_beams
+
+        return finished_beams(self)
+
     def _fill_slots(self) -> None:
         for slot in range(self.num_slots):
             if slot in self.active or not self.queue:
@@ -539,9 +553,13 @@ class BatchEngine:
             self.active[slot] = req
 
     def step(self) -> None:
-        """One scheduling round: admit queued requests, decode one chunk."""
+        """One scheduling round: admit queued requests, decode one chunk, then
+        advance any beam-lane requests one bounded chunk."""
+        from audio_flamingo_tpu.runtime.beam_lane import step_beam_lane
+
         self._fill_slots()
         if not self.active:
+            step_beam_lane(self)
             return
         if self._speculating():
             self.rng, spec_rng = jax.random.split(self.rng)
@@ -601,10 +619,14 @@ class BatchEngine:
                 self.done = self.done.at[slot].set(True)
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
+        step_beam_lane(self)
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
+        from audio_flamingo_tpu.runtime.beam_lane import beam_lane_busy
+
         rounds = 0
-        while (self.queue or self.active) and rounds < max_rounds:
+        while ((self.queue or self.active or beam_lane_busy(self))
+               and rounds < max_rounds):
             self.step()
             rounds += 1
         return self.finished

@@ -246,6 +246,21 @@ class FlamingoEngine:
         _start_request_metrics(req)
         self.queue.append(req)
 
+    def submit_beam(self, req) -> None:
+        """Queue an AF1/AF2 beam-search request, served by a BeamLane time-
+        sliced against xattn decode rounds (window embeds are padded to the
+        engine's fixed media shape, exactly like normal admission)."""
+        from audio_flamingo_tpu.runtime.beam_lane import attach_beam_lane
+
+        attach_beam_lane(self, family="xattn",
+                         pad_windows=self._pad_windows).submit(req)
+
+    @property
+    def finished_beams(self) -> dict:
+        from audio_flamingo_tpu.runtime.beam_lane import finished_beams
+
+        return finished_beams(self)
+
     def _pad_windows(self, we: np.ndarray | None) -> jnp.ndarray:
         """Zero-pad window embeds to the engine's fixed [1, n_media, W, d] shape.
         Zero CLAP windows transform to media features the zero-init tanh gates
@@ -296,8 +311,11 @@ class FlamingoEngine:
             self.active[slot] = req
 
     def step(self) -> None:
+        from audio_flamingo_tpu.runtime.beam_lane import step_beam_lane
+
         self._fill_slots()
         if not self.active:
+            step_beam_lane(self)
             return
         min_left = np.zeros((self.num_slots,), np.int32)
         for slot, req in self.active.items():
@@ -335,10 +353,14 @@ class FlamingoEngine:
                 self.done = self.done.at[slot].set(True)
                 self.cache = self.cache._replace(
                     lengths=self.cache.lengths.at[slot].set(0))
+        step_beam_lane(self)
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
+        from audio_flamingo_tpu.runtime.beam_lane import beam_lane_busy
+
         rounds = 0
-        while (self.queue or self.active) and rounds < max_rounds:
+        while ((self.queue or self.active or beam_lane_busy(self))
+               and rounds < max_rounds):
             self.step()
             rounds += 1
         return self.finished

@@ -197,6 +197,22 @@ class PagedEngine:
         _start_request_metrics(req)
         self.queue.append(req)
 
+    def submit_beam(self, req) -> None:
+        """Queue a beam-search request ([hf] generate(num_beams=K) role), served
+        by a BeamLane time-sliced against paged decode rounds. The lane owns its
+        K dense cache rows (the per-step parent reorder cannot share the paged
+        pool without per-step copy-on-write page forks); results appear in
+        `finished_beams` as (sequences [R, max_new], scores [R])."""
+        from audio_flamingo_tpu.runtime.beam_lane import attach_beam_lane
+
+        attach_beam_lane(self, family="af3").submit(req)
+
+    @property
+    def finished_beams(self) -> dict:
+        from audio_flamingo_tpu.runtime.beam_lane import finished_beams
+
+        return finished_beams(self)
+
     def _seed_hist(self, row: int, req: Request) -> None:
         from audio_flamingo_tpu.runtime.engine import seed_history
 
@@ -532,6 +548,8 @@ class PagedEngine:
         self.lengths_np[row] = 0
 
     def step(self) -> None:
+        from audio_flamingo_tpu.runtime.beam_lane import step_beam_lane
+
         self._admit()
         self._prefill_step()            # one chunk, then back to decoding
         starved = self._grow_pages()
@@ -543,6 +561,7 @@ class PagedEngine:
         for row in starved:             # last resort (lone row in an exhausted
             self._finish_row(row)       # pool): finish early with what it has
         if not self.active:
+            step_beam_lane(self)
             return
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
                                     lengths=jnp.asarray(self.lengths_np))
@@ -576,10 +595,14 @@ class PagedEngine:
             full = self.lengths_np[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)
+        step_beam_lane(self)
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
+        from audio_flamingo_tpu.runtime.beam_lane import beam_lane_busy
+
         rounds = 0
-        while ((self.queue or self.active or self.prefilling is not None)
+        while ((self.queue or self.active or self.prefilling is not None
+                or beam_lane_busy(self))
                and rounds < max_rounds):
             self.step()
             rounds += 1

@@ -368,6 +368,22 @@ class PagedFlamingoEngine:
         _start_request_metrics(req)
         self.queue.append(req)
 
+    def submit_beam(self, req) -> None:
+        """Queue an AF1/AF2 beam-search request, served by a BeamLane time-
+        sliced against paged xattn decode rounds (the lane owns its K dense
+        cache rows; see PagedEngine.submit_beam for why it cannot share the
+        page pool)."""
+        from audio_flamingo_tpu.runtime.beam_lane import attach_beam_lane
+
+        attach_beam_lane(self, family="xattn",
+                         pad_windows=self._pad_windows).submit(req)
+
+    @property
+    def finished_beams(self) -> dict:
+        from audio_flamingo_tpu.runtime.beam_lane import finished_beams
+
+        return finished_beams(self)
+
     def _pad_windows(self, we: np.ndarray | None) -> jnp.ndarray:
         d = self.cfg.audio_embed_dim
         full = np.zeros((1, self.n_media, self.windows_per_media, d), np.float32)
@@ -680,6 +696,8 @@ class PagedFlamingoEngine:
         self.lengths_np[row] = 0
 
     def step(self) -> None:
+        from audio_flamingo_tpu.runtime.beam_lane import step_beam_lane
+
         self._admit()
         self._prefill_step()            # one chunk, then back to decoding
         starved = self._grow_pages()
@@ -689,6 +707,7 @@ class PagedFlamingoEngine:
         for row in starved:
             self._finish_row(row)
         if not self.active:
+            step_beam_lane(self)
             return
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
                                     lengths=jnp.asarray(self.lengths_np))
@@ -722,10 +741,14 @@ class PagedFlamingoEngine:
             full = self.lengths_np[row] >= self.capacity - self.chunk - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)
+        step_beam_lane(self)
 
     def run_until_done(self, max_rounds: int = 1000) -> dict[str, list[int]]:
+        from audio_flamingo_tpu.runtime.beam_lane import beam_lane_busy
+
         rounds = 0
-        while ((self.queue or self.active or self.prefilling is not None)
+        while ((self.queue or self.active or self.prefilling is not None
+                or beam_lane_busy(self))
                and rounds < max_rounds):
             self.step()
             rounds += 1
