@@ -308,7 +308,8 @@ class AudioFlamingo2:
 
 
 def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = False,
-         use_flash: bool = True, a8_prefill: bool = False) -> AudioFlamingo:
+         use_flash: bool = True, a8_prefill: bool = False,
+         a8_encoder: bool = False) -> AudioFlamingo:
     """Load an AF3-family checkpoint directory (HF '-hf' layout).
 
     Expects: config.json (qwen2_audio-style nesting), tokenizer.json (or vocab.json +
@@ -317,7 +318,9 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = Fal
     required to fit the 7B LM on a single 16 GB chip. use_flash enables Pallas flash
     attention for the encoder and LM prefill. a8_prefill (requires quantize_lm):
     w8a8 prefill matmuls at the MXU's 2x int8 rate — a TTFT knob with a small
-    accuracy band (ops/quant.q_matmul_a8); decode stays w8a16.
+    accuracy band (ops/quant.q_matmul_a8); decode stays w8a16. a8_encoder:
+    int8 encoder layer linears (w8a8 — the encoder is compute-bound, so this is
+    the encode-phase half of the TTFT knob; ops/quant.quantize_encoder_params).
     """
     import json
 
@@ -370,6 +373,11 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = Fal
 
         params["lm"] = quantize_lm_params(
             jax.tree.map(jnp.asarray, params["lm"]))
+    if a8_encoder:
+        from audio_flamingo_tpu.ops.quant import quantize_encoder_params
+
+        params["encoder"] = quantize_encoder_params(
+            jax.tree.map(jnp.asarray, params["encoder"]))
     params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype)
                           if np.asarray(x).dtype == np.float32 else jnp.asarray(x), params)
     tokenizer = BBPETokenizer.from_pretrained_dir(model_path)

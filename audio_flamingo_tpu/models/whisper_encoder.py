@@ -79,7 +79,13 @@ def init(rng: jax.Array, cfg: WhisperEncoderConfig) -> dict:
 
 
 def _linear(x, p):
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if "w_q" in p:  # int8 weights -> w8a8 path (ops/quant.quantize_encoder_params)
+        from audio_flamingo_tpu.ops.quant import q_matmul_a8
+
+        y = q_matmul_a8(x, p)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -90,9 +96,19 @@ def _layer_forward(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.n
     nh, hd = cfg.num_heads, cfg.head_dim
     h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
     # q pre-scaled like the reference ([hf] modeling_whisper.py q_proj * scaling)
-    q = (_linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, s, nh, hd)
-    k = _linear(h, lp["k"]).reshape(b, s, nh, hd)
-    v = _linear(h, lp["v"]).reshape(b, s, nh, hd)
+    if "w_q" in lp["q"]:
+        from audio_flamingo_tpu.ops.quant import q_matmul_a8q, quantize_act
+
+        hq = quantize_act(h)  # one activation quant sweep shared by q/k/v
+        q = ((q_matmul_a8q(*hq, lp["q"], out_dtype=h.dtype)
+              + lp["q"]["b"].astype(h.dtype)) * (hd ** -0.5)).reshape(b, s, nh, hd)
+        k = q_matmul_a8q(*hq, lp["k"], out_dtype=h.dtype).reshape(b, s, nh, hd)
+        v = (q_matmul_a8q(*hq, lp["v"], out_dtype=h.dtype)
+             + lp["v"]["b"].astype(h.dtype)).reshape(b, s, nh, hd)
+    else:
+        q = (_linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, s, nh, hd)
+        k = _linear(h, lp["k"]).reshape(b, s, nh, hd)
+        v = _linear(h, lp["v"]).reshape(b, s, nh, hd)
     if cfg.use_flash:
         from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -105,9 +121,15 @@ def _layer_forward(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.n
         attn = gqa_attention(q, k, v, scale=1.0).reshape(b, s, d)
     x = x + _linear(attn, lp["o"])
     h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
-    ffn = gelu_mlp(h, {"fc1": lp["fc1"]["w"].astype(x.dtype), "fc1_b": lp["fc1"]["b"],
-                       "fc2": lp["fc2"]["w"].astype(x.dtype), "fc2_b": lp["fc2"]["b"]},
-                   activation=cfg.activation)
+    if "w_q" in lp["fc1"]:
+        act = _linear(h, lp["fc1"])
+        act = jax.nn.gelu(act, approximate=False) if cfg.activation == "gelu" \
+            else jax.nn.relu(act)
+        ffn = _linear(act, lp["fc2"])
+    else:
+        ffn = gelu_mlp(h, {"fc1": lp["fc1"]["w"].astype(x.dtype), "fc1_b": lp["fc1"]["b"],
+                           "fc2": lp["fc2"]["w"].astype(x.dtype), "fc2_b": lp["fc2"]["b"]},
+                       activation=cfg.activation)
     return x + ffn
 
 

@@ -126,6 +126,37 @@ def random_quantized_lm(rng: jax.Array, cfg) -> dict:
     return params
 
 
+def quantize_encoder_params(params: dict) -> dict:
+    """Quantize a models/whisper_encoder.py param pytree's layer linears to int8.
+
+    The encoder is COMPUTE-bound at TTFT shapes (20 windows x 1500 tokens,
+    ~38 TFLOP of matmuls vs ~7 TFLOP of attention), so unlike the LM — where
+    int8 weights serve decode bandwidth — the encoder's int8 exists for the
+    MXU's 2x int8 rate: the model dispatches to w8a8 (q_matmul_a8) whenever
+    'w_q' is present. Conv stems, positions, and norms stay float: the stems
+    are <2% of encoder FLOPs and the conv int8 path buys nothing.
+    """
+    out = dict(params)
+
+    def quant_layer_linear(w):  # stacked [L, in, out]
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)           # [L, out]
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[:, None, :]), -127, 127)
+        return {"w_q": w_q.astype(jnp.int8), "scale": scale}
+
+    new_layers = {}
+    for name in ("q", "k", "v", "o", "fc1", "fc2"):
+        lin = dict(params["layers"][name])
+        lin_q = quant_layer_linear(lin.pop("w"))
+        lin.update(lin_q)
+        new_layers[name] = lin
+    for key in params["layers"]:
+        if key not in new_layers:
+            new_layers[key] = params["layers"][key]
+    out["layers"] = new_layers
+    return out
+
+
 def quantize_lm_params(params: dict, quantize_embed: bool = True) -> dict:
     """Quantize a models/qwen2.py param pytree's big linears (layers + lm_head [+embed]).
 

@@ -976,6 +976,45 @@ def bench_ttft() -> dict:
         log(f"bench_ttft: a8 prefill {out['ttft_10min_a8_s']*1e3:.0f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"bench_ttft: a8 variant failed: {type(e).__name__}: {e}")
+
+    # a8 encoder + a8 prefill, FUSED into one dispatch: the profile
+    # (scripts/profile_ttft.py) shows the a8 prefill's matmuls already at ~91%
+    # of the int8 peak, so the remaining levers are the bf16 encoder's 470 ms
+    # (int8 halves its matmul floor) and the chained-dispatch tunnel syncs
+    # (~40 ms each; one program = one sync).
+    try:
+        from audio_flamingo_tpu.ops.quant import quantize_encoder_params
+
+        log("bench_ttft: quantize encoder + compile fused a8 pipeline...")
+        enc_p8 = jax.jit(quantize_encoder_params)(enc_p)
+        jax.block_until_ready(enc_p8["layers"]["q"]["w_q"])
+
+        @jax.jit
+        def fused_a8_fn(enc_p8, ada_p, lm_p, wav, ids):
+            m = fe._window_mels(wav).astype(jnp.bfloat16)
+            h = whisper_encoder.apply(enc_p8, enc_cfg, m, compute_dtype=jnp.bfloat16)
+            e = adaptor_mod.apply(ada_p, h)
+            embeds = qwen2.embed(lm_p, ids, dtype=jnp.bfloat16)
+            flat = e.reshape(1, -1, lm_cfg.hidden_size)
+            embeds = af3.scatter_audio_embeds(embeds, ids, flat, audio_id)
+            pos = jnp.arange(prompt_len)[None]
+            cache = qwen2.init_cache(lm_cfg_a8, 1, cap, dtype=jnp.bfloat16)
+            h2, cache = qwen2.forward(lm_p, lm_cfg_a8, embeds, pos, cache=cache,
+                                      is_prefill=True)
+            return jnp.argmax(qwen2.unembed(lm_p, lm_cfg_a8, h2[:, -1]),
+                              -1).astype(jnp.int32)
+
+        _ = int(fused_a8_fn(enc_p8, ada_p, lm_p, wav, ids_j)[0])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = int(fused_a8_fn(enc_p8, ada_p, lm_p, wav, ids_j)[0])
+            times.append(time.perf_counter() - t0)
+        out["ttft_10min_a8e_s"] = float(np.median(times))
+        log(f"bench_ttft: a8 encoder + a8 prefill fused "
+            f"{out['ttft_10min_a8e_s']*1e3:.0f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_ttft: a8-encoder variant failed: {type(e).__name__}: {e}")
     return out
 
 
@@ -1015,6 +1054,8 @@ def main():
             if "ttft_10min_fused_s" in ttft else None,
             "p50_ttft_10min_a8_s": round(ttft["ttft_10min_a8_s"], 3)
             if "ttft_10min_a8_s" in ttft else None,
+            "p50_ttft_10min_a8e_s": round(ttft["ttft_10min_a8e_s"], 3)
+            if "ttft_10min_a8e_s" in ttft else None,
             "decode_matrix_int8kv_tps": matrix,
             **engines,
             **spec,

@@ -166,3 +166,31 @@ def test_a8_prefill_logits_close_and_decode_unchanged():
     h1, _ = qwen2.forward(params, cfg, x, pos, cache=c1)
     h2, _ = qwen2.forward(params, cfg_a8, x, pos, cache=c2)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_quantize_encoder_params_close():
+    """int8 encoder (w8a8 layer linears) stays within a small band of the f32
+    tower — the encode-phase half of the TTFT knob (api.load(a8_encoder=True)).
+    Conv stems/norms/positions must remain float and untouched."""
+    from audio_flamingo_tpu.config import WhisperEncoderConfig
+    from audio_flamingo_tpu.models import whisper_encoder
+    from audio_flamingo_tpu.ops.quant import quantize_encoder_params
+
+    cfg = WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=3,
+                               num_heads=4, ffn_dim=64, max_source_positions=12)
+    params = whisper_encoder.init(jax.random.PRNGKey(5), cfg)
+    qparams = quantize_encoder_params(params)
+    assert "w" not in qparams["layers"]["q"] and "w_q" in qparams["layers"]["q"]
+    assert qparams["layers"]["q"]["w_q"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(qparams["conv1_w"]),
+                                  np.asarray(params["conv1_w"]))
+    np.testing.assert_array_equal(np.asarray(qparams["layers"]["ln1_w"]),
+                                  np.asarray(params["layers"]["ln1_w"]))
+
+    mels = jnp.asarray(np.random.default_rng(5).normal(size=(2, 24, 16)),
+                       jnp.float32)
+    ref = whisper_encoder.apply(params, cfg, mels)
+    got = whisper_encoder.apply(qparams, cfg, mels)
+    assert got.shape == ref.shape
+    rel = float(jnp.linalg.norm(got - ref) / (jnp.linalg.norm(ref) + 1e-6))
+    assert rel < 0.05, rel
