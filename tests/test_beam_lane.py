@@ -155,6 +155,58 @@ def test_paged_engine_serves_beam(params):
     np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5)
 
 
+def test_paged_flamingo_engine_serves_beam():
+    """AF1/AF2 paged engine: beam requests ride the xattn BeamLane while paged
+    xattn rows stream normally; beam result == generate_beam_xattn and the
+    normal request matches the single-request flamingo.generate stream."""
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig
+    from audio_flamingo_tpu.models import flamingo
+    from audio_flamingo_tpu.runtime.beam import generate_beam_xattn
+    from audio_flamingo_tpu.runtime.flamingo_engine import FlamingoRequest
+    from audio_flamingo_tpu.runtime.paged_flamingo_engine import PagedFlamingoEngine
+
+    cfg = AF2Config(
+        clap=ClapAudioConfig(),
+        lm=Qwen2Config(vocab_size=96, hidden_size=32, intermediate_size=64,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       tie_word_embeddings=True),
+        xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        num_audio_transform_layers=2, audio_embed_dim=16)
+    fparams = flamingo.init(jax.random.PRNGKey(2), cfg)
+    fparams["xattn"]["alpha_xattn"] = jnp.full_like(
+        fparams["xattn"]["alpha_xattn"], 0.5)
+    rng = np.random.default_rng(7)
+    beam_ids = rng.integers(0, 90, (1, 6)).astype(np.int32)
+    wins = rng.normal(size=(1, 1, 4, 16)).astype(np.float32)
+    norm_ids = rng.integers(0, 90, (1, 5)).astype(np.int32)
+
+    engine = PagedFlamingoEngine(params=fparams, cfg=cfg, num_rows=2,
+                                 num_blocks=32, block_size=16,
+                                 max_blocks_per_seq=8, chunk=4, eos_token_id=-2,
+                                 sampling=SamplingParams(greedy=True),
+                                 compute_dtype=jnp.float32, n_media=1,
+                                 windows_per_media=4)
+    engine.submit(FlamingoRequest(request_id="n0", ids=norm_ids,
+                                  window_embeds=wins, max_new_tokens=6))
+    engine.submit_beam(BeamRequest(request_id="beam", ids=beam_ids,
+                                   window_embeds=wins, num_beams=3,
+                                   max_new_tokens=6))
+    out = engine.run_until_done()
+    ref_tokens, ref_lens = flamingo.generate(
+        fparams, cfg, jnp.asarray(norm_ids), engine._pad_windows(wins),
+        max_new_tokens=6, eos_token_id=-2, sampling=SamplingParams(greedy=True),
+        rng=jax.random.PRNGKey(0), capacity=128, compute_dtype=jnp.float32)
+    ref_norm = [int(t) for t in np.asarray(ref_tokens)[0][: int(ref_lens[0])]]
+    assert out["n0"] == ref_norm
+    got_seqs, got_scores = engine.finished_beams["beam"]
+    ref_seqs, ref_scores = generate_beam_xattn(
+        fparams, cfg, jnp.asarray(beam_ids), engine._pad_windows(wins),
+        num_beams=3, max_new_tokens=6, eos_token_id=-2,
+        compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(got_seqs, np.asarray(ref_seqs)[0])
+    np.testing.assert_allclose(got_scores, np.asarray(ref_scores)[0], atol=1e-5)
+
+
 def test_flamingo_engine_serves_beam():
     """AF1/AF2 (gated-xattn) engines serve beam requests through the xattn lane;
     result == generate_beam_xattn with the engine's padded media shape."""
