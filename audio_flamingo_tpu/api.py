@@ -307,16 +307,18 @@ class AudioFlamingo2:
                               eos_token_id=eos, compute_dtype=compute_dtype)
 
 
-def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = False,
+def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool | str = False,
          use_flash: bool = True, a8_prefill: bool = False,
          a8_encoder: bool = False) -> AudioFlamingo:
     """Load an AF3-family checkpoint directory (HF '-hf' layout).
 
     Expects: config.json (qwen2_audio-style nesting), tokenizer.json (or vocab.json +
     merges.txt), model.safetensors[.index.json].
-    quantize_lm=True converts LM weights to int8 on load (weight-only, per-channel) —
-    required to fit the 7B LM on a single 16 GB chip. use_flash enables Pallas flash
-    attention for the encoder and LM prefill. a8_prefill (requires quantize_lm):
+    quantize_lm=True (or "int8") converts LM weights to int8 on load (weight-only,
+    per-channel) — required to fit the 7B LM on a single 16 GB chip;
+    quantize_lm="int4" packs the layer linears to group-scale int4 (ops/quant4.py,
+    half the decode weight bytes again; embed/lm_head stay int8). use_flash enables
+    Pallas flash attention for the encoder and LM prefill. a8_prefill (requires int8):
     w8a8 prefill matmuls at the MXU's 2x int8 rate — a TTFT knob with a small
     accuracy band (ops/quant.q_matmul_a8); decode stays w8a16. a8_encoder:
     int8 encoder layer linears (w8a8 — the encoder is compute-bound, so this is
@@ -361,14 +363,20 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool = Fal
     if use_flash or a8_prefill:
         import dataclasses
 
-        assert not a8_prefill or quantize_lm, "a8_prefill requires quantize_lm=True"
+        assert not a8_prefill or quantize_lm in (True, "int8"), \
+            "a8_prefill requires quantize_lm=True/'int8' (w8a8 has no int4 MXU mode)"
         cfg = dataclasses.replace(
             cfg, encoder=dataclasses.replace(cfg.encoder, use_flash=use_flash),
             lm=dataclasses.replace(cfg.lm, use_flash=use_flash,
                                    a8_prefill=a8_prefill))
     sd = load_checkpoint_dir(model_path)
     params = import_qwen2_audio(sd, cfg)
-    if quantize_lm:
+    if quantize_lm == "int4":
+        from audio_flamingo_tpu.ops.quant4 import quantize_lm_params_w4
+
+        params["lm"] = quantize_lm_params_w4(
+            jax.tree.map(jnp.asarray, params["lm"]))
+    elif quantize_lm:
         from audio_flamingo_tpu.ops.quant import quantize_lm_params
 
         params["lm"] = quantize_lm_params(

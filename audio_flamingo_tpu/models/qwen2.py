@@ -124,7 +124,11 @@ def init(rng: jax.Array, cfg: Qwen2Config) -> dict:
 
 
 def _linear(x, p, a8: bool = False):
-    if "w_q" in p:  # int8 weight-only path (ops/quant.py)
+    if "w_p" in p:  # int4 weight-only path (ops/quant4.py); a8 has no int4 win
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul
+
+        y = q4_matmul(x, p)
+    elif "w_q" in p:  # int8 weight-only path (ops/quant.py)
         from audio_flamingo_tpu.ops.quant import q_matmul, q_matmul_a8
 
         y = q_matmul_a8(x, p) if a8 else q_matmul(x, p)
@@ -141,7 +145,8 @@ def _linear_shared_a8(xq_xs, x, p):
 
     xq_xs: (x_q, x_scale) from ops.quant.quantize_act — q/k/v share the ln1
     output and gate/up the ln2 output, so the ~0.7 ms/[15k,d] quant sweep runs
-    once instead of per-projection. Falls back to bf16 when p is unquantized."""
+    once instead of per-projection. Falls back to bf16 when p is unquantized
+    and to the int4 path when the layer is w4-packed (no w4a8 MXU mode)."""
     if "w_q" not in p:
         return _linear(x, p)
     from audio_flamingo_tpu.ops.quant import q_matmul_a8q
@@ -228,18 +233,20 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
 
     h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
     mlp = lp["mlp"]
-    if isinstance(mlp["gate"], dict):  # int8 weight-only MLP
-        from audio_flamingo_tpu.ops.quant import (q_matmul, q_matmul_a8,
-                                                  q_matmul_a8q, quantize_act)
+    if isinstance(mlp["gate"], dict):  # quantized MLP (int8 w_q or int4 w_p)
+        if a8 and "w_q" in mlp["gate"]:
+            from audio_flamingo_tpu.ops.quant import (q_matmul_a8, q_matmul_a8q,
+                                                      quantize_act)
 
-        if a8:
             hq = quantize_act(h)   # one quant sweep shared by gate/up
             act = (jax.nn.silu(q_matmul_a8q(*hq, mlp["gate"], out_dtype=h.dtype))
                    * q_matmul_a8q(*hq, mlp["up"], out_dtype=h.dtype))
             x = x + q_matmul_a8(act, mlp["down"])
         else:
-            act = jax.nn.silu(q_matmul(h, mlp["gate"])) * q_matmul(h, mlp["up"])
-            x = x + q_matmul(act, mlp["down"])
+            # per-matrix dispatch: a w4 tree may carry int8 fallbacks for
+            # group-unaligned shapes, so route each linear independently
+            act = jax.nn.silu(_linear(h, mlp["gate"])) * _linear(h, mlp["up"])
+            x = x + _linear(act, mlp["down"])
     else:
         x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in mlp.items()})
     return x, new_kv

@@ -82,10 +82,10 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
         hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
         mlp = lp["mlp"]
         if isinstance(mlp["gate"], dict):
-            from audio_flamingo_tpu.ops.quant import q_matmul
-
-            act = jax.nn.silu(q_matmul(hn, mlp["gate"])) * q_matmul(hn, mlp["up"])
-            h = h + q_matmul(act, mlp["down"])
+            # per-matrix dispatch (int8 w_q / int4 w_p) via the model's _linear
+            act = (jax.nn.silu(qwen2._linear(hn, mlp["gate"]))
+                   * qwen2._linear(hn, mlp["up"]))
+            h = h + qwen2._linear(act, mlp["down"])
         else:
             from audio_flamingo_tpu.ops import swiglu_mlp
 

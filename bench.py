@@ -116,6 +116,65 @@ def bench_decode() -> dict:
             "decode_capacity": capacity}
 
 
+def bench_decode_w4() -> dict:
+    """7B w4a16 decode (ops/quant4.py): int4-packed layer linears (~3.8 GB vs int8's
+    ~7.3 GB) through the Pallas nibble-unpack kernel. Decode is weight-bandwidth-
+    bound, so this is the single-chip tokens/s headline lever beyond int8."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+    from audio_flamingo_tpu.ops.quant4 import random_quantized_lm_w4
+
+    cfg = Qwen2Config.qwen25_7b()
+    log("bench_decode_w4: init 7B w4 params on device...")
+    params = jax.jit(lambda: random_quantized_lm_w4(jax.random.PRNGKey(0), cfg))()
+    _ = float(params["ln_f_w"].astype(jnp.float32).sum())
+    n_steps = 64
+    results = {}
+
+    for batch, cap in ((1, 1024), (1, 8192), (8, 1024)):
+        def decode_n(params, cache, token, batch=batch):
+            def body(carry):
+                cache, token, i = carry
+                x = qwen2.embed(params, token[:, None], dtype=jnp.bfloat16)
+                pos = jnp.full((batch, 1), cache.index, jnp.int32)
+                h, cache = qwen2.forward(params, cfg, x, pos, cache=cache)
+                nxt = jnp.argmax(qwen2.unembed(params, cfg, h[:, 0]),
+                                 axis=-1).astype(jnp.int32)
+                return cache, nxt, i + 1
+
+            cache, token, _ = jax.lax.while_loop(
+                lambda c: c[2] < n_steps, body,
+                (cache, token, jnp.zeros((), jnp.int32)))
+            return cache, token
+
+        key = f"w4_b{batch}_c{cap}"
+        try:
+            decode_jit = jax.jit(decode_n, donate_argnums=1)
+            log(f"bench_decode_w4: compile b{batch} cap{cap}...")
+            cache = qwen2.init_cache_q8(cfg, batch, cap)
+            token = jnp.zeros((batch,), jnp.int32)
+            cache, token = decode_jit(params, cache, token)
+            _ = int(token[0])
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                cache, token = decode_jit(params, cache, token)
+                _ = int(token[0])
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times)) / n_steps
+            results[key] = round(batch / dt, 1)
+            log(f"bench_decode_w4: {key}: {dt*1e3:.2f} ms/step -> "
+                f"{batch/dt:.1f} tok/s total")
+            del cache
+        except Exception as e:  # noqa: BLE001
+            log(f"bench_decode_w4: {key} failed: {type(e).__name__}")
+            results[key] = None
+    return {"decode_w4_tps": results}
+
+
 def bench_decode_matrix() -> dict:
     """Decode tok/s matrix: batch {1,8,32} x cache capacity {1k,8k,16k}, int8 KV.
 
@@ -1032,6 +1091,7 @@ def main():
     dec = bench_decode()
     ttft = bench_ttft()
     matrix = _safe(bench_decode_matrix, {})
+    w4 = _safe(bench_decode_w4, {})
     engines = _safe(bench_engines_mixed, {})
     spec = _safe(bench_spec_engine, {})
     prefix = _safe(bench_prefix_cache, {})
@@ -1057,6 +1117,7 @@ def main():
             "p50_ttft_10min_a8e_s": round(ttft["ttft_10min_a8e_s"], 3)
             if "ttft_10min_a8e_s" in ttft else None,
             "decode_matrix_int8kv_tps": matrix,
+            **w4,
             **engines,
             **spec,
             **prefix,
