@@ -158,7 +158,7 @@ def _linear_shared_a8(xq_xs, x, p):
 
 
 def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache_index=None,
-                   flash_ok: bool = False):
+                   flash_ok: bool = False, stacked=None, layer_idx=None):
     """One decoder block. Returns (x, (new_k, new_v)) where new_k/v are this step's KV.
 
     If cache_kv=(ck, cv) is given, attention runs against the cache with this step's KV
@@ -169,6 +169,10 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     (fresh prefill at index 0). A warm cache (e.g. speculative verify of k+1 tokens,
     runtime/speculative.py) must NOT set it: flash over only the new block would
     ignore every cached prompt KV.
+    stacked/layer_idx: the fused-w4 decode path (ops/quant4.py fuse=True). `stacked`
+    holds the LAYER-STACKED packed dicts (qkv / o / mlp.gateup / mlp.down) captured
+    OUTSIDE the layer scan; `layer_idx` selects the layer inside the Pallas kernel's
+    BlockSpec maps, so the scan never materializes per-layer weight slices.
     """
     b, s, d = x.shape
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
@@ -176,7 +180,14 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     a8 = cfg.a8_prefill and s > 1   # w8a8 on compute-bound multi-token forwards only
 
     h = rms_norm(x, lp["ln1_w"], cfg.rms_norm_eps)
-    if a8 and "w_q" in lp["q"]:
+    if stacked is not None and "qkv" in stacked:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        y = q4_matmul_stacked(h, stacked["qkv"], layer_idx)
+        q = y[..., : nh * hd].reshape(b, s, nh, hd)
+        k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, s, nkv, hd)
+        v = y[..., (nh + nkv) * hd:].reshape(b, s, nkv, hd)
+    elif a8 and "w_q" in lp["q"]:
         from audio_flamingo_tpu.ops.quant import quantize_act
 
         hq = quantize_act(h)   # one quant sweep shared by q/k/v
@@ -204,9 +215,11 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
 
             attn = flash_attention(q, k, v, causal=True)
         else:
-            k_deq = (ck.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
-            v_deq = (cv.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
-            attn = gqa_attention(q, k_deq, v_deq, mask=mask)
+            # scale-folded attention on the raw int8 cache — no dequantized
+            # [B, C, nkv, hd] copy per layer (ops/attention.gqa_attention_q8)
+            from audio_flamingo_tpu.ops.attention import gqa_attention_q8
+
+            attn = gqa_attention_q8(q, ck, cv, ks, vs, mask=mask)
         new_kv = (ck, cv, ks, vs)
     elif cache_kv is not None:
         ck, cv = cache_kv
@@ -229,9 +242,27 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
         else:
             attn = gqa_attention(q, k, v, mask=mask)
         new_kv = None
-    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o"], a8=a8)
+    attn2d = attn.reshape(b, s, nh * hd)
+    if stacked is not None and "o" in stacked:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        x = x + q4_matmul_stacked(attn2d, stacked["o"], layer_idx)
+    else:
+        x = x + _linear(attn2d, lp["o"], a8=a8)
 
     h = rms_norm(x, lp["ln2_w"], cfg.rms_norm_eps)
+    mlp_stacked = stacked.get("mlp") if stacked is not None else None
+    if mlp_stacked is not None and "gateup" in mlp_stacked:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        f = cfg.intermediate_size
+        gu = q4_matmul_stacked(h, mlp_stacked["gateup"], layer_idx)
+        act = jax.nn.silu(gu[..., :f]) * gu[..., f:]
+        if "down" in mlp_stacked:
+            x = x + q4_matmul_stacked(act, mlp_stacked["down"], layer_idx)
+        else:
+            x = x + _linear(act, lp["mlp"]["down"])
+        return x, new_kv
     mlp = lp["mlp"]
     if isinstance(mlp["gate"], dict):  # quantized MLP (int8 w_q or int4 w_p)
         if a8 and "w_q" in mlp["gate"]:
@@ -250,6 +281,80 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     else:
         x = x + swiglu_mlp(h, {k2: w.astype(x.dtype) for k2, w in mlp.items()})
     return x, new_kv
+
+
+def qkv_proj(hn, lp, cfg: Qwen2Config, stacked=None, layer_idx=None):
+    """q/k/v projections under every weight layout (bf16 'w' / int8 'w_q' /
+    int4 'w_p' / fused-stacked 'qkv') — shared by the model layer and the
+    engines' decode bodies. Returns ([B,s,nh,hd], [B,s,nkv,hd], [B,s,nkv,hd])."""
+    b, s, _ = hn.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.resolved_head_dim()
+    if stacked is not None and "qkv" in stacked:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        y = q4_matmul_stacked(hn, stacked["qkv"], layer_idx)
+        q, k, v = (y[..., : nh * hd], y[..., nh * hd: (nh + nkv) * hd],
+                   y[..., (nh + nkv) * hd:])
+    else:
+        q, k, v = _linear(hn, lp["q"]), _linear(hn, lp["k"]), _linear(hn, lp["v"])
+    return (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
+            v.reshape(b, s, nkv, hd))
+
+
+def o_proj(attn2d, lp, stacked=None, layer_idx=None):
+    if stacked is not None and "o" in stacked:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        return q4_matmul_stacked(attn2d, stacked["o"], layer_idx)
+    return _linear(attn2d, lp["o"])
+
+
+def mlp_forward(hn, lp, cfg: Qwen2Config, stacked=None, layer_idx=None):
+    """SwiGLU MLP under every weight layout (see qkv_proj)."""
+    ms = stacked.get("mlp") if stacked is not None else None
+    if ms is not None and "gateup" in ms:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        f = cfg.intermediate_size
+        gu = q4_matmul_stacked(hn, ms["gateup"], layer_idx)
+        act = jax.nn.silu(gu[..., :f]) * gu[..., f:]
+        if "down" in ms:
+            return q4_matmul_stacked(act, ms["down"], layer_idx)
+        return _linear(act, lp["mlp"]["down"])
+    mlp = lp["mlp"]
+    if isinstance(mlp["gate"], dict):
+        act = jax.nn.silu(_linear(hn, mlp["gate"])) * _linear(hn, mlp["up"])
+        return _linear(act, mlp["down"])
+    return swiglu_mlp(hn, {k2: w.astype(hn.dtype) for k2, w in mlp.items()})
+
+
+def split_stacked_w4(layers: dict):
+    """Fused-w4 trees (ops/quant4.py fuse=True): separate the layer-STACKED packed
+    weight dicts (consumed whole by the scalar-prefetch kernel, indexed per layer
+    inside its BlockSpec maps) from the small per-layer leaves that lax.scan
+    slices. A scan-sliced pallas operand materializes a copy of every layer's
+    weights each step (~3.5 GB at 7B decode — measured, scripts/profile_w4c.py),
+    which this split avoids entirely. Returns (stacked_or_None, scanned)."""
+    if "qkv" not in layers:
+        return None, layers
+    big, small = {}, {}
+    for k, v in layers.items():
+        if k == "mlp":
+            bm, sm = {}, {}
+            for mk, mv in v.items():
+                if isinstance(mv, dict) and "w_p" in mv:
+                    bm[mk] = mv
+                else:
+                    sm[mk] = mv
+            if bm:
+                big["mlp"] = bm
+            if sm:
+                small["mlp"] = sm
+        elif isinstance(v, dict) and "w_p" in v:
+            big[k] = v
+        else:
+            small[k] = v
+    return (big or None), small
 
 
 def embed(params: dict, token_ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
@@ -272,6 +377,10 @@ def unembed(params: dict, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
             return logits * emb["scale"][None].astype(jnp.float32)
         return jnp.dot(h, emb.T.astype(jnp.float32), preferred_element_type=jnp.float32)
     head = params["lm_head"]
+    if isinstance(head, dict) and "w_p" in head:
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul
+
+        return q4_matmul(h, head).astype(jnp.float32)
     if isinstance(head, dict):
         from audio_flamingo_tpu.ops.quant import q_matmul
 
@@ -336,37 +445,40 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
         return jnp.where(slides, sw_mask, mask) if sliding_layers else mask
 
     x = embeds
+    stacked, scan_layers = split_stacked_w4(params["layers"])
+    idxs = jnp.arange(cfg.num_layers)
 
     if isinstance(cache, Q8KVCache):
         def body(carry, xs):
             h = carry
-            lp, ck, cv, ks, vs, slides = xs
+            lp, idx, ck, cv, ks, vs, slides = xs
             h, new = _layer_forward(h, lp, cfg, cos, sin, pick_mask(slides),
                                     cache_kv=(ck, cv, ks, vs), cache_index=cache.index,
-                                    flash_ok=flash_ok)
+                                    flash_ok=flash_ok, stacked=stacked, layer_idx=idx)
             return h, new
 
         x, (nk, nv, nks, nvs) = jax.lax.scan(
-            body, x, (params["layers"], cache.k_q, cache.v_q, cache.k_scale,
+            body, x, (scan_layers, idxs, cache.k_q, cache.v_q, cache.k_scale,
                       cache.v_scale, layer_slides))
         new_cache = Q8KVCache(nk, nv, nks, nvs, cache.index + s)
     elif cache is not None:
         def body(carry, xs):
             h = carry
-            lp, ck, cv, slides = xs
+            lp, idx, ck, cv, slides = xs
             h, (nk, nv) = _layer_forward(h, lp, cfg, cos, sin, pick_mask(slides),
                                          cache_kv=(ck, cv), cache_index=cache.index,
-                                         flash_ok=flash_ok)
+                                         flash_ok=flash_ok, stacked=stacked,
+                                         layer_idx=idx)
             return h, (nk, nv)
 
         x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache.k, cache.v, layer_slides))
+            body, x, (scan_layers, idxs, cache.k, cache.v, layer_slides))
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
     else:
         def body(carry, xs):
-            lp, slides = xs
+            lp, idx, slides = xs
             h, _ = _layer_forward(carry, lp, cfg, cos, sin, pick_mask(slides),
-                                  flash_ok=flash_ok)
+                                  flash_ok=flash_ok, stacked=stacked, layer_idx=idx)
             return h, None
 
         # cache-free forward is the training path: apply the activation-recompute
@@ -374,7 +486,7 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
         from audio_flamingo_tpu.ops.remat import remat_wrap
 
         x, _ = jax.lax.scan(remat_wrap(body, cfg.remat),
-                            x, (params["layers"], layer_slides))
+                            x, (scan_layers, idxs, layer_slides))
         new_cache = None
 
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)

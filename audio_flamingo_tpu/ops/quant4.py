@@ -121,15 +121,22 @@ def q4_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
-                          quantize_embed: bool = True) -> dict:
+                          quantize_embed: bool = True, fuse: bool = True,
+                          head_w4: bool = False) -> dict:
     """models/qwen2.py param pytree -> layer linears w4, embed/lm_head int8.
 
     The layer matmuls are ~97% of 7B weight bytes, so they carry the int4 win; the
     embedding (gathered per token) and lm_head (one [d, V] dot per step) stay on the
     int8 path, whose per-channel scales are lossless enough for logits. Linears whose
     K doesn't align to 2*group_size (tiny test configs) fall back to int8.
+
+    fuse=True (and aligned shapes): q|k|v concatenate along the out dim into one
+    'qkv' matrix and gate|up into 'gateup' — groups run along K and columns are
+    independent, so the quantized values are BIT-IDENTICAL to separate quantization
+    while halving the pallas_call count per layer (a ~27 us fixed cost per call on
+    this backend dominates decode; scripts/profile_w4e.py).
     """
-    from audio_flamingo_tpu.ops.quant import quantize_linear, quantize_lm_params
+    from audio_flamingo_tpu.ops.quant import quantize_lm_params
 
     out = dict(params)
     layers = params["layers"]
@@ -143,27 +150,88 @@ def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
         return {"w_q": w_q.astype(jnp.int8), "scale": scale}
 
     new_layers = {}
-    for name in ("q", "k", "v", "o"):
-        lin = dict(layers[name])
+    fusable = fuse and supports_w4(layers["q"]["w"].shape[-2], group_size)
+    if fusable:
+        qkv_w = jnp.concatenate([layers[n]["w"] for n in ("q", "k", "v")], axis=-1)
+        qkv = quantize_linear_w4(qkv_w, group_size)
+        if "b" in layers["q"]:
+            qkv["b"] = jnp.concatenate([layers[n]["b"] for n in ("q", "k", "v")],
+                                       axis=-1)
+        new_layers["qkv"] = qkv
+        lin = dict(layers["o"])
         lin_q = quant(lin.pop("w"))
         lin.update(lin_q)
-        new_layers[name] = lin
-    new_layers["mlp"] = {k: quant(w) for k, w in layers["mlp"].items()}
+        new_layers["o"] = lin
+        new_layers["mlp"] = {
+            "gateup": quantize_linear_w4(
+                jnp.concatenate([layers["mlp"]["gate"], layers["mlp"]["up"]],
+                                axis=-1), group_size),
+            "down": quant(layers["mlp"]["down"]),
+        }
+    else:
+        for name in ("q", "k", "v", "o"):
+            lin = dict(layers[name])
+            lin_q = quant(lin.pop("w"))
+            lin.update(lin_q)
+            new_layers[name] = lin
+        new_layers["mlp"] = {k: quant(w) for k, w in layers["mlp"].items()}
     for key in layers:
-        if key not in new_layers:
+        if key not in new_layers and key not in ("q", "k", "v"):
             new_layers[key] = layers[key]
     out["layers"] = new_layers
 
     int8_side = quantize_lm_params(params, quantize_embed=quantize_embed)
     if "lm_head" in params:
-        out["lm_head"] = int8_side["lm_head"]
+        # the untied head is ~0.55 GB int8 at 7B — a full weight sweep per decode
+        # step — but it is also the accuracy-critical matmul (logit argmax), so
+        # int4 on it is OPT-IN (head_w4), matching GPTQ/AWQ practice of keeping
+        # the head at higher precision. Embed always stays int8 (it's a gather).
+        head = params["lm_head"]
+        if head_w4 and supports_w4(head.shape[-2], group_size):
+            out["lm_head"] = quantize_linear_w4(head, group_size)
+        else:
+            out["lm_head"] = int8_side["lm_head"]
     if quantize_embed:
         out["embed"] = int8_side["embed"]
     return out
 
 
-def random_quantized_lm_w4(rng: jax.Array, cfg,
-                           group_size: int = DEFAULT_GROUP) -> dict:
+def q4_matmul_stacked(x: jnp.ndarray, p: dict, layer: jnp.ndarray) -> jnp.ndarray:
+    """[..., K] @ layer `layer` of stacked w4 dict {'w_p': [L, K/2, N],
+    'gscale': [L, K/G, N]} -> [..., N].
+
+    Decode-shaped calls ride the scalar-prefetch Pallas kernel, which indexes the
+    layer inside its BlockSpec maps — streaming straight from the stacked HBM
+    array with no per-layer slice copy (lax.scan's slicing into a pallas operand
+    otherwise materializes ~3.5 GB/step at 7B). Larger calls dynamic-slice and
+    dequantize for XLA (prefill is FLOP-bound; the copy is noise there).
+    """
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= s
+    k = x.shape[-1]
+    n = p["w_p"].shape[-1]
+    x2 = x.reshape(m, k)
+    if m <= _PALLAS_MAX_ROWS and n % min(512, n) == 0:
+        from audio_flamingo_tpu.ops.pallas.quant4_matmul import w4a16_matmul_stacked
+
+        y = w4a16_matmul_stacked(x2, p["w_p"], p["gscale"], layer)
+    else:
+        sl = {"w_p": jax.lax.dynamic_index_in_dim(p["w_p"], layer, 0, keepdims=False),
+              "gscale": jax.lax.dynamic_index_in_dim(p["gscale"], layer, 0,
+                                                     keepdims=False)}
+        w = dequantize_w4(sl, dtype=x.dtype)
+        y = jax.lax.dot_general(x2, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        b = jax.lax.dynamic_index_in_dim(p["b"], layer, 0, keepdims=False)
+        y = y + b.astype(y.dtype)
+    return y.reshape(*lead, y.shape[-1])
+
+
+def random_quantized_lm_w4(rng: jax.Array, cfg, group_size: int = DEFAULT_GROUP,
+                           fuse: bool = True, head_w4: bool = False) -> dict:
     """Random w4-packed Qwen2 params WITHOUT materializing float weights first
     (7B f32 init would be ~30 GB; the packed tree is ~3.8 GB). Layout matches
     quantize_lm_params_w4(models/qwen2.init(...))."""
@@ -179,20 +247,32 @@ def random_quantized_lm_w4(rng: jax.Array, cfg,
         return {"w_p": w_p, "gscale": gscale}
 
     keys = jr.split(rng, 12)
-    layers = {
-        "ln1_w": jnp.ones((L, d)),
-        "q": {**q4lin(keys[0], d, cfg.num_heads * hd)},
-        "k": {**q4lin(keys[1], d, cfg.num_kv_heads * hd)},
-        "v": {**q4lin(keys[2], d, cfg.num_kv_heads * hd)},
-        "o": {**q4lin(keys[3], cfg.num_heads * hd, d)},
-        "ln2_w": jnp.ones((L, d)),
-        "mlp": {"gate": q4lin(keys[4], d, f), "up": q4lin(keys[5], d, f),
-                "down": q4lin(keys[6], f, d)},
-    }
-    if cfg.attention_bias:
-        layers["q"]["b"] = jnp.zeros((L, cfg.num_heads * hd))
-        layers["k"]["b"] = jnp.zeros((L, cfg.num_kv_heads * hd))
-        layers["v"]["b"] = jnp.zeros((L, cfg.num_kv_heads * hd))
+    n_q, n_kv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    if fuse:
+        layers = {
+            "ln1_w": jnp.ones((L, d)),
+            "qkv": {**q4lin(keys[0], d, n_q + 2 * n_kv)},
+            "o": {**q4lin(keys[3], n_q, d)},
+            "ln2_w": jnp.ones((L, d)),
+            "mlp": {"gateup": q4lin(keys[4], d, 2 * f), "down": q4lin(keys[6], f, d)},
+        }
+        if cfg.attention_bias:
+            layers["qkv"]["b"] = jnp.zeros((L, n_q + 2 * n_kv))
+    else:
+        layers = {
+            "ln1_w": jnp.ones((L, d)),
+            "q": {**q4lin(keys[0], d, n_q)},
+            "k": {**q4lin(keys[1], d, n_kv)},
+            "v": {**q4lin(keys[2], d, n_kv)},
+            "o": {**q4lin(keys[3], n_q, d)},
+            "ln2_w": jnp.ones((L, d)),
+            "mlp": {"gate": q4lin(keys[4], d, f), "up": q4lin(keys[5], d, f),
+                    "down": q4lin(keys[6], f, d)},
+        }
+        if cfg.attention_bias:
+            layers["q"]["b"] = jnp.zeros((L, n_q))
+            layers["k"]["b"] = jnp.zeros((L, n_kv))
+            layers["v"]["b"] = jnp.zeros((L, n_kv))
     params = {
         "embed": {"w_q": jr.randint(keys[7], (cfg.vocab_size, d), -127, 128, jnp.int8),
                   "scale": jnp.full((cfg.vocab_size,), 0.02 / 127.0, jnp.float32)},
@@ -200,8 +280,14 @@ def random_quantized_lm_w4(rng: jax.Array, cfg,
         "ln_f_w": jnp.ones((d,)),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = {"w_q": jr.randint(keys[8], (d, cfg.vocab_size), -127, 128,
-                                               jnp.int8),
-                             "scale": jnp.full((cfg.vocab_size,), 0.02 / 127.0,
-                                               jnp.float32)}
+        if head_w4:
+            params["lm_head"] = {
+                "w_p": jr.randint(keys[8], (d // 2, cfg.vocab_size), -128, 128,
+                                  jnp.int8),
+                "gscale": jnp.full((d // group_size, cfg.vocab_size), 0.02 / 7.0,
+                                   jnp.float32)}
+        else:
+            params["lm_head"] = {
+                "w_q": jr.randint(keys[8], (d, cfg.vocab_size), -127, 128, jnp.int8),
+                "scale": jnp.full((cfg.vocab_size,), 0.02 / 127.0, jnp.float32)}
     return params

@@ -64,35 +64,26 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
                         )(c, kk, idx)
 
     x = embeds
+    stacked, scan_layers = qwen2.split_stacked_w4(params["layers"])
+    idxs = jnp.arange(cfg.num_layers)
 
     def body(carry, xs):
         h = carry
-        lp, ck, cv = xs
+        lp, idx, ck, cv = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
-        q = qwen2._linear(hn, lp["q"]).reshape(b, s, cfg.num_heads, hd)
-        k = qwen2._linear(hn, lp["k"]).reshape(b, s, cfg.num_kv_heads, hd)
-        v = qwen2._linear(hn, lp["v"]).reshape(b, s, cfg.num_kv_heads, hd)
+        q, k, v = qwen2.qkv_proj(hn, lp, cfg, stacked, idx)
         from audio_flamingo_tpu.ops import apply_rope, gqa_attention
 
         q, k = apply_rope(q, k, cos, sin)
         ck = write_rows(ck, k.astype(ck.dtype), positions)
         cv = write_rows(cv, v.astype(cv.dtype), positions)
         attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
-        h = h + qwen2._linear(attn.reshape(b, s, cfg.num_heads * hd), lp["o"])
+        h = h + qwen2.o_proj(attn.reshape(b, s, cfg.num_heads * hd), lp, stacked, idx)
         hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
-        mlp = lp["mlp"]
-        if isinstance(mlp["gate"], dict):
-            # per-matrix dispatch (int8 w_q / int4 w_p) via the model's _linear
-            act = (jax.nn.silu(qwen2._linear(hn, mlp["gate"]))
-                   * qwen2._linear(hn, mlp["up"]))
-            h = h + qwen2._linear(act, mlp["down"])
-        else:
-            from audio_flamingo_tpu.ops import swiglu_mlp
-
-            h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in mlp.items()})
+        h = h + qwen2.mlp_forward(hn, lp, cfg, stacked, idx)
         return h, (ck, cv)
 
-    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x, (nk, nv) = jax.lax.scan(body, x, (scan_layers, idxs, cache.k, cache.v))
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
     return x, SlotCache(nk, nv, cache.lengths)
 

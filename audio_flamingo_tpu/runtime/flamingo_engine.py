@@ -217,6 +217,9 @@ class FlamingoEngine:
     windows_per_media: int = 1
 
     def __post_init__(self):
+        assert "qkv" not in self.params["lm"]["layers"], \
+            ("fused-w4 (quantize_lm_params_w4 fuse=True) LM trees are not wired "
+             "into the xattn engines; quantize with fuse=False for AF1/AF2 serving")
         self.row_params = [self.sampling] * self.num_slots
         self.rows = row_sampling(self.row_params)
         self.hist = jnp.full((self.num_slots, self.capacity), -1, jnp.int32)

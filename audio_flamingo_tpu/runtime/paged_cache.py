@@ -123,6 +123,8 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
     attend = paged_attention if use_kernel else paged_attention_reference
 
     quantized = cache.quantized
+    stacked, scan_layers = qwen2.split_stacked_w4(params["layers"])
+    idxs = jnp.arange(cfg.num_layers)
 
     def body(carry, xs):
         h = carry
@@ -132,14 +134,12 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
         # [L, ...] pool made XLA materialize a fresh layout copy of the full
         # pool per layer per step (~2x slower engine than the slot cache)
         if quantized:
-            lp, k_layer, v_layer, ks_layer, vs_layer = xs
+            lp, idx, k_layer, v_layer, ks_layer, vs_layer = xs
         else:
-            lp, k_layer, v_layer = xs
+            lp, idx, k_layer, v_layer = xs
             ks_layer = vs_layer = None
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
-        q = qwen2._linear(hn, lp["q"]).reshape(b, 1, cfg.num_heads, hd)
-        k = qwen2._linear(hn, lp["k"]).reshape(b, 1, nkv, hd)
-        v = qwen2._linear(hn, lp["v"]).reshape(b, 1, nkv, hd)
+        q, k, v = qwen2.qkv_proj(hn, lp, cfg, stacked, idx)
         q, k = apply_rope(q, k, cos, sin)
         qg = q[:, 0].reshape(b, nkv, g, hd)
         o, m, l = attend(qg, k_layer, v_layer, cache.block_tables, cache.lengths,
@@ -157,25 +157,16 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
             new_kv = (k[:, 0].astype(cache.k.dtype), v[:, 0].astype(cache.v.dtype))
         attn = merge_current_token(qg, k_cur, v_cur, o, m, l)   # [b, nkv, g, hd]
         attn = attn.reshape(b, 1, cfg.num_heads * hd).astype(h.dtype)
-        h = h + qwen2._linear(attn, lp["o"])
+        h = h + qwen2.o_proj(attn, lp, stacked, idx)
         hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
-        mlp = lp["mlp"]
-        if isinstance(mlp["gate"], dict):
-            # per-matrix dispatch (int8 w_q / int4 w_p) via the model's _linear
-            act = (jax.nn.silu(qwen2._linear(hn, mlp["gate"]))
-                   * qwen2._linear(hn, mlp["up"]))
-            h = h + qwen2._linear(act, mlp["down"])
-        else:
-            from audio_flamingo_tpu.ops import swiglu_mlp
-
-            h = h + swiglu_mlp(hn, {k2: w.astype(h.dtype) for k2, w in mlp.items()})
+        h = h + qwen2.mlp_forward(hn, lp, cfg, stacked, idx)
         return h, new_kv
 
     if quantized:
-        xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (scan_layers, idxs, cache.k, cache.v, cache.k_scale, cache.v_scale)
         x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, xs)
     else:
-        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        x, (ks, vs) = jax.lax.scan(body, x, (scan_layers, idxs, cache.k, cache.v))
     # physical writes: ks [L, B, nkv, hd] at (layer, block_ids[B], offs[B])
     l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
     b_flat = jnp.tile(block_ids, cfg.num_layers)

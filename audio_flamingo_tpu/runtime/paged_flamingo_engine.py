@@ -318,6 +318,9 @@ class PagedFlamingoEngine:
     metrics: object = None
 
     def __post_init__(self):
+        assert "qkv" not in self.params["lm"]["layers"], \
+            ("fused-w4 (quantize_lm_params_w4 fuse=True) LM trees are not wired "
+             "into the xattn engines; quantize with fuse=False for AF1/AF2 serving")
         lcfg = self.cfg.lm
         nkv = lcfg.num_heads if flamingo._is_opt(self.cfg) \
             else lcfg.num_kv_heads

@@ -194,3 +194,24 @@ def test_quantize_encoder_params_close():
     assert got.shape == ref.shape
     rel = float(jnp.linalg.norm(got - ref) / (jnp.linalg.norm(ref) + 1e-6))
     assert rel < 0.05, rel
+
+
+def test_gqa_attention_q8_matches_dequant():
+    """Scale-folded int8-cache attention == dequantize-then-attend (exact in f32:
+    both factorizations compute the same sums, just ordered differently)."""
+    from audio_flamingo_tpu.ops.attention import gqa_attention, gqa_attention_q8
+
+    rng = np.random.default_rng(7)
+    b, s, nh, nkv, hd, C = 2, 1, 8, 2, 32, 24
+    q = jnp.asarray(rng.normal(size=(b, s, nh, hd)), jnp.float32)
+    k_q = jnp.asarray(rng.integers(-127, 128, size=(b, C, nkv, hd)), jnp.int8)
+    v_q = jnp.asarray(rng.integers(-127, 128, size=(b, C, nkv, hd)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(1e-4, 1e-2, size=(b, C, nkv)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(1e-4, 1e-2, size=(b, C, nkv)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, 1, s, C)) > 0.3)
+    k_deq = (k_q.astype(jnp.float32) * ks[..., None])
+    v_deq = (v_q.astype(jnp.float32) * vs[..., None])
+    ref = gqa_attention(q, k_deq, v_deq, mask=mask)
+    out = gqa_attention_q8(q, k_q, v_q, ks, vs, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)

@@ -76,9 +76,31 @@ def test_kernel_block_shapes():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-5)
 
 
+def test_stacked_kernel_matches_per_layer():
+    """w4a16_matmul_stacked(x, stacked, l) must equal w4a16_matmul on layer l's
+    slice exactly (the stacked variant only moves the layer index into the
+    kernel's BlockSpec maps)."""
+    from audio_flamingo_tpu.ops.pallas.quant4_matmul import (w4a16_matmul,
+                                                             w4a16_matmul_stacked)
+
+    rng = np.random.default_rng(6)
+    L, k, n = 3, 256, 384
+    x = jnp.asarray(rng.normal(size=(4, k)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(L, k, n)) * 0.1, jnp.float32)
+    q = quantize_linear_w4(w, group_size=64)
+    for layer in range(L):
+        ref = w4a16_matmul(x, q["w_p"][layer], q["gscale"][layer])
+        out = w4a16_matmul_stacked(x, q["w_p"], q["gscale"],
+                                   jnp.asarray(layer, jnp.int32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-6)
+
+
 def test_quantized_qwen2_w4_logits_close():
-    """w4 LM stays in the int4 tolerance band of fp32 logits and mostly agrees on
-    greedy tokens (same shape of gate as the int8 test, wider band)."""
+    """w4 LM (fused qkv/gateup layout) stays in the int4 tolerance band of fp32
+    logits and mostly agrees on greedy tokens; the fused tree must also produce
+    EXACTLY the same logits as the unfused tree (identical quantized values,
+    different kernels)."""
     from audio_flamingo_tpu.config import Qwen2Config
     from audio_flamingo_tpu.models import qwen2
 
@@ -87,10 +109,8 @@ def test_quantized_qwen2_w4_logits_close():
                       tie_word_embeddings=False)
     params = qwen2.init(jax.random.PRNGKey(0), cfg)
     qparams = quantize_lm_params_w4(params, group_size=64)
-    for name in ("q", "k", "v", "o"):
-        assert "w_p" in qparams["layers"][name], name
-    for name in ("gate", "up", "down"):
-        assert "w_p" in qparams["layers"]["mlp"][name], name
+    assert "qkv" in qparams["layers"] and "q" not in qparams["layers"]
+    assert "gateup" in qparams["layers"]["mlp"]
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 9)))
     ref = qwen2.logits_from_ids(params, cfg, ids)
     out = qwen2.logits_from_ids(qparams, cfg, ids)
@@ -100,6 +120,11 @@ def test_quantized_qwen2_w4_logits_close():
     # group scales to absorb), so the band is wider than int8's 5%
     denom = np.abs(np.asarray(ref)).max()
     assert np.abs(np.asarray(out - ref)).max() / denom < 0.25
+    # fused == unfused: bit-identical quantization, different dispatch
+    unfused = quantize_lm_params_w4(params, group_size=64, fuse=False)
+    out_u = qwen2.logits_from_ids(unfused, cfg, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_u),
+                               atol=2e-4, rtol=1e-4)
 
 
 def test_w4_cache_decode_consistent():
@@ -159,7 +184,7 @@ def test_w4_engine_matches_generate():
         audio_token_id=120)
     params = af3.init(jax.random.PRNGKey(4), cfg)
     params["lm"] = quantize_lm_params_w4(params["lm"], group_size=64)
-    assert "w_p" in params["lm"]["layers"]["q"]
+    assert "w_p" in params["lm"]["layers"]["qkv"]
     rng = np.random.default_rng(5)
     prompts = [rng.integers(0, 120, (1, 5 + 2 * i)).astype(np.int32)
                for i in range(3)]
