@@ -448,6 +448,19 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
     stacked, scan_layers = split_stacked_w4(params["layers"])
     idxs = jnp.arange(cfg.num_layers)
 
+    # 2-call-per-layer fused decode (ops/pallas/quant4_block.py): each suffix-B
+    # kernel also computes the NEXT layer's qkv, so a decode token pays exactly
+    # 2 pallas launches per layer (~27 us fixed each on this backend)
+    use_suffix = False
+    if stacked is not None and cache is not None and s == 1 and b <= 8 \
+            and not sliding_layers:
+        from audio_flamingo_tpu.ops.pallas.quant4_block import suffix_supported
+
+        use_suffix = suffix_supported(stacked, cfg)
+    if use_suffix:
+        return _forward_w4_suffix(params, cfg, x, cache, mask, cos, sin,
+                                  stacked, scan_layers, idxs)
+
     if isinstance(cache, Q8KVCache):
         def body(carry, xs):
             h = carry
@@ -489,6 +502,87 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
                             x, (scan_layers, idxs, layer_slides))
         new_cache = None
 
+    x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def _forward_w4_suffix(params, cfg: Qwen2Config, x, cache, mask, cos, sin,
+                       stacked, scan_layers, idxs):
+    """Decode forward on a fused-w4 tree at 2 pallas_calls per layer.
+
+    Layer i's input norm + qkv were computed by layer i-1's suffix-B kernel
+    (seeded by one standalone stacked-qkv call for layer 0); the scan body runs
+    attention in XLA (scale-folded int8 or bf16 cache), then suffix-A
+    (o + residual + rms + gate|up + act) and suffix-B (down + residual +
+    next-norm + next-qkv). See ops/pallas/quant4_block.py for the call-cost
+    rationale. Decode-only: s == 1, no sliding windows, cache present.
+    """
+    from audio_flamingo_tpu.ops.attention import gqa_attention_q8
+    from audio_flamingo_tpu.ops.pallas.quant4_block import (w4_suffix_a,
+                                                            w4_suffix_b)
+    from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+    b, s, d = x.shape
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    hd = cfg.resolved_head_dim()
+    L = cfg.num_layers
+    eps = cfg.rms_norm_eps
+    quantized = isinstance(cache, Q8KVCache)
+    ln1_full = params["layers"]["ln1_w"]                  # [L, d]
+    qkv_bias = stacked["qkv"].get("b")                    # [L, n_qkv] or None
+
+    hn0 = rms_norm(x, ln1_full[0], eps)
+    y = q4_matmul_stacked(hn0, stacked["qkv"], jnp.int32(0))  # bias included
+
+    def body(carry, xs):
+        h, y = carry
+        if quantized:
+            lp, idx, ck, cv, ks, vs = xs
+        else:
+            lp, idx, ck, cv = xs
+        q = y[..., : nh * hd].reshape(b, s, nh, hd)
+        k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, s, nkv, hd)
+        v = y[..., (nh + nkv) * hd:].reshape(b, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        if quantized:
+            kq, ksc = _quantize_kv(k)
+            vq, vsc = _quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache.index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache.index, 0, 0))
+            ks = jax.lax.dynamic_update_slice(ks, ksc, (0, cache.index, 0))
+            vs = jax.lax.dynamic_update_slice(vs, vsc, (0, cache.index, 0))
+            attn = gqa_attention_q8(q, ck, cv, ks, vs, mask=mask)
+            new_kv = (ck, cv, ks, vs)
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache.index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache.index, 0, 0))
+            attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                 mask=mask)
+            new_kv = (ck, cv)
+        attn2d = attn.reshape(b, nh * hd)
+        act, h_mid = w4_suffix_a(attn2d, h.reshape(b, d), lp["ln2_w"],
+                                 stacked["o"], stacked["mlp"]["gateup"], idx,
+                                 eps=eps)
+        nxt = jnp.minimum(idx + 1, L - 1)
+        ln1_next = jax.lax.dynamic_index_in_dim(ln1_full, nxt, 0, keepdims=False)
+        h2, y_next = w4_suffix_b(act, h_mid, ln1_next, stacked["mlp"]["down"],
+                                 stacked["qkv"], idx, nxt, eps=eps)
+        if qkv_bias is not None:
+            y_next = y_next + jax.lax.dynamic_index_in_dim(
+                qkv_bias, nxt, 0, keepdims=False).astype(y_next.dtype)
+        return (h2.reshape(b, s, d), y_next[:, None, :]), new_kv
+
+    if quantized:
+        xs = (scan_layers, idxs, cache.k_q, cache.v_q, cache.k_scale,
+              cache.v_scale)
+        (x, _), (nk, nv, nks, nvs) = jax.lax.scan(body, (x, y), xs)
+        new_cache = Q8KVCache(nk, nv, nks, nvs, cache.index + s)
+    else:
+        (x, _), (nk, nv) = jax.lax.scan(
+            body, (x, y), (scan_layers, idxs, cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv, index=cache.index + s)
     x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
     return x, new_cache
 

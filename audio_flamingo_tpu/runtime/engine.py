@@ -66,14 +66,64 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
     x = embeds
     stacked, scan_layers = qwen2.split_stacked_w4(params["layers"])
     idxs = jnp.arange(cfg.num_layers)
+    from audio_flamingo_tpu.ops import apply_rope, gqa_attention
+
+    use_suffix = False
+    if stacked is not None and s == 1 and b <= 8:
+        from audio_flamingo_tpu.ops.pallas.quant4_block import suffix_supported
+
+        use_suffix = suffix_supported(stacked, cfg)
+    if use_suffix:
+        # 2-call-per-layer fused w4 decode (ops/pallas/quant4_block.py): layer
+        # i's qkv comes from layer i-1's suffix-B kernel, attention stays here
+        from audio_flamingo_tpu.ops.pallas.quant4_block import (w4_suffix_a,
+                                                                w4_suffix_b)
+        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+        L = cfg.num_layers
+        eps = cfg.rms_norm_eps
+        d = x.shape[-1]
+        nh, nkv = cfg.num_heads, cfg.num_kv_heads
+        ln1_full = params["layers"]["ln1_w"]
+        qkv_bias = stacked["qkv"].get("b")
+        hn0 = rms_norm(x, ln1_full[0], eps)
+        y0 = q4_matmul_stacked(hn0, stacked["qkv"], jnp.int32(0))
+
+        def body(carry, xs):
+            h, y = carry
+            lp, idx, ck, cv = xs
+            q = y[..., : nh * hd].reshape(b, s, nh, hd)
+            k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, s, nkv, hd)
+            v = y[..., (nh + nkv) * hd:].reshape(b, s, nkv, hd)
+            q, k = apply_rope(q, k, cos, sin)
+            ck = write_rows(ck, k.astype(ck.dtype), positions)
+            cv = write_rows(cv, v.astype(cv.dtype), positions)
+            attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                 mask=mask)
+            act, h_mid = w4_suffix_a(attn.reshape(b, nh * hd), h.reshape(b, d),
+                                     lp["ln2_w"], stacked["o"],
+                                     stacked["mlp"]["gateup"], idx, eps=eps)
+            nxt = jnp.minimum(idx + 1, L - 1)
+            ln1_next = jax.lax.dynamic_index_in_dim(ln1_full, nxt, 0,
+                                                    keepdims=False)
+            h2, y_next = w4_suffix_b(act, h_mid, ln1_next,
+                                     stacked["mlp"]["down"], stacked["qkv"],
+                                     idx, nxt, eps=eps)
+            if qkv_bias is not None:
+                y_next = y_next + jax.lax.dynamic_index_in_dim(
+                    qkv_bias, nxt, 0, keepdims=False).astype(y_next.dtype)
+            return (h2.reshape(b, s, d), y_next[:, None, :]), (ck, cv)
+
+        (x, _), (nk, nv) = jax.lax.scan(
+            body, (x, y0), (scan_layers, idxs, cache.k, cache.v))
+        x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+        return x, SlotCache(nk, nv, cache.lengths)
 
     def body(carry, xs):
         h = carry
         lp, idx, ck, cv = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
         q, k, v = qwen2.qkv_proj(hn, lp, cfg, stacked, idx)
-        from audio_flamingo_tpu.ops import apply_rope, gqa_attention
-
         q, k = apply_rope(q, k, cos, sin)
         ck = write_rows(ck, k.astype(ck.dtype), positions)
         cv = write_rows(cv, v.astype(cv.dtype), positions)

@@ -228,3 +228,80 @@ def test_w4_generate_greedy_runs():
                                    capacity=32, compute_dtype=jnp.float32)
     assert int(lengths[0]) == 8
     assert np.isfinite(np.asarray(tokens, np.float32)).all()
+
+
+@pytest.mark.parametrize("qcache", [False, True], ids=["bf16-cache", "q8-cache"])
+def test_w4_suffix_path_matches_four_call(qcache):
+    """The 2-call suffix decode path (ops/pallas/quant4_block.py) must match the
+    per-matmul fused path: prefill via the normal path, then one s=1 decode step
+    through the suffix kernels vs the same step on an UNFUSED tree (identical
+    quantized values, no suffix eligibility)."""
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.models import qwen2
+    from audio_flamingo_tpu.models.qwen2 import split_stacked_w4
+    from audio_flamingo_tpu.ops.pallas.quant4_block import suffix_supported
+
+    cfg = Qwen2Config(vocab_size=128, hidden_size=256, intermediate_size=512,
+                      num_layers=3, num_heads=4, num_kv_heads=2, head_dim=64,
+                      tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    fused = quantize_lm_params_w4(params, group_size=64)
+    unfused = quantize_lm_params_w4(params, group_size=64, fuse=False)
+    st, _ = split_stacked_w4(fused["layers"])
+    assert suffix_supported(st, cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 6)))
+
+    def run(p):
+        x = qwen2.embed(p, ids, dtype=jnp.float32)
+        cache = (qwen2.init_cache_q8(cfg, 2, 16) if qcache
+                 else qwen2.init_cache(cfg, 2, 16, dtype=jnp.float32))
+        h, cache = qwen2.forward(p, cfg, x, jnp.arange(6)[None].repeat(2, 0),
+                                 cache=cache)
+        nxt = jnp.argmax(qwen2.unembed(p, cfg, h[:, -1]), -1)
+        x1 = qwen2.embed(p, nxt[:, None], dtype=jnp.float32)
+        pos = jnp.full((2, 1), 6, jnp.int32)
+        h1, cache = qwen2.forward(p, cfg, x1, pos, cache=cache)
+        return qwen2.unembed(p, cfg, h1[:, 0])
+
+    lf, lu = run(fused), run(unfused)
+    rel = float(jnp.max(jnp.abs(lf - lu))) / float(jnp.max(jnp.abs(lu)))
+    assert rel < 3e-3, rel
+
+
+def test_w4_paged_engine_matches_generate():
+    """Paged engine on a fused-w4 tree (suffix kernels + paged attention) ==
+    single-request generate token-exactly."""
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.models import af3
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime import generate as gen
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    cfg = AF3Config(
+        encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1,
+                                     num_heads=4, ffn_dim=64,
+                                     max_source_positions=12),
+        lm=Qwen2Config(vocab_size=128, hidden_size=256, intermediate_size=512,
+                       num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+                       tie_word_embeddings=True),
+        audio_token_id=120)
+    params = af3.init(jax.random.PRNGKey(5), cfg)
+    params["lm"] = quantize_lm_params_w4(params["lm"], group_size=64)
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, 120, (1, 5 + 2 * i)).astype(np.int32)
+               for i in range(2)]
+    engine = PagedEngine(params=params, cfg=cfg, num_rows=2, num_blocks=64,
+                         block_size=16, max_blocks_per_seq=8, chunk=4,
+                         eos_token_id=-2, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p, max_new_tokens=8))
+    out = engine.run_until_done()
+    for i, p in enumerate(prompts):
+        tokens, lengths = gen.generate(params, cfg, jnp.asarray(p), None,
+                                       max_new_tokens=8, eos_token_id=-2,
+                                       sampling=SamplingParams(greedy=True),
+                                       capacity=128, compute_dtype=jnp.float32)
+        ref = [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]]
+        assert out[f"r{i}"] == ref, (i, out[f"r{i}"], ref)
