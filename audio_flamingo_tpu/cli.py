@@ -17,8 +17,12 @@ def _build_model(args):
 
     from audio_flamingo_tpu.api import AudioFlamingo, load
 
+    quant = getattr(args, "quantize", "none")
     if args.model:
-        return load(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        return load(args.model,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                    quantize_lm={"none": False, "int8": "int8",
+                                 "int4": "int4"}[quant])
     return AudioFlamingo.from_random(
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
@@ -128,6 +132,10 @@ def main(argv=None):
         sp.add_argument("--fp32", dest="bf16", action="store_false")
         sp.add_argument("--max-new-tokens", type=int, default=256)
         sp.add_argument("--think", action="store_true", help="AF-Think reasoning mode")
+        sp.add_argument("--quantize", choices=("none", "int8", "int4"),
+                        default="none",
+                        help="weight-only LM quantization (int8 fits 7B on one "
+                             "chip; int4 = fastest decode, ops/quant4.py)")
 
     sp = sub.add_parser("infer", help="one-shot: wav in -> answer out")
     common(sp)

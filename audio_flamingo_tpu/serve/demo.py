@@ -196,7 +196,8 @@ def main(argv=None):
                     help="random tiny AF3 (no checkpoint; smoke/demo mode)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7860)
-    ap.add_argument("--quantize-lm", action="store_true")
+    ap.add_argument("--quantize-lm", action="store_true")   # back-compat alias
+    ap.add_argument("--quantize", choices=("none", "int8", "int4"), default=None)
     args = ap.parse_args(argv)
 
     from audio_flamingo_tpu import api
@@ -204,7 +205,10 @@ def main(argv=None):
     if args.random_tiny or not args.model:
         model = api.AudioFlamingo.from_random()
     else:
-        model = api.load(args.model, quantize_lm=args.quantize_lm)
+        quant = args.quantize or ("int8" if args.quantize_lm else "none")
+        model = api.load(args.model,
+                         quantize_lm={"none": False, "int8": "int8",
+                                      "int4": "int4"}[quant])
     DemoServer(model, host=args.host, port=args.port).serve_forever()
 
 
