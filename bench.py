@@ -21,8 +21,40 @@ import time
 import numpy as np
 
 
+_LAST_PROGRESS = [time.time()]
+
+
 def log(msg: str) -> None:
+    _LAST_PROGRESS[0] = time.time()
     print(msg, file=sys.stderr, flush=True)
+
+
+def _start_watchdog(stall_minutes: float = 30.0) -> None:
+    """Emit a degraded-but-parseable JSON line and exit if the bench stalls.
+
+    A wedged device backend (e.g. the axon relay dying mid-round) blocks the
+    first device op FOREVER with zero output; the driver then records nothing
+    for the round. Every bench section logs progress through log(), so "no log
+    line for `stall_minutes`" is a reliable stall signal.
+    """
+    import os
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(60)
+            idle = time.time() - _LAST_PROGRESS[0]
+            if idle > stall_minutes * 60:
+                print(json.dumps({
+                    "metric": "encode_rtfx_10min", "value": 0.0,
+                    "unit": "audio_s/s/chip", "vs_baseline": 0.0,
+                    "secondary": {"error": f"bench stalled {idle/60:.0f} min "
+                                           "without progress (device backend "
+                                           "wedged?)"},
+                }), flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
 
 
 def bench_encoder() -> dict:
@@ -1087,9 +1119,11 @@ def _safe(fn, fallback: dict) -> dict:
 
 
 def main():
-    enc = bench_encoder()
-    dec = bench_decode()
-    ttft = bench_ttft()
+    _start_watchdog()
+    enc = _safe(bench_encoder, {"encode_rtfx_10min": 0.0, "encode_s_10min": 0.0})
+    dec = _safe(bench_decode, {"decode_tps_7b_int8_b1": 0.0,
+                               "decode_ms_per_tok": 0.0, "decode_capacity": 0})
+    ttft = _safe(bench_ttft, {"ttft_10min_s": 0.0})
     matrix = _safe(bench_decode_matrix, {})
     w4 = _safe(bench_decode_w4, {})
     engines = _safe(bench_engines_mixed, {})
