@@ -307,6 +307,24 @@ class AudioFlamingo2:
                               eos_token_id=eos, compute_dtype=compute_dtype)
 
 
+def _cast_f32_leaves(params: dict, compute_dtype) -> dict:
+    """Cast f32 leaves to compute_dtype, EXCEPT quantization scales ('scale'/'gscale').
+
+    The int8/int4 matmuls apply scales to the f32 partial product and document that
+    step as exact (ops/pallas/quant4_matmul.py); a blanket bf16 cast would round every
+    group scale to 8 mantissa bits and silently add ~0.3% relative weight error."""
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def cast(path, x):
+        name = path[-1].key if path and isinstance(path[-1], DictKey) else None
+        if name in ("scale", "gscale"):
+            return jnp.asarray(x)
+        return (jnp.asarray(x, compute_dtype)
+                if np.asarray(x).dtype == np.float32 else jnp.asarray(x))
+
+    return tree_map_with_path(cast, params)
+
+
 def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool | str = False,
          use_flash: bool = True, a8_prefill: bool = False,
          a8_encoder: bool = False) -> AudioFlamingo:
@@ -386,8 +404,7 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool | str
 
         params["encoder"] = quantize_encoder_params(
             jax.tree.map(jnp.asarray, params["encoder"]))
-    params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype)
-                          if np.asarray(x).dtype == np.float32 else jnp.asarray(x), params)
+    params = _cast_f32_leaves(params, compute_dtype)
     tokenizer = BBPETokenizer.from_pretrained_dir(model_path)
     proc = AF3Processor(tokenizer=tokenizer, cfg=cfg)
     eos = tokenizer.special_tokens.get("<|im_end|>", -1)

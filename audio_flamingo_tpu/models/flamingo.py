@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from audio_flamingo_tpu.config import AF2Config
 from audio_flamingo_tpu.models import qwen2
-from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos_sin, apply_rope, swiglu_mlp
+from audio_flamingo_tpu.ops import gqa_attention, layer_norm, rms_norm, rope_cos_sin
 from audio_flamingo_tpu.ops import xattn as xattn_op
 
 
@@ -152,19 +152,26 @@ def _lm_forward_with_xattn(params, cfg: AF2Config, embeds, positions, media, med
         mask = positions[:, None, :, None] >= positions[:, None, None, :]
 
     every = cfg.xattn.cross_every_n_layers
+    # fused-w4 trees (ops/quant4.py fuse=True): big packed weights stay layer-
+    # stacked and are indexed inside the Pallas kernel's BlockSpec maps; only
+    # the small leaves are sliced per layer (qwen2.split_stacked_w4 rationale)
+    stacked, scan_layers = (None, lm["layers"]) if is_opt \
+        else qwen2.split_stacked_w4(lm["layers"])
     new_k, new_v = [], []
     for i in range(lcfg.num_layers):
         if i % every == 0:
             xp = jax.tree.map(lambda a: a[i // every], params["xattn"])
             x = xattn_op.apply(xp, x, media, cfg.xattn.num_heads, mask=media_mask)
-        lp = jax.tree.map(lambda a: a[i], lm["layers"])
+        lp = jax.tree.map(lambda a: a[i], scan_layers)
         cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
         cache_idx = cache.index if cache is not None else None
         if is_opt:
             x, kv = opt_mod._layer_forward(x, lp, lcfg, mask, cache_kv, cache_idx)
         else:
             x, kv = qwen2._layer_forward(x, lp, lcfg, cos, sin, mask,
-                                         cache_kv=cache_kv, cache_index=cache_idx)
+                                         cache_kv=cache_kv, cache_index=cache_idx,
+                                         stacked=stacked,
+                                         layer_idx=jnp.int32(i))
         if cache is not None:
             new_k.append(kv[0])
             new_v.append(kv[1])

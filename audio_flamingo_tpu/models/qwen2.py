@@ -506,6 +506,52 @@ def forward(params: dict, cfg: Qwen2Config, embeds: jnp.ndarray, positions: jnp.
     return x, new_cache
 
 
+def w4_suffix_seed(params, cfg: Qwen2Config, stacked, x) -> jnp.ndarray:
+    """Layer-0 input norm + fused qkv [B, s, n_qkv] that seeds the 2-call
+    suffix decode scan (every later layer's qkv comes from the previous
+    layer's suffix-B kernel)."""
+    from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
+
+    hn0 = rms_norm(x, params["layers"]["ln1_w"][0], cfg.rms_norm_eps)
+    return q4_matmul_stacked(hn0, stacked["qkv"], jnp.int32(0))  # bias included
+
+
+def w4_suffix_layer_step(h, y, lp, idx, *, cfg: Qwen2Config, stacked, ln1_full,
+                         qkv_bias, cos, sin, attend):
+    """One layer of the fused 2-pallas-call w4 decode body (s == 1).
+
+    Shared by qwen2._forward_w4_suffix, runtime/engine._rows_forward and
+    runtime/paged_cache.paged_decode_step — only the cache write + attention
+    read differ, supplied as `attend(q, k, v) -> (attn [B,s,nh,hd], new_kv)`.
+    Consumes this layer's precomputed qkv `y` [B, s, n_qkv], runs suffix-A
+    (o + residual + rms + gate|up + act) and suffix-B (down + residual +
+    next-norm + NEXT layer's qkv); returns ((h2, y_next), new_kv)."""
+    from audio_flamingo_tpu.ops.pallas.quant4_block import (w4_suffix_a,
+                                                            w4_suffix_b)
+
+    b, s, d = h.shape
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    hd = cfg.resolved_head_dim()
+    eps = cfg.rms_norm_eps
+    q = y[..., : nh * hd].reshape(b, s, nh, hd)
+    k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, s, nkv, hd)
+    v = y[..., (nh + nkv) * hd:].reshape(b, s, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    attn, new_kv = attend(q, k, v)
+    attn2d = attn.reshape(b, nh * hd).astype(h.dtype)
+    act, h_mid = w4_suffix_a(attn2d, h.reshape(b, d), lp["ln2_w"],
+                             stacked["o"], stacked["mlp"]["gateup"], idx,
+                             eps=eps)
+    nxt = jnp.minimum(idx + 1, cfg.num_layers - 1)
+    ln1_next = jax.lax.dynamic_index_in_dim(ln1_full, nxt, 0, keepdims=False)
+    h2, y_next = w4_suffix_b(act, h_mid, ln1_next, stacked["mlp"]["down"],
+                             stacked["qkv"], idx, nxt, eps=eps)
+    if qkv_bias is not None:
+        y_next = y_next + jax.lax.dynamic_index_in_dim(
+            qkv_bias, nxt, 0, keepdims=False).astype(y_next.dtype)
+    return (h2.reshape(b, s, d), y_next[:, None, :]), new_kv
+
+
 def _forward_w4_suffix(params, cfg: Qwen2Config, x, cache, mask, cos, sin,
                        stacked, scan_layers, idxs):
     """Decode forward on a fused-w4 tree at 2 pallas_calls per layer.
@@ -518,21 +564,12 @@ def _forward_w4_suffix(params, cfg: Qwen2Config, x, cache, mask, cos, sin,
     rationale. Decode-only: s == 1, no sliding windows, cache present.
     """
     from audio_flamingo_tpu.ops.attention import gqa_attention_q8
-    from audio_flamingo_tpu.ops.pallas.quant4_block import (w4_suffix_a,
-                                                            w4_suffix_b)
-    from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
 
-    b, s, d = x.shape
-    nh, nkv = cfg.num_heads, cfg.num_kv_heads
-    hd = cfg.resolved_head_dim()
-    L = cfg.num_layers
-    eps = cfg.rms_norm_eps
+    s = x.shape[1]
     quantized = isinstance(cache, Q8KVCache)
     ln1_full = params["layers"]["ln1_w"]                  # [L, d]
     qkv_bias = stacked["qkv"].get("b")                    # [L, n_qkv] or None
-
-    hn0 = rms_norm(x, ln1_full[0], eps)
-    y = q4_matmul_stacked(hn0, stacked["qkv"], jnp.int32(0))  # bias included
+    y = w4_suffix_seed(params, cfg, stacked, x)
 
     def body(carry, xs):
         h, y = carry
@@ -540,39 +577,27 @@ def _forward_w4_suffix(params, cfg: Qwen2Config, x, cache, mask, cos, sin,
             lp, idx, ck, cv, ks, vs = xs
         else:
             lp, idx, ck, cv = xs
-        q = y[..., : nh * hd].reshape(b, s, nh, hd)
-        k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, s, nkv, hd)
-        v = y[..., (nh + nkv) * hd:].reshape(b, s, nkv, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        if quantized:
-            kq, ksc = _quantize_kv(k)
-            vq, vsc = _quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache.index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache.index, 0, 0))
-            ks = jax.lax.dynamic_update_slice(ks, ksc, (0, cache.index, 0))
-            vs = jax.lax.dynamic_update_slice(vs, vsc, (0, cache.index, 0))
-            attn = gqa_attention_q8(q, ck, cv, ks, vs, mask=mask)
-            new_kv = (ck, cv, ks, vs)
-        else:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache.index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache.index, 0, 0))
-            attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                                 mask=mask)
-            new_kv = (ck, cv)
-        attn2d = attn.reshape(b, nh * hd)
-        act, h_mid = w4_suffix_a(attn2d, h.reshape(b, d), lp["ln2_w"],
-                                 stacked["o"], stacked["mlp"]["gateup"], idx,
-                                 eps=eps)
-        nxt = jnp.minimum(idx + 1, L - 1)
-        ln1_next = jax.lax.dynamic_index_in_dim(ln1_full, nxt, 0, keepdims=False)
-        h2, y_next = w4_suffix_b(act, h_mid, ln1_next, stacked["mlp"]["down"],
-                                 stacked["qkv"], idx, nxt, eps=eps)
-        if qkv_bias is not None:
-            y_next = y_next + jax.lax.dynamic_index_in_dim(
-                qkv_bias, nxt, 0, keepdims=False).astype(y_next.dtype)
-        return (h2.reshape(b, s, d), y_next[:, None, :]), new_kv
+
+        def attend(q, k, v):
+            if quantized:
+                kq, ksc = _quantize_kv(k)
+                vq, vsc = _quantize_kv(v)
+                ck2 = jax.lax.dynamic_update_slice(ck, kq, (0, cache.index, 0, 0))
+                cv2 = jax.lax.dynamic_update_slice(cv, vq, (0, cache.index, 0, 0))
+                ks2 = jax.lax.dynamic_update_slice(ks, ksc, (0, cache.index, 0))
+                vs2 = jax.lax.dynamic_update_slice(vs, vsc, (0, cache.index, 0))
+                return (gqa_attention_q8(q, ck2, cv2, ks2, vs2, mask=mask),
+                        (ck2, cv2, ks2, vs2))
+            ck2 = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                               (0, cache.index, 0, 0))
+            cv2 = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                               (0, cache.index, 0, 0))
+            return (gqa_attention(q, ck2.astype(q.dtype), cv2.astype(q.dtype),
+                                  mask=mask), (ck2, cv2))
+
+        return w4_suffix_layer_step(h, y, lp, idx, cfg=cfg, stacked=stacked,
+                                    ln1_full=ln1_full, qkv_bias=qkv_bias,
+                                    cos=cos, sin=sin, attend=attend)
 
     if quantized:
         xs = (scan_layers, idxs, cache.k_q, cache.v_q, cache.k_scale,

@@ -136,7 +136,7 @@ def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
     while halving the pallas_call count per layer (a ~27 us fixed cost per call on
     this backend dominates decode; scripts/profile_w4e.py).
     """
-    from audio_flamingo_tpu.ops.quant import quantize_lm_params
+    from audio_flamingo_tpu.ops.quant import quantize_linear
 
     out = dict(params)
     layers = params["layers"]
@@ -180,7 +180,6 @@ def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
             new_layers[key] = layers[key]
     out["layers"] = new_layers
 
-    int8_side = quantize_lm_params(params, quantize_embed=quantize_embed)
     if "lm_head" in params:
         # the untied head is ~0.55 GB int8 at 7B — a full weight sweep per decode
         # step — but it is also the accuracy-critical matmul (logit argmax), so
@@ -190,9 +189,13 @@ def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
         if head_w4 and supports_w4(head.shape[-2], group_size):
             out["lm_head"] = quantize_linear_w4(head, group_size)
         else:
-            out["lm_head"] = int8_side["lm_head"]
+            out["lm_head"] = quantize_linear(head)
     if quantize_embed:
-        out["embed"] = int8_side["embed"]
+        emb = params["embed"].astype(jnp.float32)                        # [V, D]
+        amax = jnp.max(jnp.abs(emb), axis=1)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        out["embed"] = {"w_q": jnp.clip(jnp.round(emb / scale[:, None]), -127, 127)
+                        .astype(jnp.int8), "scale": scale}
     return out
 
 

@@ -284,14 +284,15 @@ def generate_beam(params, cfg: AF3Config, token_ids: jnp.ndarray,
     static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id", "capacity",
                      "length_penalty", "early_stopping", "compute_dtype",
                      "min_new_tokens", "num_return_sequences", "media_mode",
-                     "no_repeat_ngram_size"))
+                     "no_repeat_ngram_size", "do_sample", "temperature"))
 def generate_beam_xattn(params, cfg, token_ids: jnp.ndarray,
                         window_embeds: jnp.ndarray, *, num_beams: int,
                         max_new_tokens: int, eos_token_id: int, capacity: int = 0,
                         length_penalty: float = 1.0, early_stopping=False,
                         compute_dtype=jnp.float32, min_new_tokens: int = 0,
                         num_return_sequences: int = 1, media_mode: str = "last",
-                        no_repeat_ngram_size: int = 0):
+                        no_repeat_ngram_size: int = 0, do_sample: bool = False,
+                        temperature: float = 1.0, rng: jax.Array | None = None):
     """AF1/AF2 (gated-xattn) beam search: the same HF bookkeeping over the
     flamingo prefill/decode pair. Media features are per-batch-row constants, so
     they expand across beams once and never need the per-step reorder."""
@@ -318,7 +319,8 @@ def generate_beam_xattn(params, cfg, token_ids: jnp.ndarray,
                      early_stopping=early_stopping, min_new_tokens=min_new_tokens,
                      num_return_sequences=num_return_sequences,
                      no_repeat_ngram_size=no_repeat_ngram_size,
-                     prompt_tokens=token_ids)
+                     prompt_tokens=token_ids,
+                     do_sample=do_sample, temperature=temperature, rng=rng)
 
 
 # ---------------------------------------------------------------------------
@@ -411,12 +413,14 @@ def beam_open_xattn(params, token_ids, window_embeds, prompt_len, *, cfg,
     jax.jit,
     static_argnames=("cfg", "chunk", "num_beams", "max_new_tokens",
                      "eos_token_id", "length_penalty", "early_stopping",
-                     "min_new_tokens", "no_repeat_ngram_size", "compute_dtype"),
+                     "min_new_tokens", "no_repeat_ngram_size", "do_sample",
+                     "temperature", "compute_dtype"),
     donate_argnames=("state",))
 def beam_advance_xattn(params, state: BeamState, media_k, rng, *, cfg, chunk: int,
                        num_beams: int, max_new_tokens: int, eos_token_id: int,
                        length_penalty: float = 1.0, early_stopping=False,
                        min_new_tokens: int = 0, no_repeat_ngram_size: int = 0,
+                       do_sample: bool = False, temperature: float = 1.0,
                        compute_dtype=jnp.float32) -> BeamState:
     """Advance an AF1/AF2 beam request by up to `chunk` steps (engine lane)."""
     from audio_flamingo_tpu.models import flamingo
@@ -429,8 +433,8 @@ def beam_advance_xattn(params, state: BeamState, media_k, rng, *, cfg, chunk: in
         decode_fn, num_beams=num_beams, max_new_tokens=max_new_tokens,
         eos_token_id=eos_token_id, length_penalty=length_penalty,
         early_stopping=early_stopping, min_new_tokens=min_new_tokens,
-        no_repeat_ngram_size=no_repeat_ngram_size, do_sample=False,
-        temperature=1.0, loop_rng=rng)
+        no_repeat_ngram_size=no_repeat_ngram_size, do_sample=do_sample,
+        temperature=temperature, loop_rng=rng)
     i0 = state.i
 
     def cond2(s):

@@ -146,6 +146,7 @@ class BeamLane:
                     early_stopping=req.early_stopping,
                     min_new_tokens=req.min_new_tokens,
                     no_repeat_ngram_size=req.no_repeat_ngram_size,
+                    do_sample=req.do_sample, temperature=req.temperature,
                     compute_dtype=self.compute_dtype)
             entry[1] = state
             # one host sync per round — same cadence as the engines' chunk reads

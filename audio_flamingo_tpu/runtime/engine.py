@@ -76,43 +76,24 @@ def _rows_forward(params, cfg, embeds, positions, cache: SlotCache):
     if use_suffix:
         # 2-call-per-layer fused w4 decode (ops/pallas/quant4_block.py): layer
         # i's qkv comes from layer i-1's suffix-B kernel, attention stays here
-        from audio_flamingo_tpu.ops.pallas.quant4_block import (w4_suffix_a,
-                                                                w4_suffix_b)
-        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
-
-        L = cfg.num_layers
-        eps = cfg.rms_norm_eps
-        d = x.shape[-1]
-        nh, nkv = cfg.num_heads, cfg.num_kv_heads
         ln1_full = params["layers"]["ln1_w"]
         qkv_bias = stacked["qkv"].get("b")
-        hn0 = rms_norm(x, ln1_full[0], eps)
-        y0 = q4_matmul_stacked(hn0, stacked["qkv"], jnp.int32(0))
+        y0 = qwen2.w4_suffix_seed(params, cfg, stacked, x)
 
         def body(carry, xs):
             h, y = carry
             lp, idx, ck, cv = xs
-            q = y[..., : nh * hd].reshape(b, s, nh, hd)
-            k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, s, nkv, hd)
-            v = y[..., (nh + nkv) * hd:].reshape(b, s, nkv, hd)
-            q, k = apply_rope(q, k, cos, sin)
-            ck = write_rows(ck, k.astype(ck.dtype), positions)
-            cv = write_rows(cv, v.astype(cv.dtype), positions)
-            attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                                 mask=mask)
-            act, h_mid = w4_suffix_a(attn.reshape(b, nh * hd), h.reshape(b, d),
-                                     lp["ln2_w"], stacked["o"],
-                                     stacked["mlp"]["gateup"], idx, eps=eps)
-            nxt = jnp.minimum(idx + 1, L - 1)
-            ln1_next = jax.lax.dynamic_index_in_dim(ln1_full, nxt, 0,
-                                                    keepdims=False)
-            h2, y_next = w4_suffix_b(act, h_mid, ln1_next,
-                                     stacked["mlp"]["down"], stacked["qkv"],
-                                     idx, nxt, eps=eps)
-            if qkv_bias is not None:
-                y_next = y_next + jax.lax.dynamic_index_in_dim(
-                    qkv_bias, nxt, 0, keepdims=False).astype(y_next.dtype)
-            return (h2.reshape(b, s, d), y_next[:, None, :]), (ck, cv)
+
+            def attend(q, k, v):
+                ck2 = write_rows(ck, k.astype(ck.dtype), positions)
+                cv2 = write_rows(cv, v.astype(cv.dtype), positions)
+                return (gqa_attention(q, ck2.astype(q.dtype),
+                                      cv2.astype(q.dtype), mask=mask),
+                        (ck2, cv2))
+
+            return qwen2.w4_suffix_layer_step(
+                h, y, lp, idx, cfg=cfg, stacked=stacked, ln1_full=ln1_full,
+                qkv_bias=qkv_bias, cos=cos, sin=sin, attend=attend)
 
         (x, _), (nk, nv) = jax.lax.scan(
             body, (x, y0), (scan_layers, idxs, cache.k, cache.v))

@@ -69,12 +69,14 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
 
     every = cfg.xattn.cross_every_n_layers
     nh = lcfg.num_heads
+    stacked, scan_layers = (None, lm["layers"]) if is_opt \
+        else qwen2.split_stacked_w4(lm["layers"])
     new_k, new_v = [], []
     for i in range(lcfg.num_layers):
         if i % every == 0:
             xp = jax.tree.map(lambda a: a[i // every], params["xattn"])
             x = xattn_op.apply(xp, x, media, cfg.xattn.num_heads)
-        lp = jax.tree.map(lambda a: a[i], lm["layers"])
+        lp = jax.tree.map(lambda a: a[i], scan_layers)
         ck, cv = cache.k[i], cache.v[i]
         if is_opt:
             h = layer_norm(x, lp["ln1_w"], lp["ln1_b"]) if lcfg.do_layer_norm_before else x
@@ -95,23 +97,19 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
             if not lcfg.do_layer_norm_before:
                 x = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
         else:
-            nkv = lcfg.num_kv_heads
             h = rms_norm(x, lp["ln1_w"], lcfg.rms_norm_eps)
-            q = qwen2._linear(h, lp["q"]).reshape(b, 1, nh, hd)
-            k = qwen2._linear(h, lp["k"]).reshape(b, 1, nkv, hd)
-            v = qwen2._linear(h, lp["v"]).reshape(b, 1, nkv, hd)
+            # qwen2 helpers dispatch on weight layout (bf16/int8/int4/fused-w4)
+            idx = jnp.int32(i)
+            q, k, v = qwen2.qkv_proj(h, lp, lcfg, stacked, idx)
             from audio_flamingo_tpu.ops import apply_rope
 
             q, k = apply_rope(q, k, cos, sin)
             ck = _write_rows(ck, k.astype(ck.dtype), positions)
             cv = _write_rows(cv, v.astype(cv.dtype), positions)
             attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
-            x = x + qwen2._linear(attn.reshape(b, 1, nh * hd), lp["o"])
+            x = x + qwen2.o_proj(attn.reshape(b, 1, nh * hd), lp, stacked, idx)
             h = rms_norm(x, lp["ln2_w"], lcfg.rms_norm_eps)
-            from audio_flamingo_tpu.ops import swiglu_mlp
-
-            x = x + swiglu_mlp(h, {k2: w.astype(x.dtype)
-                                   for k2, w in lp["mlp"].items()})
+            x = x + qwen2.mlp_forward(h, lp, lcfg, stacked, idx)
         new_k.append(ck)
         new_v.append(cv)
 
@@ -217,9 +215,6 @@ class FlamingoEngine:
     windows_per_media: int = 1
 
     def __post_init__(self):
-        assert "qkv" not in self.params["lm"]["layers"], \
-            ("fused-w4 (quantize_lm_params_w4 fuse=True) LM trees are not wired "
-             "into the xattn engines; quantize with fuse=False for AF1/AF2 serving")
         self.row_params = [self.sampling] * self.num_slots
         self.rows = row_sampling(self.row_params)
         self.hist = jnp.full((self.num_slots, self.capacity), -1, jnp.int32)

@@ -132,18 +132,9 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
         use_suffix = suffix_supported(stacked, cfg)
     if use_suffix:
-        from audio_flamingo_tpu.ops.pallas.quant4_block import (w4_suffix_a,
-                                                                w4_suffix_b)
-        from audio_flamingo_tpu.ops.quant4 import q4_matmul_stacked
-
-        L = cfg.num_layers
-        eps = cfg.rms_norm_eps
-        d = x.shape[-1]
-        nh = cfg.num_heads
         ln1_full = params["layers"]["ln1_w"]
         qkv_bias = stacked["qkv"].get("b")
-        hn0 = rms_norm(x, ln1_full[0], eps)
-        y0 = q4_matmul_stacked(hn0, stacked["qkv"], jnp.int32(0))
+        y0 = qwen2.w4_suffix_seed(params, cfg, stacked, x)
 
         def body_sfx(carry, xs):
             h, y = carry
@@ -152,38 +143,28 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
             else:
                 lp, idx, k_layer, v_layer = xs
                 ks_layer = vs_layer = None
-            q = y[..., : nh * hd].reshape(b, 1, nh, hd)
-            k = y[..., nh * hd: (nh + nkv) * hd].reshape(b, 1, nkv, hd)
-            v = y[..., (nh + nkv) * hd:].reshape(b, 1, nkv, hd)
-            q, k = apply_rope(q, k, cos, sin)
-            qg = q[:, 0].reshape(b, nkv, g, hd)
-            o, m, l = attend(qg, k_layer, v_layer, cache.block_tables,
-                             cache.lengths, k_scale=ks_layer, v_scale=vs_layer)
-            if quantized:
-                kq, ksc = qwen2._quantize_kv(k)
-                vq, vsc = qwen2._quantize_kv(v)
-                k_cur = (kq.astype(jnp.float32) * ksc[..., None])[:, 0]
-                v_cur = (vq.astype(jnp.float32) * vsc[..., None])[:, 0]
-                new_kv = (kq[:, 0], vq[:, 0], ksc[:, 0], vsc[:, 0])
-            else:
-                k_cur, v_cur = k[:, 0], v[:, 0]
-                new_kv = (k[:, 0].astype(cache.k.dtype),
-                          v[:, 0].astype(cache.v.dtype))
-            attn = merge_current_token(qg, k_cur, v_cur, o, m, l)
-            attn2d = attn.reshape(b, nh * hd).astype(h.dtype)
-            act, h_mid = w4_suffix_a(attn2d, h.reshape(b, d), lp["ln2_w"],
-                                     stacked["o"], stacked["mlp"]["gateup"],
-                                     idx, eps=eps)
-            nxt = jnp.minimum(idx + 1, L - 1)
-            ln1_next = jax.lax.dynamic_index_in_dim(ln1_full, nxt, 0,
-                                                    keepdims=False)
-            h2, y_next = w4_suffix_b(act, h_mid, ln1_next,
-                                     stacked["mlp"]["down"], stacked["qkv"],
-                                     idx, nxt, eps=eps)
-            if qkv_bias is not None:
-                y_next = y_next + jax.lax.dynamic_index_in_dim(
-                    qkv_bias, nxt, 0, keepdims=False).astype(y_next.dtype)
-            return (h2.reshape(b, 1, d), y_next[:, None, :]), new_kv
+
+            def attend_paged(q, k, v):
+                qg = q[:, 0].reshape(b, nkv, g, hd)
+                o, m, l = attend(qg, k_layer, v_layer, cache.block_tables,
+                                 cache.lengths, k_scale=ks_layer,
+                                 v_scale=vs_layer)
+                if quantized:
+                    kq, ksc = qwen2._quantize_kv(k)
+                    vq, vsc = qwen2._quantize_kv(v)
+                    k_cur = (kq.astype(jnp.float32) * ksc[..., None])[:, 0]
+                    v_cur = (vq.astype(jnp.float32) * vsc[..., None])[:, 0]
+                    new_kv = (kq[:, 0], vq[:, 0], ksc[:, 0], vsc[:, 0])
+                else:
+                    k_cur, v_cur = k[:, 0], v[:, 0]
+                    new_kv = (k[:, 0].astype(cache.k.dtype),
+                              v[:, 0].astype(cache.v.dtype))
+                attn = merge_current_token(qg, k_cur, v_cur, o, m, l)
+                return attn.reshape(b, 1, cfg.num_heads, hd), new_kv
+
+            return qwen2.w4_suffix_layer_step(
+                h, y, lp, idx, cfg=cfg, stacked=stacked, ln1_full=ln1_full,
+                qkv_bias=qkv_bias, cos=cos, sin=sin, attend=attend_paged)
 
         if quantized:
             xs = (scan_layers, idxs, cache.k, cache.v, cache.k_scale,

@@ -76,12 +76,15 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
     every = cfg.xattn.cross_every_n_layers
     nh = lcfg.num_heads
     quantized = cache.quantized
+    stacked, scan_layers = (None, lm["layers"]) if is_opt \
+        else qwen2.split_stacked_w4(lm["layers"])
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i in range(lcfg.num_layers):
         if i % every == 0:
             xp = jax.tree.map(lambda a: a[i // every], params["xattn"])
             x = xattn_op.apply(xp, x, media, cfg.xattn.num_heads)
-        lp = jax.tree.map(lambda a: a[i], lm["layers"])
+        lp = jax.tree.map(lambda a: a[i], scan_layers)
+        idx = jnp.int32(i)
         if is_opt:
             h = layer_norm(x, lp["ln1_w"], lp["ln1_b"]) if lcfg.do_layer_norm_before else x
             q = (opt_mod._linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, 1, nh, hd)
@@ -89,9 +92,7 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
             v = opt_mod._linear(h, lp["v"]).reshape(b, 1, nkv, hd)
         else:
             h = rms_norm(x, lp["ln1_w"], lcfg.rms_norm_eps)
-            q = qwen2._linear(h, lp["q"]).reshape(b, 1, nh, hd)
-            k = qwen2._linear(h, lp["k"]).reshape(b, 1, nkv, hd)
-            v = qwen2._linear(h, lp["v"]).reshape(b, 1, nkv, hd)
+            q, k, v = qwen2.qkv_proj(h, lp, lcfg, stacked, idx)
             q, k = apply_rope(q, k, cos, sin)
         qg = q[:, 0].reshape(b, nkv, g, hd)
         ks_layer = cache.k_scale[i] if quantized else None
@@ -123,12 +124,9 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
             if not lcfg.do_layer_norm_before:
                 x = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
         else:
-            x = x + qwen2._linear(attn, lp["o"])
+            x = x + qwen2.o_proj(attn, lp, stacked, idx)
             h = rms_norm(x, lp["ln2_w"], lcfg.rms_norm_eps)
-            from audio_flamingo_tpu.ops import swiglu_mlp
-
-            x = x + swiglu_mlp(h, {k2: w.astype(x.dtype)
-                                   for k2, w in lp["mlp"].items()})
+            x = x + qwen2.mlp_forward(h, lp, lcfg, stacked, idx)
 
     # batched physical writes: [L, B, nkv, hd] at (layer, block_ids[B], offs[B])
     bs = cache.block_size
@@ -318,9 +316,6 @@ class PagedFlamingoEngine:
     metrics: object = None
 
     def __post_init__(self):
-        assert "qkv" not in self.params["lm"]["layers"], \
-            ("fused-w4 (quantize_lm_params_w4 fuse=True) LM trees are not wired "
-             "into the xattn engines; quantize with fuse=False for AF1/AF2 serving")
         lcfg = self.cfg.lm
         nkv = lcfg.num_heads if flamingo._is_opt(self.cfg) \
             else lcfg.num_kv_heads

@@ -248,3 +248,48 @@ def test_flamingo_engine_serves_beam():
         max_new_tokens=6, eos_token_id=-2, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(got_seqs, np.asarray(ref_seqs)[0])
     np.testing.assert_allclose(got_scores, np.asarray(ref_scores)[0], atol=1e-5)
+
+
+def test_flamingo_lane_do_sample_plumbed():
+    """BeamRequest.do_sample/temperature must reach the xattn lane (they were
+    silently dropped): lane do_sample result == generate_beam_xattn with the
+    same rng fold, and differs from the greedy lane result when sampling bites."""
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, GatedXAttnConfig
+    from audio_flamingo_tpu.models import flamingo
+    from audio_flamingo_tpu.runtime.beam import generate_beam_xattn
+    from audio_flamingo_tpu.runtime.flamingo_engine import FlamingoEngine
+
+    cfg = AF2Config(
+        clap=ClapAudioConfig(),
+        lm=Qwen2Config(vocab_size=96, hidden_size=32, intermediate_size=64,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       tie_word_embeddings=True),
+        xattn=GatedXAttnConfig(cross_every_n_layers=1, num_heads=4, ffn_mult=2),
+        num_audio_transform_layers=2, audio_embed_dim=16)
+    fparams = flamingo.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 90, (1, 6)).astype(np.int32)
+    wins = rng.normal(size=(1, 1, 4, 16)).astype(np.float32)
+
+    def run(do_sample):
+        engine = FlamingoEngine(params=fparams, cfg=cfg, num_slots=2,
+                                capacity=128, chunk=4, eos_token_id=-2,
+                                sampling=SamplingParams(greedy=True),
+                                compute_dtype=jnp.float32, n_media=1,
+                                windows_per_media=4)
+        engine.submit_beam(BeamRequest(request_id="b", ids=ids,
+                                       window_embeds=wins, num_beams=3,
+                                       max_new_tokens=6, do_sample=do_sample,
+                                       temperature=0.9, seed=0))
+        engine.run_until_done()
+        return engine.finished_beams["b"]
+
+    got_seqs, got_scores = run(do_sample=True)
+    ref_seqs, ref_scores = generate_beam_xattn(
+        fparams, cfg, jnp.asarray(ids), jnp.asarray(wins), num_beams=3,
+        max_new_tokens=6, eos_token_id=-2, compute_dtype=jnp.float32,
+        do_sample=True, temperature=0.9, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(got_seqs, np.asarray(ref_seqs)[0])
+    np.testing.assert_allclose(got_scores, np.asarray(ref_scores)[0], atol=1e-5)
+    greedy_seqs, _ = run(do_sample=False)
+    assert not np.array_equal(got_seqs, greedy_seqs)

@@ -98,3 +98,35 @@ def test_slot_reuse_does_not_leak_media():
     assert results["b"][:n] == ref_b[:n]
     # and the two requests (different audio) genuinely diverge
     assert results["a"] != results["b"]
+
+
+def test_engine_fused_w4_matches_single_request():
+    """Fused-w4 (quantize_lm_params_w4 fuse=True) LM trees serve through the
+    xattn slot engine token-exactly vs the single-shot generate on the SAME
+    quantized params (the stacked 'qkv'/'gateup' dicts ride the scalar-prefetch
+    kernel; the engine formerly asserted against them)."""
+    from audio_flamingo_tpu.ops.quant4 import quantize_lm_params_w4
+
+    params = _params(AF2_CFG)
+    params = dict(params)
+    params["lm"] = quantize_lm_params_w4(params["lm"], group_size=16)
+    assert "qkv" in params["lm"]["layers"]  # the fused tree is what we test
+    rng = np.random.default_rng(3)
+    reqs = []
+    for i in range(3):
+        ids = rng.integers(0, 90, size=(1, 4 + i)).astype(np.int32)
+        wins = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+        reqs.append((ids, wins))
+    engine = FlamingoEngine(params=params, cfg=AF2_CFG, num_slots=2, capacity=256,
+                            chunk=4, eos_token_id=EOS,
+                            sampling=SamplingParams(greedy=True),
+                            n_media=N_MEDIA, windows_per_media=WPM)
+    for i, (ids, wins) in enumerate(reqs):
+        engine.submit(FlamingoRequest(request_id=f"r{i}", ids=ids,
+                                      window_embeds=wins, max_new_tokens=8))
+    results = engine.run_until_done()
+    for i, (ids, wins) in enumerate(reqs):
+        ref = _reference(params, AF2_CFG, ids, wins, 8)
+        got = results[f"r{i}"]
+        n = min(len(ref), len(got))
+        assert got[:n] == ref[:n], (i, got, ref)

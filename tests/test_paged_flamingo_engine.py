@@ -241,3 +241,34 @@ def test_paged_engine_chunked_prefill_exact():
         got = results[rid]
         n = min(len(ref), len(got))
         assert got[:n] == ref[:n], (rid, got, ref)
+
+
+def test_paged_engine_fused_w4():
+    """Fused-w4 LM trees serve through the PAGED xattn engine token-exactly
+    (stacked packed weights indexed in-kernel per layer; no fuse=False detour)."""
+    from audio_flamingo_tpu.ops.quant4 import quantize_lm_params_w4
+
+    params = _params(AF2_CFG)
+    params = dict(params)
+    params["lm"] = quantize_lm_params_w4(params["lm"], group_size=16)
+    assert "qkv" in params["lm"]["layers"]
+    rng = np.random.default_rng(4)
+    reqs = []
+    for i in range(3):
+        ids = rng.integers(0, 90, size=(1, 5 + 2 * i)).astype(np.int32)
+        wins = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+        reqs.append((ids, wins))
+    engine = PagedFlamingoEngine(
+        params=params, cfg=AF2_CFG, num_rows=2, num_blocks=24, block_size=16,
+        max_blocks_per_seq=8, chunk=4, eos_token_id=EOS,
+        sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32,
+        n_media=N_MEDIA, windows_per_media=WPM)
+    for i, (ids, wins) in enumerate(reqs):
+        engine.submit(FlamingoRequest(request_id=f"r{i}", ids=ids,
+                                      window_embeds=wins, max_new_tokens=8))
+    results = engine.run_until_done()
+    for i, (ids, wins) in enumerate(reqs):
+        ref = _reference(params, AF2_CFG, ids, wins, 8)
+        got = results[f"r{i}"]
+        n = min(len(ref), len(got))
+        assert got[:n] == ref[:n], (i, got, ref)

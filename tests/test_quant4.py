@@ -305,3 +305,28 @@ def test_w4_paged_engine_matches_generate():
                                        capacity=128, compute_dtype=jnp.float32)
         ref = [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]]
         assert out[f"r{i}"] == ref, (i, out[f"r{i}"], ref)
+
+
+def test_load_cast_preserves_quant_scales():
+    """api.load's compute-dtype cast must NOT downcast int8/int4 quantization
+    scales to bf16 — the kernels apply scales to the f32 partial product and
+    document that as exact; a bf16 scale adds ~0.3% relative weight error."""
+    from audio_flamingo_tpu.api import _cast_f32_leaves
+
+    tree = {
+        "layers": {
+            "qkv": {"w_p": jnp.zeros((4, 8), jnp.int8),
+                    "gscale": jnp.ones((1, 8), jnp.float32)},
+            "o": {"w_q": jnp.zeros((8, 8), jnp.int8),
+                  "scale": jnp.ones((8,), jnp.float32)},
+            "ln1_w": jnp.ones((4, 8), jnp.float32),
+        },
+        "embed": {"w_q": jnp.zeros((16, 8), jnp.int8),
+                  "scale": jnp.ones((16,), jnp.float32)},
+    }
+    out = _cast_f32_leaves(tree, jnp.bfloat16)
+    assert out["layers"]["qkv"]["gscale"].dtype == jnp.float32
+    assert out["layers"]["o"]["scale"].dtype == jnp.float32
+    assert out["embed"]["scale"].dtype == jnp.float32
+    assert out["layers"]["ln1_w"].dtype == jnp.bfloat16      # normal f32 leaf casts
+    assert out["layers"]["qkv"]["w_p"].dtype == jnp.int8     # ints untouched
