@@ -207,6 +207,36 @@ def merge_current_token(q, k_cur, v_cur, o, m, l, *, scale: float | None = None)
     return acc / jnp.maximum(l2, 1e-30)[..., None]
 
 
+def merge_block_tokens(q, k_blk, v_blk, o, m, l, *, scale: float | None = None):
+    """Online-softmax merge of an S-token in-flight block (speculative verify).
+
+    The S fresh queries all attend the same past pages — their paged accumulators
+    come from ONE paged_attention call with the token axis folded into the GQA
+    group axis — plus a causal triangle over the block itself (query i sees block
+    keys 0..i), none of whose KV is in the pool yet. S == 1 reduces exactly to
+    merge_current_token.
+
+    q: [B, S, nkv, g, hd]; k_blk/v_blk: [B, S, nkv, hd];
+    o/m/l: paged_attention outputs reshaped per query to [B, S, nkv, g(, hd)].
+    Returns normalized attention [B, S, nkv, g, hd] f32.
+    """
+    hd = q.shape[-1]
+    s = q.shape[1]
+    if scale is None:
+        scale = hd ** -0.5
+    s_c = jnp.einsum("bikgd,bjkd->bikgj", q.astype(jnp.float32),
+                     k_blk.astype(jnp.float32)) * scale        # [B, S, nkv, g, S]
+    causal = jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]  # [S_q, S_k]
+    s_c = jnp.where(causal[:, None, None, :], s_c, NEG_INF)
+    m2 = jnp.maximum(m, jnp.max(s_c, axis=-1))
+    alpha = jnp.exp(m - m2)
+    w = jnp.exp(s_c - m2[..., None])
+    l2 = l * alpha + jnp.sum(w, axis=-1)
+    acc = o * alpha[..., None] + jnp.einsum("bikgj,bjkd->bikgd", w,
+                                            v_blk.astype(jnp.float32))
+    return acc / jnp.maximum(l2, 1e-30)[..., None]
+
+
 def paged_attention_reference(q, k_pool, v_pool, block_tables, lengths,
                               layer_idx: jnp.ndarray | None = None, *,
                               k_scale: jnp.ndarray | None = None,

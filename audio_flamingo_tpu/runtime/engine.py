@@ -174,6 +174,33 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
     return cache, tokens, done, rng, out, lp, hist
 
 
+def spec_accept_emit(props, greedy, done, rng, r, *, accept_sim,
+                     eos_token_id: int):
+    """Per-row speculative accept/rollback bookkeeping (shared by the slot and
+    paged spec chunks): longest matching prefix m_b, the target's correction
+    token at position m_b, EOS cut inside the emitted run, and the per-row
+    emitted count. accept_sim (STATIC or None): Bernoulli-injection measurement
+    mode — see decode_spec_chunk. Returns (emitted [B, k+1], ok [B, k+1] emit
+    mask, n_emitted [B], hit_eos [B])."""
+    b, k = props.shape
+    ar = jnp.arange(k + 1)[None]
+    match = props == greedy[:, :k]
+    if accept_sim is not None:
+        match = jax.random.bernoulli(jax.random.fold_in(rng, r),
+                                     accept_sim, (b, k))
+    m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)       # [B]
+    correction = jnp.take_along_axis(greedy, m[:, None], axis=1)[:, 0]
+    emitted = jnp.where(ar == m[:, None], correction[:, None],
+                        jnp.concatenate([props, jnp.zeros((b, 1), jnp.int32)], 1))
+    emit_mask = (ar <= m[:, None]) & ~done[:, None]
+    is_eos = emitted == eos_token_id
+    seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32)
+    ok = emit_mask & (seen_eos == 0)
+    n_emitted = jnp.sum(ok.astype(jnp.int32), axis=1)                       # [B]
+    hit_eos = jnp.any(is_eos & emit_mask, axis=1)
+    return emitted, ok, n_emitted, hit_eos
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
                                              "eos_token_id", "compute_dtype",
                                              "accept_sim"),
@@ -211,7 +238,6 @@ def decode_spec_chunk(params, draft_params, cfg: AF3Config, draft_cfg, cache: Sl
     width = rounds * (k + 1)
     out0 = jnp.full((b, width), eos_token_id, jnp.int32)
     valid0 = jnp.zeros((b, width), bool)
-    ar = jnp.arange(k + 1)[None]
     d_cache = SlotCache(d_k, d_v, cache.lengths)
 
     def round_body(r, carry):
@@ -238,25 +264,14 @@ def decode_spec_chunk(params, draft_params, cfg: AF3Config, draft_cfg, cache: Sl
                             axis=-1).astype(jnp.int32)                 # [B, k+1]
 
         # 3) per-row longest accepted prefix + correction token
-        match = props == greedy[:, :k]
-        if accept_sim is not None:
-            match = jax.random.bernoulli(jax.random.fold_in(rng, r),
-                                         accept_sim, (b, k))
-        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)   # [B]
-        correction = jnp.take_along_axis(greedy, m[:, None], axis=1)[:, 0]
-        emitted = jnp.where(ar == m[:, None], correction[:, None],
-                            jnp.concatenate([props, jnp.zeros((b, 1), jnp.int32)], 1))
-        emit_mask = (ar <= m[:, None]) & ~done[:, None]
-        is_eos = emitted == eos_token_id
-        seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32)
-        ok = emit_mask & (seen_eos == 0)
-        n_emitted = jnp.sum(ok.astype(jnp.int32), axis=1)              # [B]
+        emitted, ok, n_emitted, hit_eos = spec_accept_emit(
+            props, greedy, done, rng, r, accept_sim=accept_sim,
+            eos_token_id=eos_token_id)
 
         out = jax.lax.dynamic_update_slice(
             out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
         valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
 
-        hit_eos = jnp.any(is_eos & emit_mask, axis=1)
         new_lengths = cache.lengths + n_emitted
         cache = SlotCache(cache.k, cache.v, new_lengths)
         d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)

@@ -247,6 +247,177 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
                    ksc_new, vsc_new), logits
 
 
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_kernel"),
+         donate_argnames=("cache",))
+def paged_verify_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndarray,
+                      compute_dtype=jnp.bfloat16, use_kernel: bool = True):
+    """Multi-token forward through pages (speculative VERIFY): tokens [B, S]
+    occupy positions lengths..lengths+S-1 per row.
+
+    Attention per layer = past pages via ONE paged_attention call with the S
+    fresh queries folded into the GQA group axis (every query attends the same
+    per-row past), plus the in-block causal triangle merged in XLA
+    (ops/pallas/paged_attention.merge_block_tokens). All S tokens' KV is written
+    to their pages; `lengths` is returned UNCHANGED — the caller advances it by
+    its per-row accepted count, and rejected positions are overwritten before
+    they are ever attended (mask is length-based, same rollback argument as the
+    slot engine's decode_spec_chunk).
+
+    The engine must have pages mapped covering lengths+S-1 (its page growth uses
+    the spec step budget). Returns (cache, logits [B, S, vocab] fp32).
+    """
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        merge_block_tokens, paged_attention, paged_attention_reference)
+
+    b, s = tokens.shape
+    hd = cfg.resolved_head_dim()
+    nkv = cfg.num_kv_heads
+    g = cfg.num_heads // nkv
+    pos_grid = cache.lengths[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    cos, sin = rope_cos_sin(pos_grid, hd, cfg.rope_theta)
+    x = qwen2.embed(params, tokens, dtype=compute_dtype)
+
+    bs_ = cache.block_size
+    page_pos = jnp.minimum(pos_grid // bs_, cache.block_tables.shape[1] - 1)
+    block_ids = jnp.maximum(
+        jnp.take_along_axis(cache.block_tables, page_pos, axis=1), 0)   # [B, S]
+    offs = pos_grid % bs_
+    attend = paged_attention if use_kernel else paged_attention_reference
+
+    quantized = cache.quantized
+    stacked, scan_layers = qwen2.split_stacked_w4(params["layers"])
+    idxs = jnp.arange(cfg.num_layers)
+
+    def body(carry, xs):
+        h = carry
+        if quantized:
+            lp, idx, k_layer, v_layer, ks_layer, vs_layer = xs
+        else:
+            lp, idx, k_layer, v_layer = xs
+            ks_layer = vs_layer = None
+        hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
+        q, k, v = qwen2.qkv_proj(hn, lp, cfg, stacked, idx)
+        q, k = apply_rope(q, k, cos, sin)
+        # fold S queries into the group axis: kernel slot (kv, i*g + gg) holds
+        # query token i, group head gg
+        qf = q.reshape(b, s, nkv, g, hd).transpose(0, 2, 1, 3, 4) \
+              .reshape(b, nkv, s * g, hd)
+        o, m_, l_ = attend(qf, k_layer, v_layer, cache.block_tables,
+                           cache.lengths, k_scale=ks_layer, v_scale=vs_layer)
+        o = o.reshape(b, nkv, s, g, hd).transpose(0, 2, 1, 3, 4)
+        m_ = m_.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
+        l_ = l_.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
+        qg = q.reshape(b, s, nkv, g, hd)
+        if quantized:
+            # merge with the DEQUANTIZED block so paged-q8 matches the dense
+            # Q8KVCache path in what each position contributes
+            kq, ksc = qwen2._quantize_kv(k)
+            vq, vsc = qwen2._quantize_kv(v)
+            k_cur = kq.astype(jnp.float32) * ksc[..., None]
+            v_cur = vq.astype(jnp.float32) * vsc[..., None]
+            new_kv = (kq, vq, ksc, vsc)
+        else:
+            k_cur, v_cur = k, v
+            new_kv = (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
+        attn = merge_block_tokens(qg, k_cur, v_cur, o, m_, l_)  # [b,s,nkv,g,hd]
+        attn = attn.reshape(b, s, cfg.num_heads * hd).astype(h.dtype)
+        h = h + qwen2.o_proj(attn, lp, stacked, idx)
+        hn = rms_norm(h, lp["ln2_w"], cfg.rms_norm_eps)
+        h = h + qwen2.mlp_forward(hn, lp, cfg, stacked, idx)
+        return h, new_kv
+
+    if quantized:
+        xs = (scan_layers, idxs, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, xs)
+    else:
+        x, (ks, vs) = jax.lax.scan(body, x, (scan_layers, idxs, cache.k, cache.v))
+    # physical writes: [L, B, S, nkv, hd] at (layer, block_ids[B,S], offs[B,S])
+    l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b * s)
+    b_flat = jnp.tile(block_ids.reshape(-1), cfg.num_layers)
+    o_flat = jnp.tile(offs.reshape(-1), cfg.num_layers)
+    k_new = cache.k.at[l_idx, b_flat, o_flat].set(ks.reshape(-1, nkv, hd))
+    v_new = cache.v.at[l_idx, b_flat, o_flat].set(vs.reshape(-1, nkv, hd))
+    ksc_new, vsc_new = cache.k_scale, cache.v_scale
+    if quantized:
+        ksc_new = cache.k_scale.at[l_idx, b_flat, o_flat].set(kscs.reshape(-1, nkv))
+        vsc_new = cache.v_scale.at[l_idx, b_flat, o_flat].set(vscs.reshape(-1, nkv))
+
+    x = rms_norm(x, params["ln_f_w"], cfg.rms_norm_eps)
+    logits = qwen2.unembed(params, cfg, x)                       # [B, S, vocab]
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths,
+                   ksc_new, vsc_new), logits
+
+
+@partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
+                                   "eos_token_id", "compute_dtype", "accept_sim"),
+         donate_argnames=("cache", "d_k", "d_v"))
+def paged_decode_spec_chunk(params, draft_params, cfg: Qwen2Config, draft_cfg,
+                            cache: PagedKV, d_k, d_v, tokens, done, rng=None, *,
+                            k: int, rounds: int, eos_token_id: int,
+                            compute_dtype=jnp.bfloat16,
+                            accept_sim: float | None = None):
+    """Batched GREEDY speculative decoding over the PAGED pool: `rounds`
+    draft/verify rounds for all rows in one dispatch.
+
+    Same contract as runtime/engine.decode_spec_chunk (shared accept/rollback
+    via spec_accept_emit; emitted tokens == target-only greedy exactly), but the
+    target verifies the k+1 block through its block-table pages
+    (paged_verify_step) — composing speculation with the int8 page pool's
+    halved KV traffic. The DRAFT runs on a dense per-row SlotCache (d_k, d_v):
+    draft models are small, so worst-case reservation is cheap there. Rollback
+    = advance `lengths` by the emitted count; rejected page slots are
+    overwritten before attended.
+    """
+    from audio_flamingo_tpu.runtime.engine import (SlotCache, _rows_forward,
+                                                   spec_accept_emit)
+
+    b = tokens.shape[0]
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid = carry
+
+        def draft_step(i, dc):
+            d_cache, tok_i, props = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            nxt = jnp.argmax(qwen2.unembed(draft_params, draft_cfg, h[:, 0]),
+                             axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt)
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        d_cache, _, props = jax.lax.fori_loop(0, k, draft_step,
+                                              (d_cache, tok, props0))
+
+        seq = jnp.concatenate([tok[:, None], props], axis=1)        # [B, k+1]
+        cache, logits = paged_verify_step(params, cfg, cache, seq, compute_dtype)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B, k+1]
+
+        emitted, ok, n_emitted, hit_eos = spec_accept_emit(
+            props, greedy, done, rng, r, accept_sim=accept_sim,
+            eos_token_id=eos_token_id)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        new_lengths = cache.lengths + n_emitted
+        cache = cache._replace(lengths=new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid
+
+    cache, d_cache, tokens, done, out, valid = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0))
+    return cache, d_cache.k, d_cache.v, tokens, done, out, valid
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                    "compute_dtype", "mixed_sampling",
                                    "want_logprobs", "use_min_new",

@@ -40,6 +40,7 @@ from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
     init_paged,
     paged_decode_chunk,
+    paged_decode_spec_chunk,
     paged_install_pages,
     paged_prefill_suffix,
     paged_restore_pages,
@@ -153,10 +154,31 @@ class PagedEngine:
     preempt: bool = True           # pool pressure: swap a row's KV to the host and
     #                                resume later instead of truncating its output
     metrics: object = None         # optional utils.metrics.MetricsLogger sink
+    # speculative decoding (greedy-only, mirrors runtime/engine.Engine): the
+    # draft proposes spec_k tokens per row per round on a dense SlotCache; the
+    # target verifies each k+1 block THROUGH ITS PAGES (paged_decode_spec_chunk)
+    draft_params: dict | None = None
+    draft_cfg: object = None
+    spec_k: int = 4
+    spec_rounds: int = 4
+    spec_accept_sim: float | None = None   # Bernoulli-injection measurement mode
 
     def __post_init__(self):
         assert self.prefill_chunk % self.block_size == 0, \
             "prefill_chunk must be a multiple of block_size"
+        if self.draft_params is not None:
+            assert self.draft_cfg is not None
+            # preemption would have to swap the draft's dense rows alongside the
+            # target's pages, and chunked prefill would leave the draft cache
+            # behind the target's — keep the speculative path's invariants simple
+            assert not self.preempt and self.prefill_chunk == 0 \
+                and not self.prefix_cache, \
+                ("speculative paged serving requires preempt=False, "
+                 "prefill_chunk=0, prefix_cache=False")
+            from audio_flamingo_tpu.runtime.engine import init_slot_cache
+
+            self.d_cache = init_slot_cache(self.draft_cfg, self.num_rows,
+                                           self.capacity, self.compute_dtype)
         self.prefilling: dict | None = None   # at most one chunked prefill in flight
         self.swapped: dict[str, dict] = {}    # request_id -> host-side KV pages
         self.preemptions = 0
@@ -188,12 +210,26 @@ class PagedEngine:
     def capacity(self) -> int:
         return self.max_blocks_per_seq * self.block_size
 
+    def _speculating(self) -> bool:
+        return (self.draft_params is not None and self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
     def submit(self, req: Request) -> None:
         # prompts longer than row capacity would negative-pad in _admit after page
         # allocation (leaking pages); reject at the boundary instead
         assert req.ids.shape[1] <= self.capacity, (
             f"prompt ({req.ids.shape[1]} tokens) exceeds row capacity "
             f"({self.capacity} = max_blocks_per_seq * block_size)")
+        if req.sampling is not None:
+            assert not self._speculating() \
+                or (req.sampling.greedy
+                    and req.sampling.repetition_penalty == 1.0
+                    and req.sampling.no_repeat_ngram_size == 0), \
+                "the speculative engine path is greedy-only (no history warpers)"
+        assert not (self._speculating() and (req.min_new_tokens or req.stop
+                                             or req.logprobs)), \
+            "min_new_tokens/stop/logprobs are not supported on the speculative path"
         _start_request_metrics(req)
         self.queue.append(req)
 
@@ -348,6 +384,14 @@ class PagedEngine:
             self.row_params[row] = req_sampling
             self.rows = row_sampling(self.row_params)
             self._seed_hist(row, req)
+            if self._speculating():
+                from audio_flamingo_tpu.runtime.engine import \
+                    draft_prefill_into_slot
+
+                self.d_cache = draft_prefill_into_slot(
+                    self.draft_params, self.draft_cfg, self.d_cache, row, ids,
+                    slot_capacity=self.capacity,
+                    compute_dtype=self.compute_dtype)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks, held)
@@ -512,12 +556,18 @@ class PagedEngine:
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, held)
 
+    def _step_budget(self) -> int:
+        """Max tokens any row can emit (and write KV for) in one decode round."""
+        return (self.spec_rounds * (self.spec_k + 1) if self._speculating()
+                else self.chunk)
+
     def _grow_pages(self) -> list[int]:
         """Top up every active row with pages covering the next chunk (host-side
         numpy table edits only). Returns rows that could NOT grow (pool exhausted)."""
         starved: list[int] = []
         for row, (req, blocks, held) in self.active.items():
-            needed = -(-(int(self.lengths_np[row]) + self.chunk + 1) // self.block_size)
+            needed = -(-(int(self.lengths_np[row]) + self._step_budget() + 1)
+                       // self.block_size)
             needed = min(needed, self.max_blocks_per_seq)
             mapped = int((self.tables_np[row] >= 0).sum())
             while mapped < needed:
@@ -565,34 +615,55 @@ class PagedEngine:
             return
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
                                     lengths=jnp.asarray(self.lengths_np))
-        min_left = np.zeros((self.num_rows,), np.int32)
-        for row, (req, _, _) in self.active.items():
-            want = max(req.min_new_tokens,
-                       (req.sampling or self.sampling).min_new_tokens)
-            min_left[row] = max(want - len(req.tokens), 0)
-        mixed = any(not (req.sampling or self.sampling).greedy
-                    for req, _, _ in self.active.values())
-        want_lp = any(req.logprobs for req, _, _ in self.active.values())
-        use_min = bool(min_left.any())
-        use_pen, ngram_ns = processor_flags(
-            req.sampling or self.sampling for req, _, _ in self.active.values())
-        (self.cache, self.tokens, self.done, self.rng, out, lp,
-         self.hist) = paged_decode_chunk(
-            self.params["lm"], self.cfg.lm, cache, self.tokens, self.done, self.rng,
-            self.rows, jnp.asarray(min_left), self.hist, chunk=self.chunk,
-            eos_token_id=self.eos_token_id,
-            compute_dtype=self.compute_dtype,
-            mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min,
-            use_penalty=use_pen, ngram_ns=ngram_ns)
-        out = np.asarray(out)
-        lp = np.asarray(lp)
+        if self._speculating():
+            self.rng, spec_rng = jax.random.split(self.rng)
+            (self.cache, d_k, d_v, self.tokens, self.done, out,
+             valid) = paged_decode_spec_chunk(
+                self.params["lm"], self.draft_params, self.cfg.lm,
+                self.draft_cfg, cache, self.d_cache.k, self.d_cache.v,
+                self.tokens, self.done, spec_rng,
+                k=self.spec_k, rounds=self.spec_rounds,
+                eos_token_id=self.eos_token_id,
+                compute_dtype=self.compute_dtype,
+                accept_sim=self.spec_accept_sim)
+            self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
+            out = np.asarray(out)
+            valid = np.asarray(valid)
+            row_tokens = [out[r][valid[r]].tolist()
+                          for r in range(self.num_rows)]
+            lp = None
+        else:
+            min_left = np.zeros((self.num_rows,), np.int32)
+            for row, (req, _, _) in self.active.items():
+                want = max(req.min_new_tokens,
+                           (req.sampling or self.sampling).min_new_tokens)
+                min_left[row] = max(want - len(req.tokens), 0)
+            mixed = any(not (req.sampling or self.sampling).greedy
+                        for req, _, _ in self.active.values())
+            want_lp = any(req.logprobs for req, _, _ in self.active.values())
+            use_min = bool(min_left.any())
+            use_pen, ngram_ns = processor_flags(
+                req.sampling or self.sampling for req, _, _ in self.active.values())
+            (self.cache, self.tokens, self.done, self.rng, out, lp,
+             self.hist) = paged_decode_chunk(
+                self.params["lm"], self.cfg.lm, cache, self.tokens, self.done,
+                self.rng, self.rows, jnp.asarray(min_left), self.hist,
+                chunk=self.chunk, eos_token_id=self.eos_token_id,
+                compute_dtype=self.compute_dtype,
+                mixed_sampling=mixed, want_logprobs=want_lp, use_min_new=use_min,
+                use_penalty=use_pen, ngram_ns=ngram_ns)
+            out = np.asarray(out)
+            lp = np.asarray(lp)
+            row_tokens = [out[r].tolist() for r in range(self.num_rows)]
         done = np.asarray(self.done).copy()  # writable: stop/capacity edits
         self.lengths_np = np.asarray(self.cache.lengths).copy()
+        budget = self._step_budget()
         for row, (req, blocks, held) in list(self.active.items()):
-            if _postprocess_chunk_row(self, req, out[row].tolist(),
-                                      lp[row] if req.logprobs else None):
+            if _postprocess_chunk_row(self, req, row_tokens[row],
+                                      lp[row] if (lp is not None
+                                                  and req.logprobs) else None):
                 done[row] = True
-            full = self.lengths_np[row] >= self.capacity - self.chunk - 1
+            full = self.lengths_np[row] >= self.capacity - budget - 1
             if done[row] or full or len(req.tokens) >= req.max_new_tokens:
                 self._finish_row(row)
         step_beam_lane(self)
