@@ -739,6 +739,71 @@ def _spec_decode_phase(params, cfg, lm_cfg, shallow_p, shallow_cfg, k, rounds) -
     return out
 
 
+def bench_spec_paged() -> dict:
+    """Speculative decoding on the PAGED engine (int8 pool): the production
+    cache composes with the measured-profitable speculation regime (a >= ~0.7,
+    bench_spec_engine). Shallow int8 draft, batch 8, Bernoulli acceptance
+    injection (paged_decode_spec_chunk accept_sim — all real compute runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.engine import Request
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+
+    lm_cfg = Qwen2Config.qwen25_7b()
+    cfg = AF3Config(lm=lm_cfg)
+    shallow_cfg = Qwen2Config(vocab_size=151_936, hidden_size=1280,
+                              intermediate_size=6912, num_layers=4, num_heads=10,
+                              num_kv_heads=2, tie_word_embeddings=True)
+    log("bench_spec_paged: init 7B int8 target + 4-layer int8 draft...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    shallow_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(2),
+                                                    shallow_cfg))()
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+    params = {"lm": lm_p}
+    rng = np.random.default_rng(0)
+    k, rounds, max_new = 4, 6, 48
+
+    def run(kw):
+        def make():
+            return PagedEngine(params=params, cfg=cfg, num_rows=8,
+                               num_blocks=80, block_size=128,
+                               max_blocks_per_seq=8, chunk=16,
+                               eos_token_id=151_645, kv_dtype=jnp.int8,
+                               preempt=False,
+                               sampling=SamplingParams(greedy=True), **kw)
+        warm = make()
+        warm.submit(Request(request_id="w",
+                            ids=rng.integers(0, 150_000, (1, 500)).astype(np.int32),
+                            max_new_tokens=8))
+        warm.run_until_done()
+        eng = make()
+        for i in range(8):
+            eng.submit(Request(request_id=f"r{i}",
+                               ids=rng.integers(0, 150_000, (1, 500)).astype(np.int32),
+                               max_new_tokens=max_new))
+        t0 = time.perf_counter()
+        results = eng.run_until_done()
+        dt = time.perf_counter() - t0
+        return sum(len(v) for v in results.values()) / dt
+
+    plain = run({})
+    log(f"bench_spec_paged: plain paged int8 {plain:.1f} tok/s")
+    out = {"paged_spec_plain_b8_tps": round(plain, 1)}
+    sweep = {}
+    for a in (0.6, 1.0):
+        tps = run(dict(draft_params=shallow_p, draft_cfg=shallow_cfg,
+                       spec_k=k, spec_rounds=rounds, spec_accept_sim=a))
+        sweep[f"a{a}"] = round(tps, 1)
+        log(f"bench_spec_paged: spec@a={a} {tps:.1f} tok/s ({tps/plain:.2f}x)")
+    out["paged_spec_b8_tps_sweep"] = sweep
+    out["paged_spec_vs_plain_a1.0"] = round(sweep["a1.0"] / plain, 2)
+    return out
+
+
 def bench_train() -> dict:
     """Training throughput on the chip (VERDICT r2 Next #2 — the L5 layer's first
     measured numbers):
@@ -1128,6 +1193,7 @@ def main():
     w4 = _safe(bench_decode_w4, {})
     engines = _safe(bench_engines_mixed, {})
     spec = _safe(bench_spec_engine, {})
+    spec_paged = _safe(bench_spec_paged, {})
     prefix = _safe(bench_prefix_cache, {})
     paged_matrix = _safe(bench_paged_matrix, {})
     longtail = _safe(bench_longtail, {})
@@ -1154,6 +1220,7 @@ def main():
             **w4,
             **engines,
             **spec,
+            **spec_paged,
             **prefix,
             **paged_matrix,
             **longtail,
