@@ -168,13 +168,12 @@ class PagedEngine:
             "prefill_chunk must be a multiple of block_size"
         if self.draft_params is not None:
             assert self.draft_cfg is not None
-            # preemption would have to swap the draft's dense rows alongside the
-            # target's pages, and chunked prefill would leave the draft cache
-            # behind the target's — keep the speculative path's invariants simple
-            assert not self.preempt and self.prefill_chunk == 0 \
-                and not self.prefix_cache, \
-                ("speculative paged serving requires preempt=False, "
-                 "prefill_chunk=0, prefix_cache=False")
+            # preemption would have to swap (or rebuild) the draft's dense rows
+            # alongside the target's pages — out of scope. Prefix caching and
+            # chunked prefill COMPOSE: the draft always prefills dense over the
+            # full ids at activation, however the target's pages were built
+            assert not self.preempt, \
+                "speculative paged serving requires preempt=False"
             from audio_flamingo_tpu.runtime.engine import init_slot_cache
 
             self.d_cache = init_slot_cache(self.draft_cfg, self.num_rows,
@@ -254,6 +253,24 @@ class PagedEngine:
 
         self.hist = seed_history(self.hist, row, self.capacity, req,
                                  req.sampling or self.sampling)
+
+    def _draft_prefill(self, row: int, req: Request, bucket: int) -> None:
+        """Prefill the DRAFT LM dense cache for a newly activated row (spec path).
+
+        Runs over the FULL prompt ids regardless of how the target's pages were
+        built (prefix hits / chunked prefill) — the draft has no pages to share
+        and its prefill is cheap (draft models are small)."""
+        from audio_flamingo_tpu.runtime.engine import draft_prefill_into_slot
+
+        ids = jnp.asarray(req.ids)
+        t = ids.shape[1]
+        if bucket != t:
+            ids = jnp.concatenate(
+                [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
+                axis=1)
+        self.d_cache = draft_prefill_into_slot(
+            self.draft_params, self.draft_cfg, self.d_cache, row, ids,
+            slot_capacity=self.capacity, compute_dtype=self.compute_dtype)
 
     def _free_pages(self) -> int:
         n = len(self.allocator.free)
@@ -385,13 +402,7 @@ class PagedEngine:
             self.rows = row_sampling(self.row_params)
             self._seed_hist(row, req)
             if self._speculating():
-                from audio_flamingo_tpu.runtime.engine import \
-                    draft_prefill_into_slot
-
-                self.d_cache = draft_prefill_into_slot(
-                    self.draft_params, self.draft_cfg, self.d_cache, row, ids,
-                    slot_capacity=self.capacity,
-                    compute_dtype=self.compute_dtype)
+                self._draft_prefill(row, req, bucket)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks, held)
@@ -552,6 +563,8 @@ class PagedEngine:
         self.row_params[row] = req_sampling
         self.rows = row_sampling(self.row_params)
         self._seed_hist(row, req)
+        if self._speculating():
+            self._draft_prefill(row, req, st["bucket"])
         self.tokens = self.tokens.at[row].set(first)
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, held)

@@ -213,3 +213,45 @@ def test_paged_spec_accept_sim_harness(params, draft_params):
                               max_new_tokens=9))
         results = engine.run_until_done(max_rounds=50)
         assert 1 <= len(results["x"]) <= 9
+
+
+def test_paged_spec_composes_with_prefix_cache(params, draft_params):
+    """Spec + automatic prefix caching: the draft prefills dense over the full
+    ids while the target rides shared pages — output still exactly greedy, and
+    the second same-prefix request actually hits the store."""
+    rng = np.random.default_rng(5)
+    shared = rng.integers(0, 120, size=(1, 32)).astype(np.int32)
+    prompts = [shared, np.concatenate([shared[:, :32],
+                                       rng.integers(0, 120, (1, 4)).astype(np.int32)],
+                                      axis=1)]
+    engine = PagedEngine(params=params, cfg=CFG, num_rows=1, num_blocks=32,
+                         block_size=16, max_blocks_per_seq=8, chunk=4,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32, preempt=False,
+                         prefix_cache=True,
+                         draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                         spec_k=2, spec_rounds=2)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p, max_new_tokens=8))
+    results = engine.run_until_done()
+    assert engine.store is not None and engine.store.entries  # store exercised
+    _check_vs_reference(params, prompts, results, 8)
+
+
+def test_paged_spec_composes_with_chunked_prefill(params, draft_params):
+    """Spec + Sarathi-style chunked prefill: the draft prefill fires at chunked-
+    prefill COMPLETION (activation), not admission — output exactly greedy."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, 120, size=(1, 40)).astype(np.int32),
+               rng.integers(0, 120, size=(1, 6)).astype(np.int32)]
+    engine = PagedEngine(params=params, cfg=CFG, num_rows=2, num_blocks=32,
+                         block_size=16, max_blocks_per_seq=8, chunk=4,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32, preempt=False,
+                         prefill_chunk=16,
+                         draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                         spec_k=2, spec_rounds=2)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p, max_new_tokens=8))
+    results = engine.run_until_done()
+    _check_vs_reference(params, prompts, results, 8)
