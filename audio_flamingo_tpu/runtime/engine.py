@@ -174,22 +174,15 @@ def decode_chunk(params, cfg: AF3Config, cache: SlotCache, tokens, done, rng,
     return cache, tokens, done, rng, out, lp, hist
 
 
-def spec_accept_emit(props, greedy, done, rng, r, *, accept_sim,
-                     eos_token_id: int):
-    """Per-row speculative accept/rollback bookkeeping (shared by the slot and
-    paged spec chunks): longest matching prefix m_b, the target's correction
-    token at position m_b, EOS cut inside the emitted run, and the per-row
-    emitted count. accept_sim (STATIC or None): Bernoulli-injection measurement
-    mode — see decode_spec_chunk. Returns (emitted [B, k+1], ok [B, k+1] emit
-    mask, n_emitted [B], hit_eos [B])."""
-    b, k = props.shape
+def spec_emit(props, match, correction, done, *, eos_token_id: int):
+    """Emit bookkeeping shared by greedy and SAMPLED speculation: given per-row
+    accept flags `match` [B, k] and the correction/bonus token [B] for the
+    first-rejection position, compute the emitted run (accepted prefix +
+    correction), its EOS cut, and the per-row emitted count. Returns
+    (emitted [B, k+1], ok [B, k+1] emit mask, n_emitted [B], hit_eos [B])."""
+    b, k = match.shape
     ar = jnp.arange(k + 1)[None]
-    match = props == greedy[:, :k]
-    if accept_sim is not None:
-        match = jax.random.bernoulli(jax.random.fold_in(rng, r),
-                                     accept_sim, (b, k))
     m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)       # [B]
-    correction = jnp.take_along_axis(greedy, m[:, None], axis=1)[:, 0]
     emitted = jnp.where(ar == m[:, None], correction[:, None],
                         jnp.concatenate([props, jnp.zeros((b, 1), jnp.int32)], 1))
     emit_mask = (ar <= m[:, None]) & ~done[:, None]
@@ -199,6 +192,53 @@ def spec_accept_emit(props, greedy, done, rng, r, *, accept_sim,
     n_emitted = jnp.sum(ok.astype(jnp.int32), axis=1)                       # [B]
     hit_eos = jnp.any(is_eos & emit_mask, axis=1)
     return emitted, ok, n_emitted, hit_eos
+
+
+def spec_accept_emit(props, greedy, done, rng, r, *, accept_sim,
+                     eos_token_id: int):
+    """GREEDY speculative accept/rollback (slot AND paged spec chunks): accept
+    the longest prefix where the draft matched the target argmax; the
+    correction is the target's own token at the first mismatch. accept_sim
+    (STATIC or None): Bernoulli-injection measurement mode — see
+    decode_spec_chunk."""
+    b, k = props.shape
+    match = props == greedy[:, :k]
+    if accept_sim is not None:
+        match = jax.random.bernoulli(jax.random.fold_in(rng, r),
+                                     accept_sim, (b, k))
+    m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    correction = jnp.take_along_axis(greedy, m[:, None], axis=1)[:, 0]
+    return spec_emit(props, match, correction, done, eos_token_id=eos_token_id)
+
+
+def spec_sampled_accept(rng, p_t, p_d, props, done, *, eos_token_id: int):
+    """Batched Leviathan rejection rule for the engines' SAMPLED speculation.
+
+    p_t [B, k+1, V] / p_d [B, k, V]: identically-WARPED probabilities (the warp
+    must match or the rule's exactness breaks — runtime/speculative.py
+    _warped_probs); props [B, k]: the draft's samples. Proposal x_i is accepted
+    with prob min(1, p_t(x_i)/p_d(x_i)); the first rejection resamples from the
+    renormalized residual max(p_t - p_d, 0). At m == k the zero-padded draft
+    row makes the residual p_t[k] itself — the all-accepted bonus sample. The
+    emitted run's marginal law is exactly warped-target ancestral sampling
+    (the one-token rule is analytically tested in tests/test_speculative.py).
+    """
+    b, k = props.shape
+    k_acc, k_corr = jax.random.split(rng)
+    pt_x = jnp.take_along_axis(p_t[:, :k], props[..., None], axis=-1)[..., 0]
+    pd_x = jnp.take_along_axis(p_d, props[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(k_acc, (b, k))
+    match = u < jnp.minimum(pt_x / jnp.maximum(pd_x, 1e-30), 1.0)
+    m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)       # [B]
+    p_d_ext = jnp.concatenate([p_d, jnp.zeros_like(p_d[:, :1])], axis=1)
+    p_m = jnp.take_along_axis(p_t, m[:, None, None], axis=1)[:, 0]          # [B, V]
+    q_m = jnp.take_along_axis(p_d_ext, m[:, None, None], axis=1)[:, 0]
+    residual = jnp.maximum(p_m - q_m, 0.0)
+    rs = residual.sum(axis=-1, keepdims=True)
+    residual = jnp.where(rs > 1e-30, residual / jnp.maximum(rs, 1e-30), p_m)
+    correction = jax.random.categorical(
+        k_corr, jnp.log(jnp.maximum(residual, 1e-30)), axis=-1).astype(jnp.int32)
+    return spec_emit(props, match, correction, done, eos_token_id=eos_token_id)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
@@ -284,6 +324,87 @@ def decode_spec_chunk(params, draft_params, cfg: AF3Config, draft_cfg, cache: Sl
     cache, d_cache, tokens, done, out, valid = jax.lax.fori_loop(
         0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0))
     return cache, d_cache.k, d_cache.v, tokens, done, out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
+                                             "eos_token_id", "sampling",
+                                             "compute_dtype"),
+                   donate_argnames=("cache", "d_k", "d_v"))
+def decode_spec_chunk_sampled(params, draft_params, cfg: AF3Config, draft_cfg,
+                              cache: SlotCache, d_k, d_v, tokens, done, rng, *,
+                              k: int, rounds: int, eos_token_id: int,
+                              sampling, compute_dtype=jnp.bfloat16):
+    """Batched SAMPLED speculative decoding (Leviathan rejection sampling).
+
+    Like decode_spec_chunk but for non-greedy engines: each round the draft
+    SAMPLES k tokens per row from its warped distribution (recording the
+    distributions), the target verifies the block, and spec_sampled_accept
+    applies the per-row accept/residual-resample rule — the emitted stream's
+    marginal law is exactly warped-target ancestral sampling.
+
+    `sampling` (STATIC SamplingParams) is the ONE warp applied to every row:
+    the Leviathan rule needs target and draft warped identically, and the
+    residual resample needs the full [B, V] distributions, so per-row warp
+    mixes don't ride this path (the engine asserts requests use the engine's
+    sampling). History-dependent processors (repetition penalty / n-gram) are
+    excluded for the same reason as the greedy path.
+    """
+    from audio_flamingo_tpu.runtime.speculative import _warped_probs
+
+    b = tokens.shape[0]
+    nv = cfg.lm.vocab_size
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid, rng = carry
+        rng, k_draft, k_rule = jax.random.split(rng, 3)
+
+        def draft_step(i, dc):
+            d_cache, tok_i, props, p_rows = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            p_d = _warped_probs(
+                qwen2.unembed(draft_params, draft_cfg, h[:, 0])
+                .astype(jnp.float32), sampling)                      # [B, V]
+            nxt = jax.random.categorical(
+                jax.random.fold_in(k_draft, i),
+                jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt), p_rows.at[:, i].set(p_d)
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        pd0 = jnp.zeros((b, k, nv), jnp.float32)
+        d_cache, _, props, p_d = jax.lax.fori_loop(
+            0, k, draft_step, (d_cache, tok, props0, pd0))
+
+        seq = jnp.concatenate([tok[:, None], props], axis=1)         # [B, k+1]
+        x = qwen2.embed(params["lm"], seq, dtype=compute_dtype)
+        h, cache = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
+        p_t = _warped_probs(
+            qwen2.unembed(params["lm"], cfg.lm, h).astype(jnp.float32),
+            sampling)                                                # [B, k+1, V]
+
+        emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
+            k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        new_lengths = cache.lengths + n_emitted
+        cache = SlotCache(cache.k, cache.v, new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid, rng
+
+    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
+    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
 
 
 @functools.partial(jax.jit, static_argnames=("draft_cfg", "slot_capacity",
@@ -523,6 +644,13 @@ class BatchEngine:
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0)
 
+    def _spec_sampled(self) -> bool:
+        """Non-greedy engines with a draft run Leviathan sampled speculation —
+        ONE warp for every row (decode_spec_chunk_sampled docstring)."""
+        return (self.draft_params is not None and not self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
     def submit(self, req: Request) -> None:
         if req.sampling is not None:
             assert not self._speculating() \
@@ -530,8 +658,11 @@ class BatchEngine:
                     and req.sampling.repetition_penalty == 1.0
                     and req.sampling.no_repeat_ngram_size == 0), \
                 "the speculative engine path is greedy-only (no history warpers)"
-        assert not (self._speculating() and (req.min_new_tokens or req.stop
-                                             or req.logprobs)), \
+            assert not self._spec_sampled() or req.sampling == self.sampling, \
+                ("sampled speculation applies ONE warp to every row; "
+                 "per-request sampling must equal the engine's")
+        assert not ((self._speculating() or self._spec_sampled())
+                    and (req.min_new_tokens or req.stop or req.logprobs)), \
             "min_new_tokens/stop/logprobs are not supported on the speculative path"
         _start_request_metrics(req)
         self.queue.append(req)
@@ -581,7 +712,7 @@ class BatchEngine:
             self.rows = row_sampling(self.row_params)
             self.hist = seed_history(self.hist, slot, self.capacity, req,
                                      req_sampling)
-            if self._speculating():
+            if self._speculating() or self._spec_sampled():
                 self.d_cache = draft_prefill_into_slot(
                     self.draft_params, self.draft_cfg, self.d_cache, slot, ids,
                     slot_capacity=self.capacity, compute_dtype=self.compute_dtype)
@@ -609,6 +740,20 @@ class BatchEngine:
                     eos_token_id=self.eos_token_id,
                     compute_dtype=self.compute_dtype,
                     accept_sim=self.spec_accept_sim)
+            self.d_cache = SlotCache(d_k, d_v, self.d_cache.lengths)
+            out = np.asarray(out)
+            valid = np.asarray(valid)
+            row_tokens = [out[s][valid[s]].tolist() for s in range(self.num_slots)]
+            step_budget = self.spec_rounds * (self.spec_k + 1)
+        elif self._spec_sampled():
+            (self.cache, d_k, d_v, self.tokens, self.done, self.rng, out,
+             valid) = decode_spec_chunk_sampled(
+                self.params, self.draft_params, self.cfg, self.draft_cfg,
+                self.cache, self.d_cache.k, self.d_cache.v,
+                self.tokens, self.done, self.rng,
+                k=self.spec_k, rounds=self.spec_rounds,
+                eos_token_id=self.eos_token_id, sampling=self.sampling,
+                compute_dtype=self.compute_dtype)
             self.d_cache = SlotCache(d_k, d_v, self.d_cache.lengths)
             out = np.asarray(out)
             valid = np.asarray(valid)

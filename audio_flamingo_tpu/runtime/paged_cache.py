@@ -418,6 +418,77 @@ def paged_decode_spec_chunk(params, draft_params, cfg: Qwen2Config, draft_cfg,
     return cache, d_cache.k, d_cache.v, tokens, done, out, valid
 
 
+@partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
+                                   "eos_token_id", "sampling", "compute_dtype"),
+         donate_argnames=("cache", "d_k", "d_v"))
+def paged_decode_spec_chunk_sampled(params, draft_params, cfg: Qwen2Config,
+                                    draft_cfg, cache: PagedKV, d_k, d_v, tokens,
+                                    done, rng, *, k: int, rounds: int,
+                                    eos_token_id: int, sampling,
+                                    compute_dtype=jnp.bfloat16):
+    """SAMPLED (Leviathan) speculative decoding over the paged pool — the
+    paged twin of runtime/engine.decode_spec_chunk_sampled: draft SAMPLES from
+    its warped distribution on a dense SlotCache, the target's warped
+    distributions come from paged_verify_step, and spec_sampled_accept applies
+    the batched accept/residual-resample rule. Emitted marginal law == warped-
+    target ancestral sampling; rollback semantics as paged_decode_spec_chunk."""
+    from audio_flamingo_tpu.runtime.engine import (SlotCache, _rows_forward,
+                                                   spec_sampled_accept)
+    from audio_flamingo_tpu.runtime.speculative import _warped_probs
+
+    b = tokens.shape[0]
+    nv = cfg.vocab_size
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid, rng = carry
+        rng, k_draft, k_rule = jax.random.split(rng, 3)
+
+        def draft_step(i, dc):
+            d_cache, tok_i, props, p_rows = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            p_d = _warped_probs(
+                qwen2.unembed(draft_params, draft_cfg, h[:, 0])
+                .astype(jnp.float32), sampling)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(k_draft, i),
+                jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt), p_rows.at[:, i].set(p_d)
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        pd0 = jnp.zeros((b, k, nv), jnp.float32)
+        d_cache, _, props, p_d = jax.lax.fori_loop(
+            0, k, draft_step, (d_cache, tok, props0, pd0))
+
+        seq = jnp.concatenate([tok[:, None], props], axis=1)
+        cache, logits = paged_verify_step(params, cfg, cache, seq, compute_dtype)
+        p_t = _warped_probs(logits.astype(jnp.float32), sampling)  # [B, k+1, V]
+
+        emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
+            k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        new_lengths = cache.lengths + n_emitted
+        cache = cache._replace(lengths=new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid, rng
+
+    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
+    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                    "compute_dtype", "mixed_sampling",
                                    "want_logprobs", "use_min_new",

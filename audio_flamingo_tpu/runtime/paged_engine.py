@@ -41,6 +41,7 @@ from audio_flamingo_tpu.runtime.paged_cache import (
     init_paged,
     paged_decode_chunk,
     paged_decode_spec_chunk,
+    paged_decode_spec_chunk_sampled,
     paged_install_pages,
     paged_prefill_suffix,
     paged_restore_pages,
@@ -214,6 +215,13 @@ class PagedEngine:
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0)
 
+    def _spec_sampled(self) -> bool:
+        """Non-greedy + draft: Leviathan sampled speculation, one warp for all
+        rows (engine.decode_spec_chunk_sampled docstring)."""
+        return (self.draft_params is not None and not self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
     def submit(self, req: Request) -> None:
         # prompts longer than row capacity would negative-pad in _admit after page
         # allocation (leaking pages); reject at the boundary instead
@@ -226,8 +234,11 @@ class PagedEngine:
                     and req.sampling.repetition_penalty == 1.0
                     and req.sampling.no_repeat_ngram_size == 0), \
                 "the speculative engine path is greedy-only (no history warpers)"
-        assert not (self._speculating() and (req.min_new_tokens or req.stop
-                                             or req.logprobs)), \
+            assert not self._spec_sampled() or req.sampling == self.sampling, \
+                ("sampled speculation applies ONE warp to every row; "
+                 "per-request sampling must equal the engine's")
+        assert not ((self._speculating() or self._spec_sampled())
+                    and (req.min_new_tokens or req.stop or req.logprobs)), \
             "min_new_tokens/stop/logprobs are not supported on the speculative path"
         _start_request_metrics(req)
         self.queue.append(req)
@@ -401,7 +412,7 @@ class PagedEngine:
             self.row_params[row] = req_sampling
             self.rows = row_sampling(self.row_params)
             self._seed_hist(row, req)
-            if self._speculating():
+            if self._speculating() or self._spec_sampled():
                 self._draft_prefill(row, req, bucket)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
@@ -563,7 +574,7 @@ class PagedEngine:
         self.row_params[row] = req_sampling
         self.rows = row_sampling(self.row_params)
         self._seed_hist(row, req)
-        if self._speculating():
+        if self._speculating() or self._spec_sampled():
             self._draft_prefill(row, req, st["bucket"])
         self.tokens = self.tokens.at[row].set(first)
         self.done = self.done.at[row].set(False)
@@ -571,8 +582,9 @@ class PagedEngine:
 
     def _step_budget(self) -> int:
         """Max tokens any row can emit (and write KV for) in one decode round."""
-        return (self.spec_rounds * (self.spec_k + 1) if self._speculating()
-                else self.chunk)
+        if self._speculating() or self._spec_sampled():
+            return self.spec_rounds * (self.spec_k + 1)
+        return self.chunk
 
     def _grow_pages(self) -> list[int]:
         """Top up every active row with pages covering the next chunk (host-side
@@ -639,6 +651,21 @@ class PagedEngine:
                 eos_token_id=self.eos_token_id,
                 compute_dtype=self.compute_dtype,
                 accept_sim=self.spec_accept_sim)
+            self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
+            out = np.asarray(out)
+            valid = np.asarray(valid)
+            row_tokens = [out[r][valid[r]].tolist()
+                          for r in range(self.num_rows)]
+            lp = None
+        elif self._spec_sampled():
+            (self.cache, d_k, d_v, self.tokens, self.done, self.rng, out,
+             valid) = paged_decode_spec_chunk_sampled(
+                self.params["lm"], self.draft_params, self.cfg.lm,
+                self.draft_cfg, cache, self.d_cache.k, self.d_cache.v,
+                self.tokens, self.done, self.rng,
+                k=self.spec_k, rounds=self.spec_rounds,
+                eos_token_id=self.eos_token_id, sampling=self.sampling,
+                compute_dtype=self.compute_dtype)
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)

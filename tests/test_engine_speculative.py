@@ -102,14 +102,15 @@ def test_spec_engine_slot_reuse(params, draft_params):
     _check_vs_reference(params, prompts, results, 8)
 
 
-def test_spec_engine_sampling_falls_back(params, draft_params):
-    """Non-greedy sampling must route to the plain decode_chunk path and complete."""
+def test_spec_engine_sampling_routes_to_leviathan(params, draft_params):
+    """Non-greedy sampling with a draft routes to the SAMPLED speculative path
+    (Leviathan; tests/test_spec_sampled_engine.py carries the law checks)."""
     engine = BatchEngine(params=params, cfg=CFG, num_slots=1, capacity=256,
                          eos_token_id=EOS,
                          sampling=SamplingParams(greedy=False, temperature=0.8),
                          compute_dtype=jnp.float32,
                          draft_params=draft_params, draft_cfg=DRAFT_CFG)
-    assert not engine._speculating()
+    assert not engine._speculating() and engine._spec_sampled()
     engine.submit(Request(request_id="s", ids=np.arange(1, 7, dtype=np.int32)[None],
                           max_new_tokens=6))
     results = engine.run_until_done()
