@@ -47,25 +47,31 @@ def _write_rows(c, kk, idx):
 
 def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCache,
                         media):
-    """One decode step for ALL rows with per-row cache offsets + gated xattn.
+    """Decode forward for ALL rows with per-row cache offsets + gated xattn.
 
-    embeds [B, 1, d]; positions [B]; media [B, S, d_media] per-slot features."""
+    embeds [B, s, d]; positions [B]; media [B, S, d_media] per-slot features.
+    s == 1 is the normal decode step; s > 1 is a speculative VERIFY block:
+    token i of row b lands at cache position positions[b]+i and attends
+    kv positions <= positions[b]+i (writes happen before the attention read,
+    so multi-token blocks are causally exact per row — engine._rows_forward
+    contract)."""
     lm = params["lm"]
     lcfg = cfg.lm
-    b = embeds.shape[0]
+    b, s, _ = embeds.shape
+    pos_grid = positions[:, None] + jnp.arange(s, dtype=positions.dtype)[None]
     is_opt = flamingo._is_opt(cfg)
     if is_opt:
         hd = lcfg.hidden_size // lcfg.num_heads
         x = embeds + lm["pos_embed"].astype(embeds.dtype)[
-            (positions + lcfg.position_offset)[:, None]]
+            pos_grid + lcfg.position_offset]
         cos = sin = None
     else:
         hd = lcfg.resolved_head_dim()
         x = embeds
-        cos, sin = rope_cos_sin(positions[:, None], hd, lcfg.rope_theta)
+        cos, sin = rope_cos_sin(pos_grid, hd, lcfg.rope_theta)
 
-    kv_pos = jnp.arange(cache.k.shape[2])[None, None, None, :]
-    mask = kv_pos <= positions[:, None, None, None]
+    kv_pos = jnp.arange(cache.k.shape[2])
+    mask = kv_pos[None, None, None, :] <= pos_grid[:, None, :, None]  # [B,1,s,C]
 
     every = cfg.xattn.cross_every_n_layers
     nh = lcfg.num_heads
@@ -80,14 +86,14 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
         ck, cv = cache.k[i], cache.v[i]
         if is_opt:
             h = layer_norm(x, lp["ln1_w"], lp["ln1_b"]) if lcfg.do_layer_norm_before else x
-            q = (opt_mod._linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, 1, nh, hd)
-            k = opt_mod._linear(h, lp["k"]).reshape(b, 1, nh, hd)
-            v = opt_mod._linear(h, lp["v"]).reshape(b, 1, nh, hd)
+            q = (opt_mod._linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, s, nh, hd)
+            k = opt_mod._linear(h, lp["k"]).reshape(b, s, nh, hd)
+            v = opt_mod._linear(h, lp["v"]).reshape(b, s, nh, hd)
             ck = _write_rows(ck, k.astype(ck.dtype), positions)
             cv = _write_rows(cv, v.astype(cv.dtype), positions)
             attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
                                  mask=mask, scale=1.0)
-            x = x + opt_mod._linear(attn.reshape(b, 1, -1), lp["o"])
+            x = x + opt_mod._linear(attn.reshape(b, s, -1), lp["o"])
             if not lcfg.do_layer_norm_before:
                 x = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
             res = x
@@ -107,7 +113,7 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
             ck = _write_rows(ck, k.astype(ck.dtype), positions)
             cv = _write_rows(cv, v.astype(cv.dtype), positions)
             attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
-            x = x + qwen2.o_proj(attn.reshape(b, 1, nh * hd), lp, stacked, idx)
+            x = x + qwen2.o_proj(attn.reshape(b, s, nh * hd), lp, stacked, idx)
             h = rms_norm(x, lp["ln2_w"], lcfg.rms_norm_eps)
             x = x + qwen2.mlp_forward(h, lp, lcfg, stacked, idx)
         new_k.append(ck)
@@ -119,6 +125,98 @@ def _rows_forward_xattn(params, cfg: AF2Config, embeds, positions, cache: SlotCa
     else:
         x = rms_norm(x, lm["ln_f_w"], lcfg.rms_norm_eps)
     return x, SlotCache(jnp.stack(new_k), jnp.stack(new_v), cache.lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
+                                             "eos_token_id", "sampling",
+                                             "compute_dtype", "accept_sim"),
+                   donate_argnames=("cache", "d_k", "d_v"))
+def decode_spec_chunk_xattn(params, draft_params, cfg: AF2Config, draft_cfg,
+                            cache: SlotCache, media, d_k, d_v, tokens, done,
+                            rng, *, k: int, rounds: int, eos_token_id: int,
+                            sampling=None, compute_dtype=jnp.float32,
+                            accept_sim: float | None = None):
+    """Speculative decoding for the AF1/AF2 (gated-xattn) slot engine.
+
+    The DRAFT is a text-only Qwen2 LM on a dense SlotCache (ids are shared with
+    the target; audio lives only in the target's media features, which are
+    per-row constants during generation). The TARGET verifies each row's k+1
+    block through `_rows_forward_xattn` (multi-token, per-row offsets, xattn
+    before every Nth layer). `sampling=None` runs the GREEDY rule
+    (engine.spec_accept_emit — emitted tokens == target-only greedy exactly);
+    a STATIC SamplingParams runs the Leviathan SAMPLED rule
+    (engine.spec_sampled_accept — one warp for every row).
+    """
+    from audio_flamingo_tpu.runtime.engine import (_rows_forward,
+                                                   spec_accept_emit,
+                                                   spec_sampled_accept)
+
+    b = tokens.shape[0]
+    nv = cfg.lm.vocab_size
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+    sampled = sampling is not None and not sampling.greedy
+    if sampled:
+        from audio_flamingo_tpu.runtime.speculative import _warped_probs
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid, rng = carry
+        rng, k_draft, k_rule = jax.random.split(rng, 3)
+
+        def draft_step(i, dc):
+            d_cache, tok_i, props, p_rows = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            logits = qwen2.unembed(draft_params, draft_cfg, h[:, 0])
+            if sampled:
+                p_d = _warped_probs(logits.astype(jnp.float32), sampling)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(k_draft, i),
+                    jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+                p_rows = p_rows.at[:, i].set(p_d)
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt), p_rows
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        pd0 = jnp.zeros((b, k, nv if sampled else 1), jnp.float32)
+        d_cache, _, props, p_d = jax.lax.fori_loop(
+            0, k, draft_step, (d_cache, tok, props0, pd0))
+
+        # target verifies the k+1 block per row through the xattn stack
+        seq = jnp.concatenate([tok[:, None], props], axis=1)         # [B, k+1]
+        x = flamingo._embed(params, cfg, seq, dtype=compute_dtype)
+        h, cache = _rows_forward_xattn(params, cfg, x, cache.lengths, cache,
+                                       media)
+        logits = flamingo._unembed(params, cfg, h)                   # [B,k+1,V]
+        if sampled:
+            p_t = _warped_probs(logits.astype(jnp.float32), sampling)
+            emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
+                k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
+        else:
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emitted, ok, n_emitted, hit_eos = spec_accept_emit(
+                props, greedy, done, k_rule, r, accept_sim=accept_sim,
+                eos_token_id=eos_token_id)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        new_lengths = cache.lengths + n_emitted
+        cache = SlotCache(cache.k, cache.v, new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid, rng
+
+    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
+    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
@@ -213,11 +311,23 @@ class FlamingoEngine:
     seed: int = 0
     n_media: int = 1                 # media buffer shape: all requests padded to this
     windows_per_media: int = 1
+    # speculative decoding: text-only Qwen2 draft on a dense SlotCache; greedy
+    # engines run the exact-argmax rule, non-greedy engines the Leviathan
+    # sampled rule (decode_spec_chunk_xattn docstring)
+    draft_params: dict | None = None
+    draft_cfg: object = None
+    spec_k: int = 4
+    spec_rounds: int = 4
+    spec_accept_sim: float | None = None
 
     def __post_init__(self):
         self.row_params = [self.sampling] * self.num_slots
         self.rows = row_sampling(self.row_params)
         self.hist = jnp.full((self.num_slots, self.capacity), -1, jnp.int32)
+        if self.draft_params is not None:
+            assert self.draft_cfg is not None
+            self.d_cache = init_slot_cache(self.draft_cfg, self.num_slots,
+                                           self.capacity, self.compute_dtype)
         lcfg = self.cfg.lm
         if flamingo._is_opt(self.cfg):
             hd = lcfg.hidden_size // lcfg.num_heads
@@ -240,7 +350,24 @@ class FlamingoEngine:
         self.finished: dict[str, list[int]] = {}
         self.request_metrics: dict[str, dict] = {}
 
+    def _speculating(self) -> bool:
+        return (self.draft_params is not None and self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
+    def _spec_sampled(self) -> bool:
+        return (self.draft_params is not None and not self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
     def submit(self, req: FlamingoRequest) -> None:
+        spec = self._speculating() or self._spec_sampled()
+        if req.sampling is not None and spec:
+            assert req.sampling == self.sampling, \
+                ("the speculative xattn path applies the ENGINE's sampling to "
+                 "every row; per-request sampling must equal it")
+        assert not (spec and (req.min_new_tokens or req.stop or req.logprobs)), \
+            "min_new_tokens/stop/logprobs are not supported on the speculative path"
         _start_request_metrics(req)
         self.queue.append(req)
 
@@ -304,6 +431,14 @@ class FlamingoEngine:
 
             self.hist = seed_history(self.hist, slot, self.capacity, req,
                                      req_sampling)
+            if self._speculating() or self._spec_sampled():
+                from audio_flamingo_tpu.runtime.engine import \
+                    draft_prefill_into_slot
+
+                self.d_cache = draft_prefill_into_slot(
+                    self.draft_params, self.draft_cfg, self.d_cache, slot, ids,
+                    slot_capacity=self.capacity,
+                    compute_dtype=self.compute_dtype)
             self.tokens = self.tokens.at[slot].set(first)
             self.done = self.done.at[slot].set(False)
             self.active[slot] = req
@@ -313,6 +448,41 @@ class FlamingoEngine:
 
         self._fill_slots()
         if not self.active:
+            step_beam_lane(self)
+            return
+        if self._speculating() or self._spec_sampled():
+            self.rng, spec_rng = jax.random.split(self.rng)
+            (self.cache, d_k, d_v, self.tokens, self.done, _rng, out,
+             valid) = decode_spec_chunk_xattn(
+                self.params, self.draft_params, self.cfg, self.draft_cfg,
+                self.cache, self.media, self.d_cache.k, self.d_cache.v,
+                self.tokens, self.done, spec_rng,
+                k=self.spec_k, rounds=self.spec_rounds,
+                eos_token_id=self.eos_token_id,
+                sampling=None if self._speculating() else self.sampling,
+                compute_dtype=self.compute_dtype,
+                accept_sim=self.spec_accept_sim)
+            self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
+            out = np.asarray(out)
+            valid = np.asarray(valid)
+            row_tokens = [out[s][valid[s]].tolist()
+                          for s in range(self.num_slots)]
+            step_budget = self.spec_rounds * (self.spec_k + 1)
+            done = np.asarray(self.done).copy()
+            lengths = np.asarray(self.cache.lengths)
+            for slot, req in list(self.active.items()):
+                if _postprocess_chunk_row(self, req, row_tokens[slot], None):
+                    done[slot] = True
+                if lengths[slot] >= self.capacity - step_budget - 1:
+                    done[slot] = True
+                if done[slot] or len(req.tokens) >= req.max_new_tokens:
+                    req.done = True
+                    self.finished[req.request_id] = req.tokens
+                    _finish_request_metrics(self, req)
+                    del self.active[slot]
+                    self.done = self.done.at[slot].set(True)
+                    self.cache = self.cache._replace(
+                        lengths=self.cache.lengths.at[slot].set(0))
             step_beam_lane(self)
             return
         min_left = np.zeros((self.num_slots,), np.int32)
