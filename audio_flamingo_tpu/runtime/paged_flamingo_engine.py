@@ -159,6 +159,212 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
                    ksc_new, vsc_new), logits
 
 
+def _xattn_paged_verify(params, cfg: AF2Config, cache: PagedKV, media, tokens,
+                        compute_dtype):
+    """S-token speculative VERIFY through pages + gated xattn.
+
+    tokens [B, S] occupy positions lengths..lengths+S-1 per row. Per layer the
+    S fresh queries fold into the paged kernel's GQA group axis (one kernel
+    call over the past pages) and the in-block causal triangle merges in XLA
+    (merge_block_tokens) — the xattn analogue of paged_cache.paged_verify_step.
+    All S KV entries are written to their pages; `lengths` returns UNCHANGED
+    (the caller advances by the accepted count; rejected slots are overwritten
+    before attended). Returns (cache, logits [B, S, vocab])."""
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        merge_block_tokens, paged_attention)
+
+    lm = params["lm"]
+    lcfg = cfg.lm
+    b, s = tokens.shape
+    is_opt = flamingo._is_opt(cfg)
+    positions = cache.lengths
+    pos_grid = positions[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    x = flamingo._embed(params, cfg, tokens, dtype=compute_dtype)
+    if is_opt:
+        hd = lcfg.hidden_size // lcfg.num_heads
+        nkv, g, scale = lcfg.num_heads, 1, 1.0
+        x = x + lm["pos_embed"].astype(x.dtype)[pos_grid + lcfg.position_offset]
+        cos = sin = None
+    else:
+        hd = lcfg.resolved_head_dim()
+        nkv = lcfg.num_kv_heads
+        g = lcfg.num_heads // nkv
+        scale = None
+        cos, sin = rope_cos_sin(pos_grid, hd, lcfg.rope_theta)
+
+    every = cfg.xattn.cross_every_n_layers
+    nh = lcfg.num_heads
+    quantized = cache.quantized
+    stacked, scan_layers = (None, lm["layers"]) if is_opt \
+        else qwen2.split_stacked_w4(lm["layers"])
+    new_k, new_v, new_ks, new_vs = [], [], [], []
+    for i in range(lcfg.num_layers):
+        if i % every == 0:
+            xp = jax.tree.map(lambda a: a[i // every], params["xattn"])
+            x = xattn_op.apply(xp, x, media, cfg.xattn.num_heads)
+        lp = jax.tree.map(lambda a: a[i], scan_layers)
+        idx = jnp.int32(i)
+        if is_opt:
+            h = layer_norm(x, lp["ln1_w"], lp["ln1_b"]) if lcfg.do_layer_norm_before else x
+            q = (opt_mod._linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, s, nh, hd)
+            k = opt_mod._linear(h, lp["k"]).reshape(b, s, nkv, hd)
+            v = opt_mod._linear(h, lp["v"]).reshape(b, s, nkv, hd)
+        else:
+            h = rms_norm(x, lp["ln1_w"], lcfg.rms_norm_eps)
+            q, k, v = qwen2.qkv_proj(h, lp, lcfg, stacked, idx)
+            q, k = apply_rope(q, k, cos, sin)
+        qf = q.reshape(b, s, nkv, g, hd).transpose(0, 2, 1, 3, 4) \
+              .reshape(b, nkv, s * g, hd)
+        ks_layer = cache.k_scale[i] if quantized else None
+        vs_layer = cache.v_scale[i] if quantized else None
+        o, m, l = paged_attention(qf, cache.k[i], cache.v[i], cache.block_tables,
+                                  cache.lengths, k_scale=ks_layer,
+                                  v_scale=vs_layer, scale=scale)
+        o = o.reshape(b, nkv, s, g, hd).transpose(0, 2, 1, 3, 4)
+        m = m.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
+        l = l.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
+        qg = q.reshape(b, s, nkv, g, hd)
+        if quantized:
+            kq, ksc = qwen2._quantize_kv(k)
+            vq, vsc = qwen2._quantize_kv(v)
+            k_cur = kq.astype(jnp.float32) * ksc[..., None]
+            v_cur = vq.astype(jnp.float32) * vsc[..., None]
+            new_k.append(kq); new_v.append(vq)
+            new_ks.append(ksc); new_vs.append(vsc)
+        else:
+            k_cur, v_cur = k, v
+            new_k.append(k.astype(cache.k.dtype))
+            new_v.append(v.astype(cache.v.dtype))
+        attn = merge_block_tokens(qg, k_cur, v_cur, o, m, l, scale=scale)
+        attn = attn.reshape(b, s, nh * hd).astype(x.dtype)
+        if is_opt:
+            x = x + opt_mod._linear(attn, lp["o"])
+            if not lcfg.do_layer_norm_before:
+                x = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+            res = x
+            h = layer_norm(x, lp["ln2_w"], lp["ln2_b"]) if lcfg.do_layer_norm_before else x
+            x = res + opt_mod._linear(jax.nn.relu(opt_mod._linear(h, lp["fc1"])),
+                                      lp["fc2"])
+            if not lcfg.do_layer_norm_before:
+                x = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        else:
+            x = x + qwen2.o_proj(attn, lp, stacked, idx)
+            h = rms_norm(x, lp["ln2_w"], lcfg.rms_norm_eps)
+            x = x + qwen2.mlp_forward(h, lp, lcfg, stacked, idx)
+
+    # batched physical writes: [L, B, S] at (layer, block_ids[B,S], offs[B,S])
+    bs = cache.block_size
+    page_pos = jnp.minimum(pos_grid // bs, cache.block_tables.shape[1] - 1)
+    block_ids = jnp.maximum(
+        jnp.take_along_axis(cache.block_tables, page_pos, axis=1), 0)
+    offs = pos_grid % bs
+    L = lcfg.num_layers
+    l_idx = jnp.repeat(jnp.arange(L), b * s)
+    b_flat = jnp.tile(block_ids.reshape(-1), L)
+    o_flat = jnp.tile(offs.reshape(-1), L)
+    k_new = cache.k.at[l_idx, b_flat, o_flat].set(
+        jnp.stack(new_k).reshape(-1, nkv, hd))
+    v_new = cache.v.at[l_idx, b_flat, o_flat].set(
+        jnp.stack(new_v).reshape(-1, nkv, hd))
+    ksc_new, vsc_new = cache.k_scale, cache.v_scale
+    if quantized:
+        ksc_new = cache.k_scale.at[l_idx, b_flat, o_flat].set(
+            jnp.stack(new_ks).reshape(-1, nkv))
+        vsc_new = cache.v_scale.at[l_idx, b_flat, o_flat].set(
+            jnp.stack(new_vs).reshape(-1, nkv))
+
+    if is_opt:
+        if "ln_f_w" in lm:
+            x = layer_norm(x, lm["ln_f_w"], lm["ln_f_b"])
+    else:
+        x = rms_norm(x, lm["ln_f_w"], lcfg.rms_norm_eps)
+    logits = flamingo._unembed(params, cfg, x)                    # [B, S, vocab]
+    return PagedKV(k_new, v_new, cache.block_tables, cache.lengths,
+                   ksc_new, vsc_new), logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
+                                             "eos_token_id", "sampling",
+                                             "compute_dtype", "accept_sim"),
+                   donate_argnames=("cache", "d_k", "d_v"))
+def paged_decode_spec_chunk_xattn(params, draft_params, cfg: AF2Config, draft_cfg,
+                                  cache: PagedKV, media, d_k, d_v, tokens, done,
+                                  rng, *, k: int, rounds: int, eos_token_id: int,
+                                  sampling=None, compute_dtype=jnp.float32,
+                                  accept_sim: float | None = None):
+    """Speculative decoding for the PAGED xattn engine: text-only Qwen2 draft
+    on a dense SlotCache + k+1-block verify through pages (_xattn_paged_verify).
+    sampling=None -> greedy rule; static SamplingParams -> Leviathan sampled
+    rule. Same rollback/exactness contract as the other spec chunks."""
+    from audio_flamingo_tpu.runtime.engine import (SlotCache, _rows_forward,
+                                                   spec_accept_emit,
+                                                   spec_sampled_accept)
+
+    b = tokens.shape[0]
+    nv = cfg.lm.vocab_size
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+    sampled = sampling is not None and not sampling.greedy
+    if sampled:
+        from audio_flamingo_tpu.runtime.speculative import _warped_probs
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid, rng = carry
+        rng, k_draft, k_rule = jax.random.split(rng, 3)
+
+        def draft_step(i, dc):
+            d_cache, tok_i, props, p_rows = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            logits = qwen2.unembed(draft_params, draft_cfg, h[:, 0])
+            if sampled:
+                p_d = _warped_probs(logits.astype(jnp.float32), sampling)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(k_draft, i),
+                    jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+                p_rows = p_rows.at[:, i].set(p_d)
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt), p_rows
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        pd0 = jnp.zeros((b, k, nv if sampled else 1), jnp.float32)
+        d_cache, _, props, p_d = jax.lax.fori_loop(
+            0, k, draft_step, (d_cache, tok, props0, pd0))
+
+        seq = jnp.concatenate([tok[:, None], props], axis=1)
+        cache, logits = _xattn_paged_verify(params, cfg, cache, media, seq,
+                                            compute_dtype)
+        if sampled:
+            p_t = _warped_probs(logits.astype(jnp.float32), sampling)
+            emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
+                k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
+        else:
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emitted, ok, n_emitted, hit_eos = spec_accept_emit(
+                props, greedy, done, k_rule, r, accept_sim=accept_sim,
+                eos_token_id=eos_token_id)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        new_lengths = cache.lengths + n_emitted
+        cache = cache._replace(lengths=new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid, rng
+
+    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
+    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                              "compute_dtype", "mixed_sampling",
                                              "want_logprobs", "use_min_new",
@@ -314,9 +520,25 @@ class PagedFlamingoEngine:
     n_media: int = 1
     windows_per_media: int = 1
     metrics: object = None
+    # speculative decoding (greedy or Leviathan sampled; see
+    # paged_decode_spec_chunk_xattn). Requires preempt=False (the draft's
+    # dense rows are not swapped).
+    draft_params: dict | None = None
+    draft_cfg: object = None
+    spec_k: int = 4
+    spec_rounds: int = 4
+    spec_accept_sim: float | None = None
 
     def __post_init__(self):
         lcfg = self.cfg.lm
+        if self.draft_params is not None:
+            assert self.draft_cfg is not None
+            assert not self.preempt, \
+                "speculative paged serving requires preempt=False"
+            from audio_flamingo_tpu.runtime.engine import init_slot_cache
+
+            self.d_cache = init_slot_cache(self.draft_cfg, self.num_rows,
+                                           self.capacity, self.compute_dtype)
         nkv = lcfg.num_heads if flamingo._is_opt(self.cfg) \
             else lcfg.num_kv_heads
         hd = (lcfg.hidden_size // lcfg.num_heads) if flamingo._is_opt(self.cfg) \
@@ -357,12 +579,29 @@ class PagedFlamingoEngine:
     def capacity(self) -> int:
         return self.max_blocks_per_seq * self.block_size
 
+    def _speculating(self) -> bool:
+        return (self.draft_params is not None and self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
+    def _spec_sampled(self) -> bool:
+        return (self.draft_params is not None and not self.sampling.greedy
+                and self.sampling.repetition_penalty == 1.0
+                and self.sampling.no_repeat_ngram_size == 0)
+
     def submit(self, req: FlamingoRequest) -> None:
         # a prompt longer than row capacity would pad by a NEGATIVE amount deep in
         # _admit (after pages were allocated) — reject loudly at the boundary
         assert req.ids.shape[1] <= self.capacity, (
             f"prompt ({req.ids.shape[1]} tokens) exceeds row capacity "
             f"({self.capacity} = max_blocks_per_seq * block_size)")
+        spec = self._speculating() or self._spec_sampled()
+        if req.sampling is not None and spec:
+            assert req.sampling == self.sampling, \
+                ("the speculative xattn path applies the ENGINE's sampling to "
+                 "every row; per-request sampling must equal it")
+        assert not (spec and (req.min_new_tokens or req.stop or req.logprobs)), \
+            "min_new_tokens/stop/logprobs are not supported on the speculative path"
         _start_request_metrics(req)
         self.queue.append(req)
 
@@ -407,6 +646,27 @@ class PagedFlamingoEngine:
 
         self.hist = seed_history(self.hist, row, self.capacity, req,
                                  req.sampling or self.sampling)
+
+    def _draft_prefill(self, row: int, req: FlamingoRequest, bucket: int) -> None:
+        """Prefill the text-only draft's dense cache for a newly activated row
+        over the FULL ids (pages shared/chunk-built on the target side are
+        irrelevant to the draft)."""
+        from audio_flamingo_tpu.runtime.engine import draft_prefill_into_slot
+
+        ids = jnp.asarray(req.ids)
+        t = ids.shape[1]
+        if bucket != t:
+            ids = jnp.concatenate(
+                [ids, jnp.full((1, bucket - t), self.eos_token_id, jnp.int32)],
+                axis=1)
+        self.d_cache = draft_prefill_into_slot(
+            self.draft_params, self.draft_cfg, self.d_cache, row, ids,
+            slot_capacity=self.capacity, compute_dtype=self.compute_dtype)
+
+    def _step_budget(self) -> int:
+        if self._speculating() or self._spec_sampled():
+            return self.spec_rounds * (self.spec_k + 1)
+        return self.chunk
 
     def _admit(self) -> None:
         from audio_flamingo_tpu.train.data import bucket_tokens
@@ -511,6 +771,8 @@ class PagedFlamingoEngine:
             self.row_params[row] = req_sampling
             self.rows = row_sampling(self.row_params)
             self._seed_hist(row, req)
+            if self._speculating() or self._spec_sampled():
+                self._draft_prefill(row, req, bucket)
             self.tokens = self.tokens.at[row].set(first)
             self.done = self.done.at[row].set(False)
             self.active[row] = (req, blocks, held)
@@ -594,6 +856,8 @@ class PagedFlamingoEngine:
         self.row_params[row] = req_sampling
         self.rows = row_sampling(self.row_params)
         self._seed_hist(row, req)
+        if self._speculating() or self._spec_sampled():
+            self._draft_prefill(row, req, st["bucket"])
         self.tokens = self.tokens.at[row].set(first)
         self.done = self.done.at[row].set(False)
         self.active[row] = (req, blocks, held)
@@ -665,7 +929,8 @@ class PagedFlamingoEngine:
     def _grow_pages(self) -> list[int]:
         starved: list[int] = []
         for row, (req, blocks, held) in self.active.items():
-            needed = -(-(int(self.lengths_np[row]) + self.chunk + 1) // self.block_size)
+            needed = -(-(int(self.lengths_np[row]) + self._step_budget() + 1)
+                       // self.block_size)
             needed = min(needed, self.max_blocks_per_seq)
             mapped = int((self.tables_np[row] >= 0).sum())
             while mapped < needed:
@@ -709,6 +974,33 @@ class PagedFlamingoEngine:
             return
         cache = self.cache._replace(block_tables=jnp.asarray(self.tables_np),
                                     lengths=jnp.asarray(self.lengths_np))
+        if self._speculating() or self._spec_sampled():
+            self.rng, spec_rng = jax.random.split(self.rng)
+            (self.cache, d_k, d_v, self.tokens, self.done, _rng, out,
+             valid) = paged_decode_spec_chunk_xattn(
+                self.params, self.draft_params, self.cfg, self.draft_cfg,
+                cache, self.media, self.d_cache.k, self.d_cache.v,
+                self.tokens, self.done, spec_rng,
+                k=self.spec_k, rounds=self.spec_rounds,
+                eos_token_id=self.eos_token_id,
+                sampling=None if self._speculating() else self.sampling,
+                compute_dtype=self.compute_dtype,
+                accept_sim=self.spec_accept_sim)
+            self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
+            out = np.asarray(out)
+            valid = np.asarray(valid)
+            done = np.asarray(self.done).copy()
+            self.lengths_np = np.asarray(self.cache.lengths).copy()
+            budget = self._step_budget()
+            for row, (req, *_x) in list(self.active.items()):
+                if _postprocess_chunk_row(self, req,
+                                          out[row][valid[row]].tolist(), None):
+                    done[row] = True
+                full = self.lengths_np[row] >= self.capacity - budget - 1
+                if done[row] or full or len(req.tokens) >= req.max_new_tokens:
+                    self._finish_row(row)
+            step_beam_lane(self)
+            return
         min_left = np.zeros((self.num_rows,), np.int32)
         for row, (req, *_ignore) in self.active.items():
             want = max(req.min_new_tokens,

@@ -162,3 +162,63 @@ def test_xattn_spec_accept_sim_mechanics(draft_params):
                                       window_embeds=wins, max_new_tokens=9))
         results = engine.run_until_done(max_rounds=50)
         assert 1 <= len(results["x"]) <= 9
+
+
+@pytest.mark.parametrize("cfg,kv_dtype", [
+    (AF2_CFG, None), (AF2_CFG, jnp.int8), (AF1_CFG, None)],
+    ids=["af2-f32pool", "af2-q8pool", "af1-opt"])
+def test_paged_xattn_spec_greedy_exact(cfg, kv_dtype, draft_params):
+    """Greedy speculation on the PAGED xattn engine == plain paged xattn engine
+    (same pool dtype — the shared numeric base), both backbones + int8 pool."""
+    from audio_flamingo_tpu.runtime.paged_flamingo_engine import PagedFlamingoEngine
+
+    params = _params(cfg)
+    rng = np.random.default_rng(7)
+    prompts = []
+    for i in range(3):
+        ids = rng.integers(0, 90, size=(1, 5 + 2 * i)).astype(np.int32)
+        wins = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+        prompts.append((ids, wins))
+
+    def run(**kw):
+        engine = PagedFlamingoEngine(
+            params=params, cfg=cfg, num_rows=2, num_blocks=32, block_size=16,
+            max_blocks_per_seq=8, chunk=4, eos_token_id=EOS,
+            sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32,
+            preempt=False, kv_dtype=kv_dtype, n_media=N_MEDIA,
+            windows_per_media=WPM, **kw)
+        for i, (ids, wins) in enumerate(prompts):
+            engine.submit(FlamingoRequest(request_id=f"r{i}", ids=ids,
+                                          window_embeds=wins, max_new_tokens=8))
+        return engine.run_until_done()
+
+    spec = run(draft_params=draft_params, draft_cfg=DRAFT_CFG,
+               spec_k=3, spec_rounds=2)
+    plain = run()
+    for rid, toks in plain.items():
+        got = spec[rid]
+        n = min(len(got), len(toks))
+        assert got[:n] == toks[:n], (rid, got, toks)
+
+
+def test_paged_xattn_spec_sampled_greedy_limit(draft_params):
+    from audio_flamingo_tpu.runtime.paged_flamingo_engine import PagedFlamingoEngine
+
+    params = _params(AF2_CFG)
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 90, size=(1, 6)).astype(np.int32)
+    wins = rng.normal(size=(1, N_MEDIA, WPM, 16)).astype(np.float32)
+    engine = PagedFlamingoEngine(
+        params=params, cfg=AF2_CFG, num_rows=1, num_blocks=32, block_size=16,
+        max_blocks_per_seq=8, chunk=4, eos_token_id=EOS,
+        sampling=SamplingParams(greedy=False, temperature=1e-4, top_k=1),
+        compute_dtype=jnp.float32, preempt=False, n_media=N_MEDIA,
+        windows_per_media=WPM, draft_params=draft_params, draft_cfg=DRAFT_CFG,
+        spec_k=2, spec_rounds=2)
+    assert engine._spec_sampled()
+    engine.submit(FlamingoRequest(request_id="r", ids=ids, window_embeds=wins,
+                                  max_new_tokens=8))
+    got = engine.run_until_done()["r"]
+    ref = _reference(params, AF2_CFG, ids, wins, 8)
+    n = min(len(ref), len(got))
+    assert got[:n] == ref[:n], (got, ref)
