@@ -67,3 +67,33 @@ def test_slot_engine_tp_sharded_audio(params):
     sharded, _ = shard_params(params, make_mesh(MeshPlan(data=1, fsdp=1, model=8)))
     tp = _run(sharded, [ids], mels)
     assert tp == dense
+
+
+def test_slot_engine_spec_tp_sharded_matches_dense(params):
+    """Speculative decoding under TENSOR-PARALLEL sharded target+draft params ==
+    the dense speculative engine, token-exactly — XLA SPMD propagates the param
+    shardings through decode_spec_chunk's draft/verify/rollback program too."""
+    from audio_flamingo_tpu.models import qwen2
+
+    draft_cfg = Qwen2Config(vocab_size=128, hidden_size=32, intermediate_size=64,
+                            num_layers=1, num_heads=4, num_kv_heads=2,
+                            tie_word_embeddings=True)
+    draft = qwen2.init(jax.random.PRNGKey(7), draft_cfg)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 120, (1, 5 + i)).astype(np.int32) for i in range(3)]
+
+    def run(p, d):
+        eng = BatchEngine(params=p, cfg=CFG, num_slots=2, capacity=256,
+                          eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                          compute_dtype=jnp.float32, draft_params=d,
+                          draft_cfg=draft_cfg, spec_k=3, spec_rounds=2)
+        for i, pr in enumerate(prompts):
+            eng.submit(Request(request_id=f"r{i}", ids=pr.copy(),
+                               max_new_tokens=8))
+        return eng.run_until_done()
+
+    dense = run(params, draft)
+    mesh = make_mesh(MeshPlan(data=1, fsdp=2, model=4))
+    sharded, _ = shard_params(params, mesh)
+    draft_sharded, _ = shard_params(draft, mesh)
+    assert run(sharded, draft_sharded) == dense
