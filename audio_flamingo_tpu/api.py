@@ -412,6 +412,50 @@ def load(model_path: str, compute_dtype=jnp.bfloat16, *, quantize_lm: bool | str
                          compute_dtype=compute_dtype)
 
 
+def load_draft(model_path: str, compute_dtype=jnp.bfloat16, *,
+               quantize: bool = False):
+    """Load a plain Qwen2 CausalLM checkpoint directory as a speculative DRAFT.
+
+    The draft must share the target's tokenizer (e.g. Qwen2.5-0.5B next to the
+    AF3 7B backbone — same Qwen2 vocab); only token ids flow into it, so any
+    AF family can use it. Returns (draft_params, draft_cfg) ready for
+    `AudioFlamingo(draft_params=..., draft_cfg=...)` (batch-1 loop) or any
+    serving engine's `draft_params=`/`draft_cfg=` knobs (batched greedy AND
+    Leviathan sampled speculation). quantize=True stores the draft w8a16 —
+    at small batch the draft round is layer-latency bound, but int8 halves its
+    weight stream (bench.py spec notes).
+    """
+    import json
+
+    from audio_flamingo_tpu.config import Qwen2Config
+    from audio_flamingo_tpu.io.hf_import import import_qwen2
+    from audio_flamingo_tpu.io.safetensors import load_checkpoint_dir
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        raw = json.load(f)
+    txt = raw.get("text_config", raw)      # plain Qwen2 configs are top-level
+    cfg = Qwen2Config(
+        vocab_size=txt.get("vocab_size", 151_936),
+        hidden_size=txt["hidden_size"],
+        intermediate_size=txt["intermediate_size"],
+        num_layers=txt["num_hidden_layers"],
+        num_heads=txt["num_attention_heads"],
+        num_kv_heads=txt.get("num_key_value_heads", txt["num_attention_heads"]),
+        rope_theta=txt.get("rope_theta", 1e6),
+        tie_word_embeddings=txt.get("tie_word_embeddings", True),
+        sliding_window=(txt.get("sliding_window", None)
+                        if txt.get("use_sliding_window", False) else None),
+        max_window_layers=txt.get("max_window_layers", 0),
+    )
+    sd = load_checkpoint_dir(model_path)
+    params = import_qwen2(sd, cfg)
+    if quantize:
+        from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+        params = quantize_lm_params(jax.tree.map(jnp.asarray, params))
+    return _cast_f32_leaves(params, compute_dtype), cfg
+
+
 def save_af2(path: str, model: "AudioFlamingo2") -> None:
     """Persist an AF1/AF2-family model (flamingo params + CLAP tower + tokenizer)."""
     import json as _json

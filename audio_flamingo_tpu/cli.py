@@ -15,16 +15,22 @@ import sys
 def _build_model(args):
     import jax.numpy as jnp
 
-    from audio_flamingo_tpu.api import AudioFlamingo, load
+    from audio_flamingo_tpu.api import AudioFlamingo, load, load_draft
 
     quant = getattr(args, "quantize", "none")
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.model:
-        return load(args.model,
-                    compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                    quantize_lm={"none": False, "int8": "int8",
-                                 "int4": "int4"}[quant])
-    return AudioFlamingo.from_random(
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        model = load(args.model, compute_dtype=dtype,
+                     quantize_lm={"none": False, "int8": "int8",
+                                  "int4": "int4"}[quant])
+    else:
+        model = AudioFlamingo.from_random(compute_dtype=dtype)
+    if getattr(args, "draft", None):
+        # speculative decoding: greedy batch-1 requests ride the draft/verify
+        # loop (api docstring); the draft must share the target's tokenizer
+        model.draft_params, model.draft_cfg = load_draft(
+            args.draft, compute_dtype=dtype, quantize=quant != "none")
+    return model
 
 
 def cmd_infer(args):
@@ -132,6 +138,9 @@ def main(argv=None):
         sp.add_argument("--fp32", dest="bf16", action="store_false")
         sp.add_argument("--max-new-tokens", type=int, default=256)
         sp.add_argument("--think", action="store_true", help="AF-Think reasoning mode")
+        sp.add_argument("--draft", default=None,
+                        help="Qwen2 draft checkpoint dir (speculative decoding; "
+                             "must share the target's tokenizer)")
         sp.add_argument("--quantize", choices=("none", "int8", "int4"),
                         default="none",
                         help="weight-only LM quantization (int8 fits 7B on one "

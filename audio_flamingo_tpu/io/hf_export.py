@@ -84,6 +84,55 @@ def export_af3_state_dict(params: dict, cfg: AF3Config) -> dict[str, np.ndarray]
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
 
+def export_qwen2_state_dict(params: dict, cfg) -> dict[str, np.ndarray]:
+    """Plain Qwen2ForCausalLM params pytree -> flat HF state dict (numpy f32).
+
+    The reverse of io/hf_import.import_qwen2 — used to write speculative-DRAFT
+    checkpoints (api.load_draft) and to export standalone LMs trained here."""
+    sd: dict[str, np.ndarray] = {}
+    sd["model.embed_tokens.weight"] = np.asarray(params["embed"])
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        lay = jtree_layer(params["layers"], i)
+        sd[p + "input_layernorm.weight"] = lay["ln1_w"]
+        for name in ("q", "k", "v"):
+            sd[p + f"self_attn.{name}_proj.weight"] = _tt(lay[name]["w"])
+            if "b" in lay[name]:
+                sd[p + f"self_attn.{name}_proj.bias"] = lay[name]["b"]
+        sd[p + "self_attn.o_proj.weight"] = _tt(lay["o"]["w"])
+        sd[p + "post_attention_layernorm.weight"] = lay["ln2_w"]
+        sd[p + "mlp.gate_proj.weight"] = _tt(lay["mlp"]["gate"])
+        sd[p + "mlp.up_proj.weight"] = _tt(lay["mlp"]["up"])
+        sd[p + "mlp.down_proj.weight"] = _tt(lay["mlp"]["down"])
+    sd["model.norm.weight"] = np.asarray(params["ln_f_w"])
+    if "lm_head" in params:
+        sd["lm_head.weight"] = _tt(params["lm_head"])
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def save_qwen2_pretrained(path: str, params: dict, cfg) -> None:
+    """Write a plain-Qwen2 HF-layout dir loadable by api.load_draft (and torch)."""
+    from audio_flamingo_tpu.io.safetensors import save_safetensors
+
+    os.makedirs(path, exist_ok=True)
+    save_safetensors(os.path.join(path, "model.safetensors"),
+                     export_qwen2_state_dict(params, cfg),
+                     metadata={"format": "pt"})
+    config = {
+        "model_type": "qwen2",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f, indent=1)
+
+
 def jtree_index(node, i):
     import jax
 

@@ -148,3 +148,54 @@ def test_sharded_bf16_checkpoint_loads_like_nvidia_release(tmp_path, params):
     la = np.asarray(af3.logits(model.params, model.cfg, jnp.asarray(ids)))
     lb = np.asarray(af3.logits(ref.params, ref.cfg, jnp.asarray(ids)))
     assert np.abs(la - lb).max() / (np.abs(lb).max() + 1e-9) < 0.02  # bf16 cast error
+
+
+def test_draft_checkpoint_roundtrip_and_spec_serving(tmp_path):
+    """save_qwen2_pretrained -> api.load_draft roundtrip, and the loaded draft
+    drives token-exact speculative serving against the target."""
+    from audio_flamingo_tpu import api
+    from audio_flamingo_tpu.io.hf_export import save_qwen2_pretrained
+    from audio_flamingo_tpu.models import af3, qwen2
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime import generate as gen
+    from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+
+    draft_cfg = Qwen2Config(vocab_size=128, hidden_size=32, intermediate_size=64,
+                            num_layers=1, num_heads=4, num_kv_heads=2,
+                            tie_word_embeddings=True)
+    draft = qwen2.init(jax.random.PRNGKey(7), draft_cfg)
+    save_qwen2_pretrained(str(tmp_path / "draft"), draft, draft_cfg)
+    loaded, loaded_cfg = api.load_draft(str(tmp_path / "draft"),
+                                        compute_dtype=jnp.float32)
+    assert loaded_cfg == draft_cfg
+    for a, b in zip(jax.tree.leaves(draft), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # int8 variant loads and carries f32 scales
+    q, _ = api.load_draft(str(tmp_path / "draft"), quantize=True)
+    assert q["layers"]["q"]["w_q"].dtype == jnp.int8
+    assert q["layers"]["q"]["scale"].dtype == jnp.float32
+
+    tcfg = AF3Config(
+        encoder=WhisperEncoderConfig(num_mel_bins=16, d_model=32, num_layers=1,
+                                     num_heads=4, ffn_dim=64,
+                                     max_source_positions=12),
+        lm=Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       tie_word_embeddings=True),
+        audio_token_id=120)
+    target = af3.init(jax.random.PRNGKey(0), tcfg)
+    ids = np.random.default_rng(5).integers(0, 120, (1, 6)).astype(np.int32)
+    eng = BatchEngine(params=target, cfg=tcfg, num_slots=1, capacity=256,
+                      eos_token_id=127, sampling=SamplingParams(greedy=True),
+                      compute_dtype=jnp.float32, draft_params=loaded,
+                      draft_cfg=loaded_cfg, spec_k=2, spec_rounds=2)
+    eng.submit(Request(request_id="r", ids=ids, max_new_tokens=8))
+    got = eng.run_until_done()["r"]
+    toks, lens = gen.generate(target, tcfg, jnp.asarray(ids), None,
+                              max_new_tokens=8, eos_token_id=127,
+                              sampling=SamplingParams(greedy=True),
+                              capacity=256, compute_dtype=jnp.float32)
+    ref = [int(t) for t in np.asarray(toks)[0][: int(lens[0])]]
+    n = min(len(got), len(ref))
+    assert got[:n] == ref[:n]
