@@ -135,6 +135,10 @@ def _linear(x, p, a8: bool = False):
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if "lora_a" in p:  # LoRA/QLoRA adapters (ops/lora.py): y += (x a) b * s
+        from audio_flamingo_tpu.ops.lora import lora_delta
+
+        y = y + lora_delta(x, p).astype(y.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

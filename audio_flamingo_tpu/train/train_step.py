@@ -28,10 +28,18 @@ class TrainState(NamedTuple):
 
 def make_optimizer(stage: Stage, params, *, weight_decay: float = 0.01,
                    warmup_steps: int = 100, total_steps: int = 10_000,
-                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+                   grad_clip: float = 1.0,
+                   lora_only: bool = False) -> optax.GradientTransformation:
     sched = optax.warmup_cosine_decay_schedule(
         0.0, stage.lr, warmup_steps, max(total_steps, warmup_steps + 1), stage.lr * 0.1)
     mask = trainable_mask(params, stage)
+    if lora_only:
+        # parameter-efficient fine-tuning (ops/lora.py): only adapter leaves
+        # train; the stage mask still gates them (a frozen-LM stage trains no
+        # LM adapters either)
+        from audio_flamingo_tpu.ops.lora import lora_mask
+
+        mask = jax.tree.map(lambda a, b: a and b, mask, lora_mask(params))
     opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=weight_decay),

@@ -1,0 +1,146 @@
+"""LoRA / QLoRA adapters (ops/lora.py): identity at init, adapter-only
+training through the standard train step (base bit-frozen), merge == runtime
+adapter forward, and the QLoRA (int8 base) path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_flamingo_tpu.config import AF3Config
+from audio_flamingo_tpu.models import af3, qwen2
+from audio_flamingo_tpu.ops.lora import add_lora, lora_mask, merge_lora
+from audio_flamingo_tpu.runtime.processor import AF3Processor, AUDIO_TOKEN
+from audio_flamingo_tpu.runtime.tokenizer import BBPETokenizer, train_bpe
+from audio_flamingo_tpu.train.data import BatchBuilder, MixtureSampler, Source, batches
+from audio_flamingo_tpu.train.stages import AF3_STAGES
+from audio_flamingo_tpu.train.train_step import (init_state,
+                                                 make_jit_train_step,
+                                                 make_optimizer, TrainState)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+CFG = AF3Config.tiny()
+
+
+@pytest.fixture(scope="module")
+def lm_params():
+    return qwen2.init(jax.random.PRNGKey(0), CFG.lm)
+
+
+def test_lora_identity_at_init(lm_params):
+    """Zero-init lora_b makes the adapted tree compute EXACTLY the base fn."""
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, CFG.lm.vocab_size,
+                                                        (2, 7)), jnp.int32)
+    base = qwen2.logits_from_ids(lm_params, CFG.lm, ids)
+    adapted = add_lora(jax.random.PRNGKey(1), lm_params, rank=4)
+    got = qwen2.logits_from_ids(adapted, CFG.lm, ids)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
+def test_lora_mask_marks_only_adapters(lm_params):
+    adapted = add_lora(jax.random.PRNGKey(1), lm_params, rank=4)
+    mask = lora_mask(adapted)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    on = [p for p, v in flat if v]
+    off = [p for p, v in flat if not v]
+    assert on and off
+    assert all(p[-1].key in ("lora_a", "lora_b") for p in on)
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    vocab, merges = train_bpe(["a dog barks", "music plays"], 380)
+    tok = BBPETokenizer(vocab, merges)
+    cfg = dataclasses.replace(
+        CFG, lm=dataclasses.replace(CFG.lm, vocab_size=512),
+        audio_token_id=tok.special_tokens[AUDIO_TOKEN])
+    proc = AF3Processor(tokenizer=tok, cfg=cfg)
+    params = af3.init(jax.random.PRNGKey(0), cfg)
+
+    def example(rng):
+        wav = (rng.normal(size=16000) * 0.1).astype(np.float32)
+        return [wav], f"What is {AUDIO_TOKEN}?", "a dog barks"
+
+    sampler = MixtureSampler([Source("synthetic", 1.0, example)], seed=0)
+    builder = BatchBuilder(processor=proc, pad_id=0)
+    batch = next(batches(sampler, builder, batch_size=2))
+    return cfg, params, batch
+
+
+def test_lora_training_freezes_base_and_learns(train_setup):
+    """lora_only training: loss decreases, adapter leaves move, EVERY base
+    leaf (LM weights, embed, encoder, adaptor) stays bit-identical."""
+    cfg, params, batch = train_setup
+    adapted = add_lora(jax.random.PRNGKey(2), params, rank=4)
+    adapted = jax.tree.map(jnp.copy, adapted)
+    stage = AF3_STAGES["3.5_context_think"]   # LM trains, encoder frozen
+    opt = make_optimizer(stage, adapted, warmup_steps=1, total_steps=30,
+                         lora_only=True)
+    state = TrainState(adapted, opt.init(adapted), jnp.zeros((), jnp.int32))
+    step_fn = make_jit_train_step(cfg, opt, compute_dtype=jnp.float32)
+
+    mask = lora_mask(adapted)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    losses = []
+    for _ in range(8):
+        state, m = step_fn(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    moved = 0
+    for (path, b), a, is_lora in zip(
+            jax.tree_util.tree_flatten_with_path(before)[0],
+            jax.tree.leaves(state.params), jax.tree.leaves(mask)):
+        if is_lora:
+            moved += int(not np.array_equal(b, np.asarray(a)))
+        else:
+            np.testing.assert_array_equal(b, np.asarray(a), err_msg=str(path))
+    assert moved > 0
+
+
+def test_merge_lora_matches_runtime_adapters(train_setup):
+    """merge_lora folds trained adapters into dense weights: the merged tree's
+    logits == the adapter-carrying tree's logits."""
+    cfg, params, batch = train_setup
+    adapted = add_lora(jax.random.PRNGKey(3), params["lm"], rank=4)
+    # push lora_b off zero deterministically so the adapters matter
+    adapted = jax.tree_util.tree_map_with_path(
+        lambda p, x: (x + 0.01) if (hasattr(p[-1], "key")
+                                    and p[-1].key == "lora_b") else x, adapted)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 500, (2, 6)), jnp.int32)
+    with_adapters = qwen2.logits_from_ids(adapted, cfg.lm, ids)
+    merged = merge_lora(adapted)
+    assert not any("lora" in str(p)
+                   for p, _ in jax.tree_util.tree_flatten_with_path(merged)[0])
+    dense = qwen2.logits_from_ids(merged, cfg.lm, ids)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(with_adapters),
+                               rtol=2e-5, atol=2e-5)
+    # merged tree keeps the ORIGINAL layout (plain-array mlp entries restored)
+    assert not isinstance(merged["layers"]["mlp"]["gate"], dict)
+
+
+def test_qlora_int8_base(lm_params):
+    """QLoRA: adapters over a frozen int8 base — identity at init vs the int8
+    model, and the delta flows once lora_b moves."""
+    from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+    q = quantize_lm_params(lm_params)
+    adapted = add_lora(jax.random.PRNGKey(4), q, rank=4,
+                       targets=("q", "k", "v", "o"))
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, CFG.lm.vocab_size,
+                                                        (1, 6)), jnp.int32)
+    base = qwen2.logits_from_ids(q, CFG.lm, ids)
+    got = qwen2.logits_from_ids(adapted, CFG.lm, ids)
+    # the adapter term is exactly zero, but fusing the +0 add changes XLA's
+    # reassociation of q_matmul's rescale — identity holds to 1 ulp, not bit
+    np.testing.assert_allclose(np.asarray(base), np.asarray(got),
+                               rtol=0, atol=1e-6)
+    bumped = jax.tree_util.tree_map_with_path(
+        lambda p, x: (x + 0.05) if (hasattr(p[-1], "key")
+                                    and p[-1].key == "lora_b") else x, adapted)
+    moved = qwen2.logits_from_ids(bumped, CFG.lm, ids)
+    assert not np.array_equal(np.asarray(moved), np.asarray(base))
