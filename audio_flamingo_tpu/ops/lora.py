@@ -105,6 +105,66 @@ def lora_mask(params: dict):
     return jax.tree_util.tree_map_with_path(fn, params)
 
 
+def save_lora(path: str, params: dict) -> None:
+    """Write ONLY the adapter leaves (lora_a/lora_b/lora_s) to a safetensors
+    file — the standard ship-the-adapter workflow (a rank-8 7B adapter is
+    ~40 MB vs the 15 GB base)."""
+    import numpy as np
+
+    from audio_flamingo_tpu.io.safetensors import save_safetensors
+
+    flat: dict = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = [p.key for p in key_path if hasattr(p, "key")]
+        if names and names[-1].startswith("lora_"):
+            flat["/".join(names)] = np.asarray(leaf, np.float32)
+    assert flat, "no adapter leaves found — call add_lora first"
+    save_safetensors(path, flat, metadata={"format": "lora"})
+
+
+def load_lora(path: str, params: dict) -> dict:
+    """Insert saved adapters into a matching BASE tree (reverse of save_lora).
+
+    The base may be bf16/f32 or int8-quantized (QLoRA serving); plain-array
+    mlp entries are wrapped into {"w": ...} dicts exactly like add_lora so the
+    dispatch in models/qwen2 routes them through _linear."""
+    from audio_flamingo_tpu.io.safetensors import load_safetensors
+
+    flat = load_safetensors(path)
+
+    def insert(tree: dict, names: list, leaf) -> dict:
+        out = dict(tree)
+        head = names[0]
+        if len(names) == 1:
+            out[head] = jnp.asarray(leaf)
+            return out
+        child = out.get(head)
+        if not isinstance(child, dict):
+            child = {"w": child} if child is not None else {}
+        out[head] = insert(child, names[1:], leaf)
+        return out
+
+    out = params
+    touched_mlps = set()
+    for name, arr in sorted(flat.items()):
+        names = name.split("/")
+        out = insert(out, names, arr)
+        if "mlp" in names:
+            touched_mlps.add(tuple(names[: names.index("mlp") + 1]))
+    # mlp_forward routes ALL THREE entries through _linear once gate is a
+    # dict — wrap any untouched plain-array siblings (add_lora contract)
+    for mlp_path in touched_mlps:
+        node = out
+        for k in mlp_path[:-1]:
+            node = node[k]
+        mlp = dict(node[mlp_path[-1]])
+        for k, v in mlp.items():
+            if not isinstance(v, dict):
+                mlp[k] = {"w": v}
+        node[mlp_path[-1]] = mlp
+    return out
+
+
 def merge_lora(params: dict) -> dict:
     """Fold adapters into the dense base weights (w += a @ b * s) and strip the
     lora leaves — for export/serving (incl. re-quantization to int8/int4).

@@ -144,3 +144,25 @@ def test_qlora_int8_base(lm_params):
                                     and p[-1].key == "lora_b") else x, adapted)
     moved = qwen2.logits_from_ids(bumped, CFG.lm, ids)
     assert not np.array_equal(np.asarray(moved), np.asarray(base))
+
+
+def test_lora_save_load_roundtrip(tmp_path, lm_params):
+    """save_lora writes only adapter leaves; load_lora reinserts them into a
+    fresh base tree — logits match the original adapted tree exactly."""
+    from audio_flamingo_tpu.ops.lora import load_lora, save_lora
+
+    adapted = add_lora(jax.random.PRNGKey(5), lm_params, rank=4)
+    adapted = jax.tree_util.tree_map_with_path(
+        lambda p, x: (x + 0.02) if (hasattr(p[-1], "key")
+                                    and p[-1].key == "lora_b") else x, adapted)
+    f = str(tmp_path / "adapter.safetensors")
+    save_lora(f, adapted)
+    import os
+    assert os.path.getsize(f) < 2_000_000      # adapters only, tiny
+
+    restored = load_lora(f, lm_params)
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, CFG.lm.vocab_size, (1, 6)), jnp.int32)
+    want = qwen2.logits_from_ids(adapted, CFG.lm, ids)
+    got = qwen2.logits_from_ids(restored, CFG.lm, ids)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
