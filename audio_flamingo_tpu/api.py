@@ -98,22 +98,28 @@ class AudioFlamingo:
         if stream:
             return self._stream(ids, mels, max_new_tokens, sampling, seed)
 
-        # token-bucket the prompt: one compiled prefill per bucket, not per length
+        # speculative routing requires repetition_penalty off in BOTH modes: the verify
+        # step can't apply a history-dependent warp, and the non-draft greedy path DOES
+        # apply it — so routing with a penalty would silently change outputs.
+        speculate = (self.draft_params is not None and ids.shape[0] == 1
+                     and sampling.repetition_penalty == 1.0)
+
+        # token-bucket the prompt: one compiled prefill per bucket, not per length.
+        # The speculative loops take the EXACT-length prompt instead (they have no
+        # prompt_len plumbing; batch-1 interactive use trades one compile per
+        # length for actually using the attached draft — previously any prompt
+        # off a bucket boundary silently fell back to the plain path).
         from audio_flamingo_tpu.train.data import bucket_tokens
 
         t = ids.shape[1]
         bucket = bucket_tokens(t)
         prompt_len = None
-        if bucket != t:
+        if bucket != t and not speculate:
             pad = jnp.full((ids.shape[0], bucket - t), self.eos_token_id, jnp.int32)
             ids = jnp.concatenate([ids, pad], axis=1)
             prompt_len = jnp.asarray(t, jnp.int32)
 
-        # speculative routing requires repetition_penalty off in BOTH modes: the verify
-        # step can't apply a history-dependent warp, and the non-draft greedy path DOES
-        # apply it — so routing with a penalty would silently change outputs.
-        if (self.draft_params is not None and ids.shape[0] == 1
-                and prompt_len is None and sampling.repetition_penalty == 1.0):
+        if speculate:
             if sampling.greedy:
                 from audio_flamingo_tpu.runtime.speculative import generate_speculative
 
@@ -442,7 +448,10 @@ def load_draft(model_path: str, compute_dtype=jnp.bfloat16, *,
         num_heads=txt["num_attention_heads"],
         num_kv_heads=txt.get("num_key_value_heads", txt["num_attention_heads"]),
         rope_theta=txt.get("rope_theta", 1e6),
-        tie_word_embeddings=txt.get("tie_word_embeddings", True),
+        # HF Qwen2Config defaults tie_word_embeddings to False — an untied
+        # checkpoint omitting the key must NOT lose its lm_head (the Qwen2.5
+        # small models that tie set the key explicitly)
+        tie_word_embeddings=txt.get("tie_word_embeddings", False),
         sliding_window=(txt.get("sliding_window", None)
                         if txt.get("use_sliding_window", False) else None),
         max_window_layers=txt.get("max_window_layers", 0),

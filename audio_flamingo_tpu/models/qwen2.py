@@ -156,6 +156,10 @@ def _linear_shared_a8(xq_xs, x, p):
     from audio_flamingo_tpu.ops.quant import q_matmul_a8q
 
     y = q_matmul_a8q(*xq_xs, p, out_dtype=x.dtype)
+    if "lora_a" in p:  # adapters apply on the a8 fast path too (ops/lora.py)
+        from audio_flamingo_tpu.ops.lora import lora_delta
+
+        y = y + lora_delta(x, p).astype(y.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -270,13 +274,12 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
     mlp = lp["mlp"]
     if isinstance(mlp["gate"], dict):  # quantized MLP (int8 w_q or int4 w_p)
         if a8 and "w_q" in mlp["gate"]:
-            from audio_flamingo_tpu.ops.quant import (q_matmul_a8, q_matmul_a8q,
-                                                      quantize_act)
+            from audio_flamingo_tpu.ops.quant import quantize_act
 
             hq = quantize_act(h)   # one quant sweep shared by gate/up
-            act = (jax.nn.silu(q_matmul_a8q(*hq, mlp["gate"], out_dtype=h.dtype))
-                   * q_matmul_a8q(*hq, mlp["up"], out_dtype=h.dtype))
-            x = x + q_matmul_a8(act, mlp["down"])
+            act = (jax.nn.silu(_linear_shared_a8(hq, h, mlp["gate"]))
+                   * _linear_shared_a8(hq, h, mlp["up"]))
+            x = x + _linear(act, mlp["down"], a8=True)  # lora-aware a8 matmul
         else:
             # per-matrix dispatch: a w4 tree may carry int8 fallbacks for
             # group-unaligned shapes, so route each linear independently

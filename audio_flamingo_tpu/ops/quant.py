@@ -188,9 +188,15 @@ def quantize_lm_params(params: dict, quantize_embed: bool = True) -> dict:
     if "lm_head" in params:
         out["lm_head"] = quantize_linear(params["lm_head"])
     if quantize_embed:
-        emb = params["embed"].astype(jnp.float32)                        # [V, D]
-        amax = jnp.max(jnp.abs(emb), axis=1)
-        scale = jnp.maximum(amax, 1e-8) / 127.0
-        out["embed"] = {"w_q": jnp.clip(jnp.round(emb / scale[:, None]), -127, 127)
-                        .astype(jnp.int8), "scale": scale}
+        out["embed"] = quantize_embedding(params["embed"])
     return out
+
+
+def quantize_embedding(emb: jnp.ndarray) -> dict:
+    """[V, D] float -> int8 with per-ROW (vocab) scales so gathers dequantize
+    per token. Shared by the int8 and int4 LM quantizers."""
+    emb = emb.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(emb), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    return {"w_q": jnp.clip(jnp.round(emb / scale[:, None]), -127, 127)
+            .astype(jnp.int8), "scale": scale}

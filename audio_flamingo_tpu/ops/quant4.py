@@ -136,7 +136,7 @@ def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
     while halving the pallas_call count per layer (a ~27 us fixed cost per call on
     this backend dominates decode; scripts/profile_w4e.py).
     """
-    from audio_flamingo_tpu.ops.quant import quantize_linear
+    from audio_flamingo_tpu.ops.quant import quantize_embedding, quantize_linear
 
     out = dict(params)
     layers = params["layers"]
@@ -191,11 +191,7 @@ def quantize_lm_params_w4(params: dict, group_size: int = DEFAULT_GROUP,
         else:
             out["lm_head"] = quantize_linear(head)
     if quantize_embed:
-        emb = params["embed"].astype(jnp.float32)                        # [V, D]
-        amax = jnp.max(jnp.abs(emb), axis=1)
-        scale = jnp.maximum(amax, 1e-8) / 127.0
-        out["embed"] = {"w_q": jnp.clip(jnp.round(emb / scale[:, None]), -127, 127)
-                        .astype(jnp.int8), "scale": scale}
+        out["embed"] = quantize_embedding(params["embed"])
     return out
 
 

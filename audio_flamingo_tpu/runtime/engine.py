@@ -241,6 +241,113 @@ def spec_sampled_accept(rng, p_t, p_d, props, done, *, eos_token_id: int):
     return spec_emit(props, match, correction, done, eos_token_id=eos_token_id)
 
 
+def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
+                      rng, *, k: int, rounds: int, eos_token_id: int,
+                      compute_dtype, nv: int, verify, set_lengths,
+                      sampling=None, accept_sim: float | None = None):
+    """Run `rounds` draft/verify/accept speculative rounds — the ONE round body
+    shared by every spec chunk (slot/paged × AF3/xattn, greedy and sampled).
+
+    The DRAFT is a text-only Qwen2 LM on a dense SlotCache (d_k, d_v) sharing
+    the target cache's per-row `lengths`; `verify(cache, seq [B, k+1]) ->
+    (cache, logits [B, k+1, V])` is the family-specific target forward (slot
+    rows, paged pool, xattn-interleaved, ...); `set_lengths(cache, lengths)`
+    rebuilds the family's cache container with advanced lengths.
+
+    sampling=None runs the GREEDY rule (spec_accept_emit — emitted tokens ==
+    target-only greedy exactly; accept_sim optionally injects Bernoulli
+    acceptance for the measurement harness). A non-greedy STATIC
+    SamplingParams runs the Leviathan SAMPLED rule (spec_sampled_accept — one
+    warp for every row; the emitted stream's marginal law is exactly
+    warped-target ancestral sampling). Rollback in both: advance `lengths` by
+    the accepted count; rejected cache/page slots sit beyond every row's
+    length, are never attended, and are overwritten by later writes.
+
+    Returns (cache, d_k, d_v, tokens, done, rng, out [B, rounds*(k+1)], valid).
+    """
+    sampled = sampling is not None and not sampling.greedy
+    assert accept_sim is None or not sampled, \
+        "accept_sim is a greedy-rule measurement knob (sampled acceptance is exact)"
+    if sampled:
+        from audio_flamingo_tpu.runtime.speculative import _warped_probs
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    b = tokens.shape[0]
+    width = rounds * (k + 1)
+    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
+    valid0 = jnp.zeros((b, width), bool)
+    d_cache = SlotCache(d_k, d_v, cache.lengths)
+
+    def round_body(r, carry):
+        cache, d_cache, tok, done, out, valid, rng = carry
+        rng, k_draft, k_rule = jax.random.split(rng, 3)
+
+        # 1) draft proposes k tokens per row (positions lengths..lengths+k-1)
+        def draft_step(i, dc):
+            d_cache, tok_i, props, p_rows = dc
+            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
+            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
+                                       d_cache.lengths + i, d_cache)
+            logits = qwen2.unembed(draft_params, draft_cfg, h[:, 0])
+            if sampled:
+                p_d = _warped_probs(logits.astype(jnp.float32), sampling)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(k_draft, i),
+                    jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+                p_rows = p_rows.at[:, i].set(p_d)
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return d_cache, nxt, props.at[:, i].set(nxt), p_rows
+
+        props0 = jnp.zeros((b, k), jnp.int32)
+        pd0 = jnp.zeros((b, k, nv if sampled else 1), jnp.float32)
+        d_cache, _, props, p_d = jax.lax.fori_loop(
+            0, k, draft_step, (d_cache, tok, props0, pd0))
+
+        # 2) target verifies the k+1 block per row at its own offset
+        seq = jnp.concatenate([tok[:, None], props], axis=1)         # [B, k+1]
+        cache, logits = verify(cache, seq)                           # [B, k+1, V]
+
+        # 3) per-row acceptance + correction/bonus token + EOS cut
+        if sampled:
+            p_t = _warped_probs(logits.astype(jnp.float32), sampling)
+            emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
+                k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
+        else:
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emitted, ok, n_emitted, hit_eos = spec_accept_emit(
+                props, greedy, done, k_rule, r, accept_sim=accept_sim,
+                eos_token_id=eos_token_id)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
+        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+
+        new_lengths = cache.lengths + n_emitted
+        cache = set_lengths(cache, new_lengths)
+        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
+        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+        tok = jnp.where(done | (n_emitted == 0), tok, cur)
+        done = jnp.logical_or(done, hit_eos)
+        return cache, d_cache, tok, done, out, valid, rng
+
+    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
+        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
+    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
+
+
+def _slot_verify(params, cfg: AF3Config, compute_dtype):
+    """verify() for the slot engines: multi-token _rows_forward at per-row offsets."""
+
+    def verify(cache, seq):
+        x = qwen2.embed(params["lm"], seq, dtype=compute_dtype)
+        h, cache = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
+        return cache, qwen2.unembed(params["lm"], cfg.lm, h)
+
+    return verify
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
                                              "eos_token_id", "compute_dtype",
                                              "accept_sim"),
@@ -251,15 +358,9 @@ def decode_spec_chunk(params, draft_params, cfg: AF3Config, draft_cfg, cache: Sl
                       accept_sim: float | None = None):
     """Batched GREEDY speculative decoding: advance ALL slots `rounds` draft/verify
     rounds in ONE device dispatch (amortizes the ~40 ms host sync like decode_chunk).
-
-    Per round, the draft proposes k tokens per row autoregressively; the target
-    verifies each row's [cur, p0..p_{k-1}] block in one multi-token `_rows_forward`
-    at that row's own cache offset. Acceptance/rollback is PER ROW: row b keeps its
-    longest matching prefix m_b, emits m_b+1 tokens (proposals + the target's
-    correction), and rolls back simply by advancing `lengths[b]` by the emitted
-    count — rejected cache slots are overwritten before they are ever attended
-    (mask is kv_pos <= position). Emitted tokens equal target-only greedy decoding
-    exactly (tests/test_engine_speculative.py).
+    Emitted tokens equal target-only greedy decoding exactly
+    (tests/test_engine_speculative.py); the round mechanics live in
+    spec_chunk_rounds.
 
     Returns (cache, d_k, d_v, tokens, done, out [B, rounds*(k+1)], valid same shape):
     `out[b][valid[b]]` is the ordered token stream row b emitted this dispatch.
@@ -274,56 +375,14 @@ def decode_spec_chunk(params, draft_params, cfg: AF3Config, draft_cfg, cache: Sl
     rate at that acceptance without needing a trained draft (VERDICT r2 Next #1
     acceptance-sweep harness). Emitted TOKENS are then meaningless; timing only.
     """
-    b = tokens.shape[0]
-    width = rounds * (k + 1)
-    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
-    valid0 = jnp.zeros((b, width), bool)
-    d_cache = SlotCache(d_k, d_v, cache.lengths)
-
-    def round_body(r, carry):
-        cache, d_cache, tok, done, out, valid = carry
-
-        # 1) draft proposes k tokens per row (positions lengths..lengths+k-1)
-        def draft_step(i, dc):
-            d_cache, tok_i, props = dc
-            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
-            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
-                                       d_cache.lengths + i, d_cache)
-            nxt = jnp.argmax(qwen2.unembed(draft_params, draft_cfg, h[:, 0]),
-                             axis=-1).astype(jnp.int32)
-            return d_cache, nxt, props.at[:, i].set(nxt)
-
-        props0 = jnp.zeros((b, k), jnp.int32)
-        d_cache, _, props = jax.lax.fori_loop(0, k, draft_step, (d_cache, tok, props0))
-
-        # 2) target verifies the k+1 block per row at its own offset
-        seq = jnp.concatenate([tok[:, None], props], axis=1)           # [B, k+1]
-        x = qwen2.embed(params["lm"], seq, dtype=compute_dtype)
-        h, cache = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
-        greedy = jnp.argmax(qwen2.unembed(params["lm"], cfg.lm, h),
-                            axis=-1).astype(jnp.int32)                 # [B, k+1]
-
-        # 3) per-row longest accepted prefix + correction token
-        emitted, ok, n_emitted, hit_eos = spec_accept_emit(
-            props, greedy, done, rng, r, accept_sim=accept_sim,
-            eos_token_id=eos_token_id)
-
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
-        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
-
-        new_lengths = cache.lengths + n_emitted
-        cache = SlotCache(cache.k, cache.v, new_lengths)
-        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
-        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
-                                  axis=1)[:, 0]
-        tok = jnp.where(done | (n_emitted == 0), tok, cur)
-        done = jnp.logical_or(done, hit_eos)
-        return cache, d_cache, tok, done, out, valid
-
-    cache, d_cache, tokens, done, out, valid = jax.lax.fori_loop(
-        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0))
-    return cache, d_cache.k, d_cache.v, tokens, done, out, valid
+    cache, d_k, d_v, tokens, done, _rng, out, valid = spec_chunk_rounds(
+        draft_params, draft_cfg, cache, d_k, d_v, tokens, done, rng,
+        k=k, rounds=rounds, eos_token_id=eos_token_id,
+        compute_dtype=compute_dtype, nv=cfg.lm.vocab_size,
+        verify=_slot_verify(params, cfg, compute_dtype),
+        set_lengths=lambda c, nl: SlotCache(c.k, c.v, nl),
+        accept_sim=accept_sim)
+    return cache, d_k, d_v, tokens, done, out, valid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
@@ -336,11 +395,10 @@ def decode_spec_chunk_sampled(params, draft_params, cfg: AF3Config, draft_cfg,
                               sampling, compute_dtype=jnp.bfloat16):
     """Batched SAMPLED speculative decoding (Leviathan rejection sampling).
 
-    Like decode_spec_chunk but for non-greedy engines: each round the draft
-    SAMPLES k tokens per row from its warped distribution (recording the
-    distributions), the target verifies the block, and spec_sampled_accept
-    applies the per-row accept/residual-resample rule — the emitted stream's
-    marginal law is exactly warped-target ancestral sampling.
+    Like decode_spec_chunk but for non-greedy engines: the draft SAMPLES from
+    its warped distribution and spec_sampled_accept applies the per-row
+    accept/residual-resample rule — the emitted stream's marginal law is
+    exactly warped-target ancestral sampling (tests/test_spec_sampled_engine.py).
 
     `sampling` (STATIC SamplingParams) is the ONE warp applied to every row:
     the Leviathan rule needs target and draft warped identically, and the
@@ -349,62 +407,13 @@ def decode_spec_chunk_sampled(params, draft_params, cfg: AF3Config, draft_cfg,
     sampling). History-dependent processors (repetition penalty / n-gram) are
     excluded for the same reason as the greedy path.
     """
-    from audio_flamingo_tpu.runtime.speculative import _warped_probs
-
-    b = tokens.shape[0]
-    nv = cfg.lm.vocab_size
-    width = rounds * (k + 1)
-    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
-    valid0 = jnp.zeros((b, width), bool)
-    d_cache = SlotCache(d_k, d_v, cache.lengths)
-
-    def round_body(r, carry):
-        cache, d_cache, tok, done, out, valid, rng = carry
-        rng, k_draft, k_rule = jax.random.split(rng, 3)
-
-        def draft_step(i, dc):
-            d_cache, tok_i, props, p_rows = dc
-            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
-            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
-                                       d_cache.lengths + i, d_cache)
-            p_d = _warped_probs(
-                qwen2.unembed(draft_params, draft_cfg, h[:, 0])
-                .astype(jnp.float32), sampling)                      # [B, V]
-            nxt = jax.random.categorical(
-                jax.random.fold_in(k_draft, i),
-                jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
-            return d_cache, nxt, props.at[:, i].set(nxt), p_rows.at[:, i].set(p_d)
-
-        props0 = jnp.zeros((b, k), jnp.int32)
-        pd0 = jnp.zeros((b, k, nv), jnp.float32)
-        d_cache, _, props, p_d = jax.lax.fori_loop(
-            0, k, draft_step, (d_cache, tok, props0, pd0))
-
-        seq = jnp.concatenate([tok[:, None], props], axis=1)         # [B, k+1]
-        x = qwen2.embed(params["lm"], seq, dtype=compute_dtype)
-        h, cache = _rows_forward(params["lm"], cfg.lm, x, cache.lengths, cache)
-        p_t = _warped_probs(
-            qwen2.unembed(params["lm"], cfg.lm, h).astype(jnp.float32),
-            sampling)                                                # [B, k+1, V]
-
-        emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
-            k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
-        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
-
-        new_lengths = cache.lengths + n_emitted
-        cache = SlotCache(cache.k, cache.v, new_lengths)
-        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
-        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
-                                  axis=1)[:, 0]
-        tok = jnp.where(done | (n_emitted == 0), tok, cur)
-        done = jnp.logical_or(done, hit_eos)
-        return cache, d_cache, tok, done, out, valid, rng
-
-    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
-        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
-    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
+    return spec_chunk_rounds(
+        draft_params, draft_cfg, cache, d_k, d_v, tokens, done, rng,
+        k=k, rounds=rounds, eos_token_id=eos_token_id,
+        compute_dtype=compute_dtype, nv=cfg.lm.vocab_size,
+        verify=_slot_verify(params, cfg, compute_dtype),
+        set_lengths=lambda c, nl: SlotCache(c.k, c.v, nl),
+        sampling=sampling)
 
 
 @functools.partial(jax.jit, static_argnames=("draft_cfg", "slot_capacity",
@@ -642,14 +651,16 @@ class BatchEngine:
     def _speculating(self) -> bool:
         return (self.draft_params is not None and self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
-                and self.sampling.no_repeat_ngram_size == 0)
+                and self.sampling.no_repeat_ngram_size == 0
+                and self.sampling.min_new_tokens == 0)
 
     def _spec_sampled(self) -> bool:
         """Non-greedy engines with a draft run Leviathan sampled speculation —
         ONE warp for every row (decode_spec_chunk_sampled docstring)."""
         return (self.draft_params is not None and not self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
-                and self.sampling.no_repeat_ngram_size == 0)
+                and self.sampling.no_repeat_ngram_size == 0
+                and self.sampling.min_new_tokens == 0)
 
     def submit(self, req: Request) -> None:
         if req.sampling is not None:

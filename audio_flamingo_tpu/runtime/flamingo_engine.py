@@ -136,87 +136,26 @@ def decode_spec_chunk_xattn(params, draft_params, cfg: AF2Config, draft_cfg,
                             rng, *, k: int, rounds: int, eos_token_id: int,
                             sampling=None, compute_dtype=jnp.float32,
                             accept_sim: float | None = None):
-    """Speculative decoding for the AF1/AF2 (gated-xattn) slot engine.
+    """Speculative decoding for the AF1/AF2 (gated-xattn) slot engine: the
+    shared spec round (engine.spec_chunk_rounds) with a text-only Qwen2 draft
+    (ids are shared; audio lives only in the target's per-row media features)
+    and the multi-token `_rows_forward_xattn` as the target verify.
+    sampling=None runs the GREEDY rule (emitted == target-only greedy exactly);
+    a STATIC SamplingParams runs the Leviathan SAMPLED rule."""
+    from audio_flamingo_tpu.runtime.engine import spec_chunk_rounds
 
-    The DRAFT is a text-only Qwen2 LM on a dense SlotCache (ids are shared with
-    the target; audio lives only in the target's media features, which are
-    per-row constants during generation). The TARGET verifies each row's k+1
-    block through `_rows_forward_xattn` (multi-token, per-row offsets, xattn
-    before every Nth layer). `sampling=None` runs the GREEDY rule
-    (engine.spec_accept_emit — emitted tokens == target-only greedy exactly);
-    a STATIC SamplingParams runs the Leviathan SAMPLED rule
-    (engine.spec_sampled_accept — one warp for every row).
-    """
-    from audio_flamingo_tpu.runtime.engine import (_rows_forward,
-                                                   spec_accept_emit,
-                                                   spec_sampled_accept)
-
-    b = tokens.shape[0]
-    nv = cfg.lm.vocab_size
-    width = rounds * (k + 1)
-    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
-    valid0 = jnp.zeros((b, width), bool)
-    d_cache = SlotCache(d_k, d_v, cache.lengths)
-    sampled = sampling is not None and not sampling.greedy
-    if sampled:
-        from audio_flamingo_tpu.runtime.speculative import _warped_probs
-
-    def round_body(r, carry):
-        cache, d_cache, tok, done, out, valid, rng = carry
-        rng, k_draft, k_rule = jax.random.split(rng, 3)
-
-        def draft_step(i, dc):
-            d_cache, tok_i, props, p_rows = dc
-            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
-            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
-                                       d_cache.lengths + i, d_cache)
-            logits = qwen2.unembed(draft_params, draft_cfg, h[:, 0])
-            if sampled:
-                p_d = _warped_probs(logits.astype(jnp.float32), sampling)
-                nxt = jax.random.categorical(
-                    jax.random.fold_in(k_draft, i),
-                    jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
-                p_rows = p_rows.at[:, i].set(p_d)
-            else:
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return d_cache, nxt, props.at[:, i].set(nxt), p_rows
-
-        props0 = jnp.zeros((b, k), jnp.int32)
-        pd0 = jnp.zeros((b, k, nv if sampled else 1), jnp.float32)
-        d_cache, _, props, p_d = jax.lax.fori_loop(
-            0, k, draft_step, (d_cache, tok, props0, pd0))
-
-        # target verifies the k+1 block per row through the xattn stack
-        seq = jnp.concatenate([tok[:, None], props], axis=1)         # [B, k+1]
+    def verify(cache, seq):
         x = flamingo._embed(params, cfg, seq, dtype=compute_dtype)
         h, cache = _rows_forward_xattn(params, cfg, x, cache.lengths, cache,
                                        media)
-        logits = flamingo._unembed(params, cfg, h)                   # [B,k+1,V]
-        if sampled:
-            p_t = _warped_probs(logits.astype(jnp.float32), sampling)
-            emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
-                k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
-        else:
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            emitted, ok, n_emitted, hit_eos = spec_accept_emit(
-                props, greedy, done, k_rule, r, accept_sim=accept_sim,
-                eos_token_id=eos_token_id)
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
-        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
+        return cache, flamingo._unembed(params, cfg, h)
 
-        new_lengths = cache.lengths + n_emitted
-        cache = SlotCache(cache.k, cache.v, new_lengths)
-        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
-        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
-                                  axis=1)[:, 0]
-        tok = jnp.where(done | (n_emitted == 0), tok, cur)
-        done = jnp.logical_or(done, hit_eos)
-        return cache, d_cache, tok, done, out, valid, rng
-
-    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
-        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
-    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
+    return spec_chunk_rounds(
+        draft_params, draft_cfg, cache, d_k, d_v, tokens, done, rng,
+        k=k, rounds=rounds, eos_token_id=eos_token_id,
+        compute_dtype=compute_dtype, nv=cfg.lm.vocab_size, verify=verify,
+        set_lengths=lambda c, nl: SlotCache(c.k, c.v, nl),
+        sampling=sampling, accept_sim=accept_sim)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
@@ -353,12 +292,14 @@ class FlamingoEngine:
     def _speculating(self) -> bool:
         return (self.draft_params is not None and self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
-                and self.sampling.no_repeat_ngram_size == 0)
+                and self.sampling.no_repeat_ngram_size == 0
+                and self.sampling.min_new_tokens == 0)
 
     def _spec_sampled(self) -> bool:
         return (self.draft_params is not None and not self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
-                and self.sampling.no_repeat_ngram_size == 0)
+                and self.sampling.no_repeat_ngram_size == 0
+                and self.sampling.min_new_tokens == 0)
 
     def submit(self, req: FlamingoRequest) -> None:
         spec = self._speculating() or self._spec_sampled()
@@ -461,7 +402,8 @@ class FlamingoEngine:
                 eos_token_id=self.eos_token_id,
                 sampling=None if self._speculating() else self.sampling,
                 compute_dtype=self.compute_dtype,
-                accept_sim=self.spec_accept_sim)
+                accept_sim=(self.spec_accept_sim if self._speculating()
+                            else None))
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)

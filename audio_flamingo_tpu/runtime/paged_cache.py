@@ -356,66 +356,24 @@ def paged_decode_spec_chunk(params, draft_params, cfg: Qwen2Config, draft_cfg,
                             k: int, rounds: int, eos_token_id: int,
                             compute_dtype=jnp.bfloat16,
                             accept_sim: float | None = None):
-    """Batched GREEDY speculative decoding over the PAGED pool: `rounds`
-    draft/verify rounds for all rows in one dispatch.
+    """Batched GREEDY speculative decoding over the PAGED pool: the shared
+    spec round (engine.spec_chunk_rounds) with paged_verify_step as the target
+    forward — speculation composes with the int8 page pool's halved KV
+    traffic. Emitted tokens == target-only greedy exactly; rollback = advance
+    `lengths` by the accepted count (rejected page slots are overwritten
+    before attended). The DRAFT runs on a dense per-row SlotCache (d_k, d_v):
+    draft models are small, so worst-case reservation is cheap there."""
+    from audio_flamingo_tpu.runtime.engine import spec_chunk_rounds
 
-    Same contract as runtime/engine.decode_spec_chunk (shared accept/rollback
-    via spec_accept_emit; emitted tokens == target-only greedy exactly), but the
-    target verifies the k+1 block through its block-table pages
-    (paged_verify_step) — composing speculation with the int8 page pool's
-    halved KV traffic. The DRAFT runs on a dense per-row SlotCache (d_k, d_v):
-    draft models are small, so worst-case reservation is cheap there. Rollback
-    = advance `lengths` by the emitted count; rejected page slots are
-    overwritten before attended.
-    """
-    from audio_flamingo_tpu.runtime.engine import (SlotCache, _rows_forward,
-                                                   spec_accept_emit)
-
-    b = tokens.shape[0]
-    width = rounds * (k + 1)
-    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
-    valid0 = jnp.zeros((b, width), bool)
-    d_cache = SlotCache(d_k, d_v, cache.lengths)
-
-    def round_body(r, carry):
-        cache, d_cache, tok, done, out, valid = carry
-
-        def draft_step(i, dc):
-            d_cache, tok_i, props = dc
-            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
-            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
-                                       d_cache.lengths + i, d_cache)
-            nxt = jnp.argmax(qwen2.unembed(draft_params, draft_cfg, h[:, 0]),
-                             axis=-1).astype(jnp.int32)
-            return d_cache, nxt, props.at[:, i].set(nxt)
-
-        props0 = jnp.zeros((b, k), jnp.int32)
-        d_cache, _, props = jax.lax.fori_loop(0, k, draft_step,
-                                              (d_cache, tok, props0))
-
-        seq = jnp.concatenate([tok[:, None], props], axis=1)        # [B, k+1]
-        cache, logits = paged_verify_step(params, cfg, cache, seq, compute_dtype)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [B, k+1]
-
-        emitted, ok, n_emitted, hit_eos = spec_accept_emit(
-            props, greedy, done, rng, r, accept_sim=accept_sim,
-            eos_token_id=eos_token_id)
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
-        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
-
-        new_lengths = cache.lengths + n_emitted
-        cache = cache._replace(lengths=new_lengths)
-        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
-        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
-                                  axis=1)[:, 0]
-        tok = jnp.where(done | (n_emitted == 0), tok, cur)
-        done = jnp.logical_or(done, hit_eos)
-        return cache, d_cache, tok, done, out, valid
-
-    cache, d_cache, tokens, done, out, valid = jax.lax.fori_loop(
-        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0))
-    return cache, d_cache.k, d_cache.v, tokens, done, out, valid
+    cache, d_k, d_v, tokens, done, _rng, out, valid = spec_chunk_rounds(
+        draft_params, draft_cfg, cache, d_k, d_v, tokens, done, rng,
+        k=k, rounds=rounds, eos_token_id=eos_token_id,
+        compute_dtype=compute_dtype, nv=cfg.vocab_size,
+        verify=lambda c, seq: paged_verify_step(params, cfg, c, seq,
+                                                compute_dtype),
+        set_lengths=lambda c, nl: c._replace(lengths=nl),
+        accept_sim=accept_sim)
+    return cache, d_k, d_v, tokens, done, out, valid
 
 
 @partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
@@ -427,66 +385,19 @@ def paged_decode_spec_chunk_sampled(params, draft_params, cfg: Qwen2Config,
                                     eos_token_id: int, sampling,
                                     compute_dtype=jnp.bfloat16):
     """SAMPLED (Leviathan) speculative decoding over the paged pool — the
-    paged twin of runtime/engine.decode_spec_chunk_sampled: draft SAMPLES from
-    its warped distribution on a dense SlotCache, the target's warped
-    distributions come from paged_verify_step, and spec_sampled_accept applies
-    the batched accept/residual-resample rule. Emitted marginal law == warped-
-    target ancestral sampling; rollback semantics as paged_decode_spec_chunk."""
-    from audio_flamingo_tpu.runtime.engine import (SlotCache, _rows_forward,
-                                                   spec_sampled_accept)
-    from audio_flamingo_tpu.runtime.speculative import _warped_probs
+    shared spec round with paged_verify_step as the target forward; emitted
+    marginal law == warped-target ancestral sampling (one warp for every row,
+    engine.decode_spec_chunk_sampled docstring)."""
+    from audio_flamingo_tpu.runtime.engine import spec_chunk_rounds
 
-    b = tokens.shape[0]
-    nv = cfg.vocab_size
-    width = rounds * (k + 1)
-    out0 = jnp.full((b, width), eos_token_id, jnp.int32)
-    valid0 = jnp.zeros((b, width), bool)
-    d_cache = SlotCache(d_k, d_v, cache.lengths)
-
-    def round_body(r, carry):
-        cache, d_cache, tok, done, out, valid, rng = carry
-        rng, k_draft, k_rule = jax.random.split(rng, 3)
-
-        def draft_step(i, dc):
-            d_cache, tok_i, props, p_rows = dc
-            x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
-            h, d_cache = _rows_forward(draft_params, draft_cfg, x,
-                                       d_cache.lengths + i, d_cache)
-            p_d = _warped_probs(
-                qwen2.unembed(draft_params, draft_cfg, h[:, 0])
-                .astype(jnp.float32), sampling)
-            nxt = jax.random.categorical(
-                jax.random.fold_in(k_draft, i),
-                jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
-            return d_cache, nxt, props.at[:, i].set(nxt), p_rows.at[:, i].set(p_d)
-
-        props0 = jnp.zeros((b, k), jnp.int32)
-        pd0 = jnp.zeros((b, k, nv), jnp.float32)
-        d_cache, _, props, p_d = jax.lax.fori_loop(
-            0, k, draft_step, (d_cache, tok, props0, pd0))
-
-        seq = jnp.concatenate([tok[:, None], props], axis=1)
-        cache, logits = paged_verify_step(params, cfg, cache, seq, compute_dtype)
-        p_t = _warped_probs(logits.astype(jnp.float32), sampling)  # [B, k+1, V]
-
-        emitted, ok, n_emitted, hit_eos = spec_sampled_accept(
-            k_rule, p_t, p_d, props, done, eos_token_id=eos_token_id)
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, emitted, eos_token_id), (0, r * (k + 1)))
-        valid = jax.lax.dynamic_update_slice(valid, ok, (0, r * (k + 1)))
-
-        new_lengths = cache.lengths + n_emitted
-        cache = cache._replace(lengths=new_lengths)
-        d_cache = SlotCache(d_cache.k, d_cache.v, new_lengths)
-        cur = jnp.take_along_axis(emitted, jnp.maximum(n_emitted - 1, 0)[:, None],
-                                  axis=1)[:, 0]
-        tok = jnp.where(done | (n_emitted == 0), tok, cur)
-        done = jnp.logical_or(done, hit_eos)
-        return cache, d_cache, tok, done, out, valid, rng
-
-    cache, d_cache, tokens, done, out, valid, rng = jax.lax.fori_loop(
-        0, rounds, round_body, (cache, d_cache, tokens, done, out0, valid0, rng))
-    return cache, d_cache.k, d_cache.v, tokens, done, rng, out, valid
+    return spec_chunk_rounds(
+        draft_params, draft_cfg, cache, d_k, d_v, tokens, done, rng,
+        k=k, rounds=rounds, eos_token_id=eos_token_id,
+        compute_dtype=compute_dtype, nv=cfg.vocab_size,
+        verify=lambda c, seq: paged_verify_step(params, cfg, c, seq,
+                                                compute_dtype),
+        set_lengths=lambda c, nl: c._replace(lengths=nl),
+        sampling=sampling)
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",

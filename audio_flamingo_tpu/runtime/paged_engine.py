@@ -213,14 +213,16 @@ class PagedEngine:
     def _speculating(self) -> bool:
         return (self.draft_params is not None and self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
-                and self.sampling.no_repeat_ngram_size == 0)
+                and self.sampling.no_repeat_ngram_size == 0
+                and self.sampling.min_new_tokens == 0)
 
     def _spec_sampled(self) -> bool:
         """Non-greedy + draft: Leviathan sampled speculation, one warp for all
         rows (engine.decode_spec_chunk_sampled docstring)."""
         return (self.draft_params is not None and not self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
-                and self.sampling.no_repeat_ngram_size == 0)
+                and self.sampling.no_repeat_ngram_size == 0
+                and self.sampling.min_new_tokens == 0)
 
     def submit(self, req: Request) -> None:
         # prompts longer than row capacity would negative-pad in _admit after page

@@ -166,3 +166,28 @@ def test_lora_save_load_roundtrip(tmp_path, lm_params):
     want = qwen2.logits_from_ids(adapted, CFG.lm, ids)
     got = qwen2.logits_from_ids(restored, CFG.lm, ids)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_lora_applies_on_a8_prefill_path(lm_params):
+    """Adapters must flow on the w8a8 prefill fast paths too (they were
+    silently dropped): with a8_prefill, bumped adapters change multi-token
+    logits, and the a8 adapted output tracks the non-a8 adapted output to the
+    a8 accuracy band."""
+    from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+    a8_cfg = dataclasses.replace(CFG.lm, a8_prefill=True)
+    q = quantize_lm_params(lm_params)
+    adapted = jax.tree_util.tree_map_with_path(
+        lambda p, x: (x + 0.05) if (hasattr(p[-1], "key")
+                                    and p[-1].key == "lora_b") else x,
+        add_lora(jax.random.PRNGKey(6), q, rank=4))
+    ids = jnp.asarray(np.random.default_rng(4).integers(
+        0, CFG.lm.vocab_size, (1, 8)), jnp.int32)
+    base_a8 = qwen2.logits_from_ids(q, a8_cfg, ids)
+    got_a8 = qwen2.logits_from_ids(adapted, a8_cfg, ids)
+    assert not np.allclose(np.asarray(base_a8), np.asarray(got_a8), atol=1e-3)
+    ref = qwen2.logits_from_ids(adapted, CFG.lm, ids)       # non-a8 adapted
+    # a8 dynamic activation quantization carries a small band (test_quant.py)
+    diff = np.abs(np.asarray(got_a8) - np.asarray(ref)).max()
+    band = np.abs(np.asarray(ref)).max() * 0.05 + 0.05
+    assert diff < band, (diff, band)
