@@ -255,3 +255,23 @@ def test_paged_spec_composes_with_chunked_prefill(params, draft_params):
         engine.submit(Request(request_id=f"r{i}", ids=p, max_new_tokens=8))
     results = engine.run_until_done()
     _check_vs_reference(params, prompts, results, 8)
+
+
+def test_paged_spec_fused_w4_target(params, draft_params):
+    """Speculation over a fused-w4 (int4) target — the production decode combo.
+    The multi-token verify takes the generic stacked path (the 2-call suffix
+    kernels are s==1-only); exact vs the plain paged engine on the SAME w4 tree."""
+    from audio_flamingo_tpu.ops.quant4 import quantize_lm_params_w4
+
+    w4 = dict(params)
+    w4["lm"] = quantize_lm_params_w4(params["lm"], group_size=8)
+    assert "qkv" in w4["lm"]["layers"]
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 120, size=(1, 6)) for _ in range(2)]
+    spec = _run_paged(w4, prompts, 10, draft_params=draft_params,
+                      draft_cfg=DRAFT_CFG, spec_k=2, spec_rounds=2)
+    plain = _run_paged(w4, prompts, 10)
+    for rid, toks in plain.items():
+        got = spec[rid]
+        n = min(len(got), len(toks))
+        assert got[:n] == toks[:n], (rid, got, toks)
