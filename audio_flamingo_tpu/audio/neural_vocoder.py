@@ -396,22 +396,34 @@ _DEFAULT_VOCODER: "NeuralVocoder | None" = None
 
 
 def default_vocoder(steps: int = 200) -> "NeuralVocoder":
-    """Process-cached NeuralVocoder trained on the multi-speaker corpus — the
-    default voice-out path (runtime/voice.py); Griffin-Lim remains the zero-setup
-    fallback.
+    """Process-cached NeuralVocoder — the default voice-out path
+    (runtime/voice.py); Griffin-Lim remains the zero-setup fallback.
 
-    NOTE: the FIRST call in a process runs a `steps`-step training loop (the
-    procedural corpus stands in for real weights in this environment) — tens of
-    seconds of synchronous compile+train. Pass an explicit vocoder (GriffinLim or
-    a pre-trained NeuralVocoder) to StreamingTTSSession to avoid it."""
+    Loads the shipped pre-trained asset (assets/vocoder.safetensors, produced
+    by scripts/train_vocoder_artifact.py with a 5-10x larger training budget)
+    when present; otherwise the FIRST call in a process runs a `steps`-step
+    training loop (the procedural corpus stands in for real weights in this
+    environment) — tens of seconds of synchronous compile+train. Pass an
+    explicit vocoder (GriffinLim or a pre-trained NeuralVocoder) to
+    StreamingTTSSession to avoid it."""
     global _DEFAULT_VOCODER
     if _DEFAULT_VOCODER is None:
+        import os
         import sys
 
-        print(f"[audio_flamingo_tpu] training the default neural vocoder "
-              f"({steps} steps, first call only)...", file=sys.stderr, flush=True)
         cfg = VocoderConfig()
-        params, _ = train(jax.random.PRNGKey(0), cfg, steps=steps)
+        asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                             "vocoder.safetensors")
+        if os.path.exists(asset):
+            from audio_flamingo_tpu.train.checkpoints import import_safetensors
+
+            template = init(jax.random.PRNGKey(0), cfg)
+            params = import_safetensors(asset, template)
+        else:
+            print(f"[audio_flamingo_tpu] training the default neural vocoder "
+                  f"({steps} steps, first call only)...", file=sys.stderr,
+                  flush=True)
+            params, _ = train(jax.random.PRNGKey(0), cfg, steps=steps)
         _DEFAULT_VOCODER = NeuralVocoder(params, cfg)
     return _DEFAULT_VOCODER
 
