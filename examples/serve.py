@@ -58,3 +58,31 @@ for rid, tokens in sorted(results.items()):
 if engine.store is not None:
     print(f"prefix cache: {engine.store.hits} page hits, "
           f"{engine.store.misses} misses; preemptions: {engine.preemptions}")
+
+# ------------------------------------------------------------------ speculative
+# Attach a small draft LM (api.load_draft for real checkpoints) and the paged
+# engine runs draft/verify speculation — greedy engines use the exact-argmax
+# rule, sampled engines the Leviathan rule; both emit exactly what the target
+# alone would (docs/SERVING.md "Speculative decoding on the paged pool").
+from audio_flamingo_tpu.config import Qwen2Config
+from audio_flamingo_tpu.models import qwen2 as qwen2_model
+
+import jax
+
+draft_cfg = Qwen2Config(vocab_size=model.cfg.lm.vocab_size, hidden_size=32,
+                        intermediate_size=64, num_layers=1, num_heads=4,
+                        num_kv_heads=2, tie_word_embeddings=True)
+draft_params = qwen2_model.init(jax.random.PRNGKey(7), draft_cfg)
+spec_engine = PagedEngine(
+    params=model.params, cfg=model.cfg, num_rows=4, num_blocks=128,
+    block_size=64, max_blocks_per_seq=32, chunk=16,
+    eos_token_id=model.eos_token_id, sampling=SamplingParams(greedy=True),
+    compute_dtype=jnp.float32, preempt=False,
+    draft_params=draft_params, draft_cfg=draft_cfg, spec_k=4, spec_rounds=4)
+for i in range(4):
+    batch = model.processor(messages=[{"role": "user", "content": f"spec {i}?"}])
+    spec_engine.submit(Request(request_id=f"spec-{i}", ids=batch["ids"],
+                               max_new_tokens=24))
+spec_results = spec_engine.run_until_done()
+print(f"speculative engine served {len(spec_results)} requests "
+      f"(greedy rule; output == target-only greedy)")
