@@ -512,6 +512,26 @@ class Request:
     timer: object = None       # RequestTimer, attached at submit
 
 
+def record_spec_stats(engine, valid: np.ndarray, active_rows, rounds: int,
+                      k: int) -> None:
+    """Accumulate speculative-acceptance observability on an engine.
+
+    valid [B, rounds*(k+1)] is the spec chunk's emit mask. Each (active row,
+    round) emits m+1 tokens for m accepted proposals, so the mean acceptance
+    estimate is (emitted/round_slots - 1) / k — the live counterpart of the
+    bench acceptance sweep (engine.spec_stats["acceptance_est"]; EOS'd rounds
+    bias it low, exactly like production acceptance counters)."""
+    st = getattr(engine, "spec_stats", None)
+    if st is None:
+        st = engine.spec_stats = {"emitted": 0, "round_slots": 0, "k": k}
+    rows = [r for r in active_rows]
+    st["emitted"] += int(valid[rows].sum()) if rows else 0
+    st["round_slots"] += rounds * len(rows)
+    if st["round_slots"]:
+        per_round = st["emitted"] / st["round_slots"]
+        st["acceptance_est"] = round(max(per_round - 1.0, 0.0) / k, 4)
+
+
 def _start_request_metrics(req: Request) -> None:
     from audio_flamingo_tpu.utils.metrics import RequestTimer
 
@@ -754,6 +774,8 @@ class BatchEngine:
             self.d_cache = SlotCache(d_k, d_v, self.d_cache.lengths)
             out = np.asarray(out)
             valid = np.asarray(valid)
+            record_spec_stats(self, valid, list(self.active),
+                              self.spec_rounds, self.spec_k)
             row_tokens = [out[s][valid[s]].tolist() for s in range(self.num_slots)]
             step_budget = self.spec_rounds * (self.spec_k + 1)
         elif self._spec_sampled():
@@ -768,6 +790,8 @@ class BatchEngine:
             self.d_cache = SlotCache(d_k, d_v, self.d_cache.lengths)
             out = np.asarray(out)
             valid = np.asarray(valid)
+            record_spec_stats(self, valid, list(self.active),
+                              self.spec_rounds, self.spec_k)
             row_tokens = [out[s][valid[s]].tolist() for s in range(self.num_slots)]
             step_budget = self.spec_rounds * (self.spec_k + 1)
         else:

@@ -407,6 +407,10 @@ class FlamingoEngine:
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)
+            from audio_flamingo_tpu.runtime.engine import record_spec_stats
+
+            record_spec_stats(self, valid, list(self.active),
+                              self.spec_rounds, self.spec_k)
             row_tokens = [out[s][valid[s]].tolist()
                           for s in range(self.num_slots)]
             step_budget = self.spec_rounds * (self.spec_k + 1)

@@ -35,7 +35,8 @@ from audio_flamingo_tpu.ops.sampling import (SamplingParams, processor_flags,
 from audio_flamingo_tpu.runtime.engine import (Request, _emit_first_token,
                                                _finish_request_metrics,
                                                _postprocess_chunk_row,
-                                               _start_request_metrics)
+                                               _start_request_metrics,
+                                               record_spec_stats)
 from audio_flamingo_tpu.runtime.paged_cache import (
     BlockAllocator,
     init_paged,
@@ -656,6 +657,8 @@ class PagedEngine:
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)
+            record_spec_stats(self, valid, list(self.active),
+                              self.spec_rounds, self.spec_k)
             row_tokens = [out[r][valid[r]].tolist()
                           for r in range(self.num_rows)]
             lp = None
@@ -671,6 +674,8 @@ class PagedEngine:
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)
+            record_spec_stats(self, valid, list(self.active),
+                              self.spec_rounds, self.spec_k)
             row_tokens = [out[r][valid[r]].tolist()
                           for r in range(self.num_rows)]
             lp = None

@@ -935,6 +935,10 @@ class PagedFlamingoEngine:
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)
+            from audio_flamingo_tpu.runtime.engine import record_spec_stats
+
+            record_spec_stats(self, valid, list(self.active),
+                              self.spec_rounds, self.spec_k)
             done = np.asarray(self.done).copy()
             self.lengths_np = np.asarray(self.cache.lengths).copy()
             budget = self._step_budget()

@@ -134,3 +134,24 @@ def test_spec_engine_accept_sim_harness(params, draft_params):
                               max_new_tokens=9))
         results = engine.run_until_done(max_rounds=50)
         assert 1 <= len(results["x"]) <= 9
+
+
+def test_spec_stats_acceptance_estimate(params):
+    """record_spec_stats: with the target as its own draft (all proposals
+    accepted) the live acceptance estimate approaches 1; observability parity
+    with production spec counters."""
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, 120, size=(1, 6)) for _ in range(2)]
+    engine = BatchEngine(params=params, cfg=CFG, num_slots=2, capacity=256,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32,
+                         draft_params=params["lm"], draft_cfg=CFG.lm,
+                         spec_k=3, spec_rounds=2)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p.astype(np.int32),
+                              max_new_tokens=12))
+    engine.run_until_done()
+    st = engine.spec_stats
+    assert st["emitted"] > 0 and st["round_slots"] > 0
+    # perfect draft: most rounds emit k+1 (EOS/tail rounds bias low)
+    assert st["acceptance_est"] > 0.5, st
