@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# the axon sitecustomize overrides JAX_PLATFORMS programmatically — force CPU
+# here or this offline trainer blocks on the (possibly absent) TPU relay
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     ap = argparse.ArgumentParser()
