@@ -788,17 +788,21 @@ def bench_spec_paged() -> dict:
         t0 = time.perf_counter()
         results = eng.run_until_done()
         dt = time.perf_counter() - t0
-        return sum(len(v) for v in results.values()) / dt
+        acc = getattr(eng, "spec_stats", {}).get("acceptance_est")
+        return sum(len(v) for v in results.values()) / dt, acc
 
-    plain = run({})
+    plain, _ = run({})
     log(f"bench_spec_paged: plain paged int8 {plain:.1f} tok/s")
     out = {"paged_spec_plain_b8_tps": round(plain, 1)}
     sweep = {}
     for a in (0.6, 1.0):
-        tps = run(dict(draft_params=shallow_p, draft_cfg=shallow_cfg,
-                       spec_k=k, spec_rounds=rounds, spec_accept_sim=a))
+        tps, acc = run(dict(draft_params=shallow_p, draft_cfg=shallow_cfg,
+                            spec_k=k, spec_rounds=rounds, spec_accept_sim=a))
         sweep[f"a{a}"] = round(tps, 1)
-        log(f"bench_spec_paged: spec@a={a} {tps:.1f} tok/s ({tps/plain:.2f}x)")
+        # the engine's live counter should read back ~the injected acceptance
+        # (EOS/tail rounds bias it low) — a built-in injection self-check
+        log(f"bench_spec_paged: spec@a={a} {tps:.1f} tok/s ({tps/plain:.2f}x), "
+            f"live acceptance_est={acc}")
     out["paged_spec_b8_tps_sweep"] = sweep
     out["paged_spec_vs_plain_a1.0"] = round(sweep["a1.0"] / plain, 2)
     return out
