@@ -96,3 +96,25 @@ def test_training_improves_envelope_correlation():
     c1 = nv.envelope_correlation(params, TINY, n=3, seconds=0.4)
     assert c1 > c0 + 0.1, (c0, c1)
     assert c1 > 0.5, c1
+
+
+def test_shipped_vocoder_asset_if_present():
+    """When the pre-trained asset (scripts/train_vocoder_artifact.py) ships,
+    default_vocoder must load it instead of training, and it must beat the
+    in-process 200-step default's objective gates."""
+    import os
+
+    from audio_flamingo_tpu.audio import neural_vocoder as nv
+
+    asset = os.path.join(os.path.dirname(nv.__file__), "..", "assets",
+                         "vocoder.safetensors")
+    if not os.path.exists(asset):
+        pytest.skip("no shipped vocoder asset in this tree")
+    nv._DEFAULT_VOCODER = None          # force a fresh load
+    voc = nv.default_vocoder()
+    ev = nv.evaluate(voc.params, voc.cfg)
+    corr = nv.envelope_correlation(voc.params, voc.cfg, num_speakers=16)
+    # tighter than the 300-step training gates in this file: the artifact had
+    # a 5-10x budget (thresholds from the recorded assets/vocoder_eval.json)
+    assert ev["mel_mse"] < 1.0, ev
+    assert corr > 0.5, corr
