@@ -291,11 +291,14 @@ def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
                                        d_cache.lengths + i, d_cache)
             logits = qwen2.unembed(draft_params, draft_cfg, h[:, 0])
             if sampled:
+                from audio_flamingo_tpu.runtime.speculative import pad_draft_probs
                 p_d = _warped_probs(logits.astype(jnp.float32), sampling)
                 nxt = jax.random.categorical(
                     jax.random.fold_in(k_draft, i),
                     jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
-                p_rows = p_rows.at[:, i].set(p_d)
+                # real pairs differ (0.5B 151936 vs 7B 152064): q=0 beyond the
+                # draft vocab keeps the Leviathan rule exact
+                p_rows = p_rows.at[:, i].set(pad_draft_probs(p_d, nv))
             else:
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return d_cache, nxt, props.at[:, i].set(nxt), p_rows

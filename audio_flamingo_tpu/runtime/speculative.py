@@ -54,6 +54,23 @@ def _warped_probs(logits: jnp.ndarray, sampling) -> jnp.ndarray:
     return jax.nn.softmax(lg, axis=-1)
 
 
+def pad_draft_probs(p_d: jnp.ndarray, nv: int) -> jnp.ndarray:
+    """Zero-pad draft probabilities [..., dv] up to the TARGET vocab nv.
+
+    Real draft/target pairs genuinely differ (Qwen2.5-0.5B ships 151936 rows,
+    7B ships 152064); q(x) = 0 beyond the draft vocab keeps the Leviathan rule
+    exact — the draft can never propose such a token, and on rejection the
+    residual max(p_t - q, 0) == p_t there, so target-only tokens arrive through
+    the resample with the right law.
+    """
+    dv = p_d.shape[-1]
+    if dv == nv:
+        return p_d
+    if dv > nv:
+        raise ValueError(f"draft vocab {dv} exceeds target vocab {nv}")
+    return jnp.pad(p_d, [(0, 0)] * (p_d.ndim - 1) + [(0, nv - dv)])
+
+
 class SpecSampleState(NamedTuple):
     t_cache: qwen2.KVCache
     d_cache: qwen2.KVCache
@@ -125,10 +142,11 @@ def generate_speculative_sampled(params, draft_params, cfg: AF3Config,
             d_cache2, logits = _forward_tokens(draft_params, draft_cfg, d_cache,
                                                tok[:, None], s.position + i,
                                                compute_dtype)
-            p_d = _warped_probs(logits[:, 0].astype(jnp.float32), sampling)  # [1, V]
+            p_d = _warped_probs(logits[:, 0].astype(jnp.float32), sampling)  # [1, Vd]
             nxt = jax.random.categorical(
                 jax.random.fold_in(k_draft, i),
                 jnp.log(jnp.maximum(p_d, 1e-30)), axis=-1).astype(jnp.int32)
+            p_d = pad_draft_probs(p_d, nv)                                   # [1, V]
             return (d_cache2, nxt, props.at[i].set(nxt[0]), p_rows.at[i].set(p_d[0]))
 
         props0 = jnp.zeros((k,), jnp.int32)

@@ -1234,5 +1234,24 @@ def main():
     print(json.dumps(line))
 
 
+def _main_only(names: list[str]) -> None:
+    """Run just the named section(s) (e.g. `python bench.py --only spec_paged
+    train`) and print their merged dict as the JSON line. For targeted
+    re-measures that should not pay the full ~15-min suite."""
+    _start_watchdog()
+    out: dict = {}
+    for name in names:
+        fn = globals().get(f"bench_{name}")
+        if fn is None:
+            log(f"no such section: bench_{name}")
+            continue
+        out.update(_safe(fn, {}))
+    print(json.dumps({"metric": f"only:{','.join(names)}", "value": 0,
+                      "unit": "section", "vs_baseline": 0, "secondary": out}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        _main_only(sys.argv[2:])
+    else:
+        main()

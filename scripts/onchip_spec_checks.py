@@ -12,7 +12,11 @@ ONE TPU process at a time; obeys the no-timeout-kill rule (run in background
 and wait). Prints one line per check.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

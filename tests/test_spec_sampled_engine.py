@@ -166,3 +166,94 @@ def test_sampled_spec_chunk_marginal_law(params, draft_params):
     emp = np.bincount(firsts, minlength=128) / n
     tv = 0.5 * np.abs(emp - expected).sum()
     assert tv < 0.15, tv
+
+
+# ---- smaller draft vocab (the real released pair: 0.5B 151936 vs 7B 152064) ----
+
+SMALL_DRAFT_CFG = Qwen2Config(vocab_size=96, hidden_size=32, intermediate_size=64,
+                              num_layers=1, num_heads=4, num_kv_heads=2,
+                              tie_word_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def small_draft_params():
+    return qwen2.init(jax.random.PRNGKey(9), SMALL_DRAFT_CFG)
+
+
+def test_pad_draft_probs_shapes():
+    from audio_flamingo_tpu.runtime.speculative import pad_draft_probs
+
+    p = jnp.ones((2, 96)) / 96.0
+    out = pad_draft_probs(p, 128)
+    assert out.shape == (2, 128)
+    assert float(out[:, 96:].sum()) == 0.0
+    assert pad_draft_probs(p, 96) is p
+    with pytest.raises(ValueError):
+        pad_draft_probs(jnp.ones((2, 130)), 128)
+
+
+def test_sampled_spec_smaller_draft_vocab_greedy_limit(params, small_draft_params):
+    """A draft with FEWER vocab rows than the target (the released Qwen2.5
+    pair genuinely differs) must still emit exactly the target's tokens in the
+    deterministic greedy limit — q = 0 beyond the draft vocab routes
+    target-only tokens through the residual resample."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 120, size=(1, 5 + i)).astype(np.int32)
+               for i in range(3)]
+    engine = BatchEngine(params=params, cfg=CFG, num_slots=2, capacity=256,
+                         eos_token_id=EOS, sampling=GREEDY_LIMIT,
+                         compute_dtype=jnp.float32,
+                         draft_params=small_draft_params,
+                         draft_cfg=SMALL_DRAFT_CFG, spec_k=3, spec_rounds=2)
+    assert engine._spec_sampled()
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p, max_new_tokens=10))
+    results = engine.run_until_done()
+    for i, p in enumerate(prompts):
+        ref = _greedy_reference(params, p, 10)
+        got = results[f"r{i}"]
+        n = min(len(ref), len(got))
+        assert got[:n] == ref[:n], (i, got, ref)
+
+
+def test_sampled_spec_smaller_draft_vocab_marginal_law(params, small_draft_params):
+    """The chunk's first emitted token must follow the warped TARGET law even
+    when the draft cannot express tokens >= its vocab (zero-padded q)."""
+    from audio_flamingo_tpu.runtime.engine import (decode_spec_chunk_sampled,
+                                                   init_slot_cache,
+                                                   draft_prefill_into_slot)
+    from audio_flamingo_tpu.runtime.generate import prefill
+    from audio_flamingo_tpu.runtime.speculative import _warped_probs
+
+    sampling = SamplingParams(greedy=False, temperature=1.3, top_k=20)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 90, size=(1, 5)))
+    sub, _ = prefill(params, CFG, ids, None, 64, jnp.float32)
+
+    tok0 = 7
+    full = jnp.concatenate([ids, jnp.asarray([[tok0]], jnp.int32)], axis=1)
+    t_logits = qwen2.logits_from_ids(params["lm"], CFG.lm, full)[:, -1]
+    expected = np.asarray(_warped_probs(t_logits.astype(jnp.float32), sampling))[0]
+
+    d0 = init_slot_cache(SMALL_DRAFT_CFG, 1, 64, jnp.float32)
+    d0 = draft_prefill_into_slot(small_draft_params, SMALL_DRAFT_CFG, d0, 0, ids,
+                                 slot_capacity=64, compute_dtype=jnp.float32)
+
+    n = 400
+    firsts = np.empty((n,), np.int64)
+    for i in range(n):
+        cache = init_slot_cache(CFG.lm, 1, 64, jnp.float32)
+        cache = cache._replace(
+            k=cache.k.at[:, 0:1].set(sub.k), v=cache.v.at[:, 0:1].set(sub.v),
+            lengths=jnp.asarray([5], jnp.int32))
+        _, _, _, _, _, _, out, valid = decode_spec_chunk_sampled(
+            params, small_draft_params, CFG, SMALL_DRAFT_CFG, cache,
+            d0.k.copy(), d0.v.copy(),
+            jnp.asarray([tok0], jnp.int32), jnp.zeros((1,), bool),
+            jax.random.PRNGKey(2000 + i), k=2, rounds=1, eos_token_id=EOS,
+            sampling=sampling, compute_dtype=jnp.float32)
+        row = np.asarray(out)[0][np.asarray(valid)[0]]
+        assert len(row) >= 1
+        firsts[i] = row[0]
+    emp = np.bincount(firsts, minlength=128) / n
+    tv = 0.5 * np.abs(emp - expected).sum()
+    assert tv < 0.15, tv
