@@ -87,7 +87,14 @@ def main():
     print(f"2) sampled spec slot engine: deterministic, "
           f"{sum(len(v) for v in a.values())} tokens")
 
-    # 3) fused-w4 target under speculation: one small engine run executes
+    # 3) fused-w4 target under speculation: one small engine run executes.
+    # Free the int8 target + check-1 pool first — int8 7B (~8 GB) + w4 7B
+    # (~4 GB) + two engine pools exceed the chip's 16 GB HBM together.
+    import gc
+
+    del eng, lm_p, params, a, b
+    gc.collect()
+
     from audio_flamingo_tpu.ops.quant4 import random_quantized_lm_w4
 
     w4_p = {"lm": jax.jit(lambda: random_quantized_lm_w4(
