@@ -799,10 +799,12 @@ def bench_spec_paged() -> dict:
         tps, acc = run(dict(draft_params=shallow_p, draft_cfg=shallow_cfg,
                             spec_k=k, spec_rounds=rounds, spec_accept_sim=a))
         sweep[f"a{a}"] = round(tps, 1)
-        # the engine's live counter should read back ~the injected acceptance
-        # (EOS/tail rounds bias it low) — a built-in injection self-check
+        # injection self-check: acceptance_est is the PREFIX fraction E[m]/k;
+        # per-token Bernoulli(a) gives E[m] = sum_{i=1..k} a^i (0.326 at
+        # a=0.6, 1.0 at a=1), with EOS/tail rounds biasing slightly low
+        expect = sum(a ** i for i in range(1, k + 1)) / k
         log(f"bench_spec_paged: spec@a={a} {tps:.1f} tok/s ({tps/plain:.2f}x), "
-            f"live acceptance_est={acc}")
+            f"live acceptance_est={acc} (injected expectation {expect:.3f})")
     out["paged_spec_b8_tps_sweep"] = sweep
     out["paged_spec_vs_plain_a1.0"] = round(sweep["a1.0"] / plain, 2)
     return out
