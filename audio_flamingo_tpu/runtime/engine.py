@@ -286,6 +286,10 @@ def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
         # 1) draft proposes k tokens per row (positions lengths..lengths+k-1)
         def draft_step(i, dc):
             d_cache, tok_i, props, p_rows = dc
+            # target may emit ids >= draft vocab (151936 vs 152064 real pair):
+            # clamp explicitly instead of relying on JAX's clamped OOB gather
+            from audio_flamingo_tpu.runtime.speculative import clamp_draft_tokens
+            tok_i = clamp_draft_tokens(tok_i, draft_cfg)
             x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
             h, d_cache = _rows_forward(draft_params, draft_cfg, x,
                                        d_cache.lengths + i, d_cache)

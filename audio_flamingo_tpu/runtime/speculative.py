@@ -54,6 +54,18 @@ def _warped_probs(logits: jnp.ndarray, sampling) -> jnp.ndarray:
     return jax.nn.softmax(lg, axis=-1)
 
 
+def clamp_draft_tokens(tok: jnp.ndarray, draft_cfg) -> jnp.ndarray:
+    """Clamp token ids to the DRAFT vocab before feeding them to the draft LM.
+
+    With a smaller-vocab draft (Qwen2.5-0.5B 151936 vs 7B 152064), the target can
+    emit ids the draft's embedding table doesn't have. The emitted law stays exact
+    either way (the recorded q always matches the actual proposal distribution);
+    this makes the previously-implicit reliance on JAX's clamped out-of-bounds
+    gather explicit. No-op for same-vocab pairs.
+    """
+    return jnp.minimum(tok, draft_cfg.vocab_size - 1)
+
+
 def pad_draft_probs(p_d: jnp.ndarray, nv: int) -> jnp.ndarray:
     """Zero-pad draft probabilities [..., dv] up to the TARGET vocab nv.
 
@@ -139,6 +151,7 @@ def generate_speculative_sampled(params, draft_params, cfg: AF3Config,
         # 1) draft SAMPLES k tokens, recording its warped distribution at each step
         def draft_step(i, carry):
             d_cache, tok, props, p_rows = carry
+            tok = clamp_draft_tokens(tok, draft_cfg)   # target may emit ids >= draft vocab
             d_cache2, logits = _forward_tokens(draft_params, draft_cfg, d_cache,
                                                tok[:, None], s.position + i,
                                                compute_dtype)
@@ -276,6 +289,7 @@ def generate_speculative(params, draft_params, cfg: AF3Config, draft_cfg: Qwen2C
         # 1) draft proposes k tokens autoregressively from s.cur_token at s.position
         def draft_step(i, carry):
             d_cache, tok, props = carry
+            tok = clamp_draft_tokens(tok, draft_cfg)   # target may emit ids >= draft vocab
             d_cache2, logits = _forward_tokens(draft_params, draft_cfg, d_cache,
                                                tok[:, None], s.position + i,
                                                compute_dtype)

@@ -1253,7 +1253,15 @@ def _main_only(names: list[str]) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        if len(sys.argv) == 2:
+            # falling through to the full ~15-min suite on a typo would burn
+            # shared TPU time: treat a bare --only as a usage error instead
+            sections = sorted(n[len("bench_"):] for n in globals()
+                              if n.startswith("bench_"))
+            print("usage: python bench.py --only <section...>\n"
+                  "available sections: " + " ".join(sections), file=sys.stderr)
+            sys.exit(2)
         _main_only(sys.argv[2:])
     else:
         main()
