@@ -11,6 +11,16 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives have a HARD 40 s rendezvous termination timeout (the process
+# aborts with SIGABRT, rendezvous.cc). On few-core hosts (this round's machine has
+# nproc=1) the 8 fake device threads timeslice one core and a participant can
+# legitimately arrive minutes late. Raise the timeouts; correctness tests don't care
+# about collective latency.
+if "collective_call_terminate_timeout" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+        " --xla_cpu_collective_timeout_seconds=3000"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # XLA:CPU's LLVM passes recurse deeply on the suite's largest programs (speculative
