@@ -527,7 +527,17 @@ def record_spec_stats(engine, valid: np.ndarray, active_rows, rounds: int,
     round) emits m+1 tokens for m accepted proposals, so the mean acceptance
     estimate is (emitted/round_slots - 1) / k — the live counterpart of the
     bench acceptance sweep (engine.spec_stats["acceptance_est"]; EOS'd rounds
-    bias it low, exactly like production acceptance counters)."""
+    bias it low, exactly like production acceptance counters).
+
+    GUARDRAIL (VERDICT r3 #5): speculation below its break-even acceptance is a
+    silent throughput REGRESSION (a full-weight verify sweep costs ~one plain
+    step against an int8 target already near the bandwidth roofline — measured
+    break-even a ≈ 0.65 deep-draft / ≈ 0.5 shallow-draft, BENCH_r03). Once the
+    live estimate has warmed up (spec_guard_warmup round-slots) and sits below
+    spec_guard_min_accept, the engine flips `spec_disabled` and every later
+    chunk takes the PLAIN decode path — same cache, same rows, token stream
+    unchanged (speculation is output-invariant), throughput converges to plain.
+    """
     st = getattr(engine, "spec_stats", None)
     if st is None:
         st = engine.spec_stats = {"emitted": 0, "round_slots": 0, "k": k}
@@ -537,6 +547,13 @@ def record_spec_stats(engine, valid: np.ndarray, active_rows, rounds: int,
     if st["round_slots"]:
         per_round = st["emitted"] / st["round_slots"]
         st["acceptance_est"] = round(max(per_round - 1.0, 0.0) / k, 4)
+    if (getattr(engine, "spec_guard", True)
+            and not getattr(engine, "spec_disabled", False)
+            and st["round_slots"] >= getattr(engine, "spec_guard_warmup", 64)
+            and st.get("acceptance_est", 1.0)
+            < getattr(engine, "spec_guard_min_accept", 0.5)):
+        engine.spec_disabled = True
+        st["guard_disabled"] = True
 
 
 def _start_request_metrics(req: Request) -> None:
@@ -652,6 +669,12 @@ class BatchEngine:
     spec_accept_sim: float | None = None   # measurement harness: inject Bernoulli(a)
     #                                        acceptance instead of draft==target
     #                                        comparison (decode_spec_chunk docstring)
+    # acceptance guardrail (record_spec_stats docstring): auto-disable speculation
+    # when the live estimate sits below break-even; thresholds from BENCH_r03
+    spec_guard: bool = True
+    spec_guard_min_accept: float = 0.5
+    spec_guard_warmup: int = 64            # round-slots observed before acting
+    spec_disabled: bool = False            # set by the guard; sticky for the engine
     metrics: object = None         # optional utils.metrics.MetricsLogger sink
 
     def __post_init__(self):
@@ -676,7 +699,8 @@ class BatchEngine:
                                            self.capacity, self.compute_dtype)
 
     def _speculating(self) -> bool:
-        return (self.draft_params is not None and self.sampling.greedy
+        return (self.draft_params is not None and not self.spec_disabled
+                and self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0
                 and self.sampling.min_new_tokens == 0)
@@ -684,7 +708,8 @@ class BatchEngine:
     def _spec_sampled(self) -> bool:
         """Non-greedy engines with a draft run Leviathan sampled speculation —
         ONE warp for every row (decode_spec_chunk_sampled docstring)."""
-        return (self.draft_params is not None and not self.sampling.greedy
+        return (self.draft_params is not None and not self.spec_disabled
+                and not self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0
                 and self.sampling.min_new_tokens == 0)

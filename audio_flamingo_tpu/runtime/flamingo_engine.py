@@ -258,6 +258,12 @@ class FlamingoEngine:
     spec_k: int = 4
     spec_rounds: int = 4
     spec_accept_sim: float | None = None
+    # acceptance guardrail (engine.record_spec_stats docstring): auto-disable
+    # speculation when the live acceptance estimate sits below break-even
+    spec_guard: bool = True
+    spec_guard_min_accept: float = 0.5
+    spec_guard_warmup: int = 64
+    spec_disabled: bool = False
 
     def __post_init__(self):
         self.row_params = [self.sampling] * self.num_slots
@@ -290,13 +296,15 @@ class FlamingoEngine:
         self.request_metrics: dict[str, dict] = {}
 
     def _speculating(self) -> bool:
-        return (self.draft_params is not None and self.sampling.greedy
+        return (self.draft_params is not None and not self.spec_disabled
+                and self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0
                 and self.sampling.min_new_tokens == 0)
 
     def _spec_sampled(self) -> bool:
-        return (self.draft_params is not None and not self.sampling.greedy
+        return (self.draft_params is not None and not self.spec_disabled
+                and not self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0
                 and self.sampling.min_new_tokens == 0)

@@ -471,6 +471,12 @@ class PagedFlamingoEngine:
     spec_k: int = 4
     spec_rounds: int = 4
     spec_accept_sim: float | None = None
+    # acceptance guardrail (engine.record_spec_stats docstring): auto-disable
+    # speculation when the live acceptance estimate sits below break-even
+    spec_guard: bool = True
+    spec_guard_min_accept: float = 0.5
+    spec_guard_warmup: int = 64
+    spec_disabled: bool = False
 
     def __post_init__(self):
         lcfg = self.cfg.lm
@@ -523,13 +529,15 @@ class PagedFlamingoEngine:
         return self.max_blocks_per_seq * self.block_size
 
     def _speculating(self) -> bool:
-        return (self.draft_params is not None and self.sampling.greedy
+        return (self.draft_params is not None and not self.spec_disabled
+                and self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0
                 and self.sampling.min_new_tokens == 0)
 
     def _spec_sampled(self) -> bool:
-        return (self.draft_params is not None and not self.sampling.greedy
+        return (self.draft_params is not None and not self.spec_disabled
+                and not self.sampling.greedy
                 and self.sampling.repetition_penalty == 1.0
                 and self.sampling.no_repeat_ngram_size == 0
                 and self.sampling.min_new_tokens == 0)

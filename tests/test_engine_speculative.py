@@ -155,3 +155,53 @@ def test_spec_stats_acceptance_estimate(params):
     assert st["emitted"] > 0 and st["round_slots"] > 0
     # perfect draft: most rounds emit k+1 (EOS/tail rounds bias low)
     assert st["acceptance_est"] > 0.5, st
+
+
+def test_spec_guard_disables_low_acceptance_mid_flight(params, draft_params):
+    """Acceptance guardrail (VERDICT r3 #5): an operator who attaches a mediocre
+    draft must NOT get a silent throughput regression. With an independent random
+    draft (natural acceptance ~0 on these random models) the live estimator trips
+    spec_guard after spec_guard_warmup round-slots, the engine flips to the PLAIN
+    decode path mid-flight, and the emitted stream stays exactly target-greedy
+    (speculation is output-invariant, so the switch is unobservable in tokens)."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 120, size=(1, 5 + i)) for i in range(2)]
+    warmup = 8
+    engine = BatchEngine(params=params, cfg=CFG, num_slots=2, capacity=256,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32,
+                         draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                         spec_k=3, spec_rounds=2, spec_guard_warmup=warmup,
+                         spec_guard_min_accept=0.5)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p.astype(np.int32),
+                              max_new_tokens=24))
+    results = engine.run_until_done()
+    st = engine.spec_stats
+    assert engine.spec_disabled and st.get("guard_disabled"), st
+    assert st["acceptance_est"] < 0.5, st
+    # the guard acted promptly: at most one spec chunk past the warmup threshold
+    assert st["round_slots"] <= warmup + 2 * engine.spec_rounds, st
+    # once disabled the gates route every later chunk through the plain path
+    assert not engine._speculating() and not engine._spec_sampled()
+    _check_vs_reference(params, prompts, results, 24)
+
+
+def test_spec_guard_leaves_good_draft_alone(params):
+    """With the target as its own draft (acceptance ~1) the guard never trips,
+    even with an aggressive threshold and tiny warmup."""
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(0, 120, size=(1, 6)) for _ in range(2)]
+    engine = BatchEngine(params=params, cfg=CFG, num_slots=2, capacity=256,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=True),
+                         compute_dtype=jnp.float32,
+                         draft_params=params["lm"], draft_cfg=CFG.lm,
+                         spec_k=3, spec_rounds=2, spec_guard_warmup=4,
+                         spec_guard_min_accept=0.5)
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=f"r{i}", ids=p.astype(np.int32),
+                              max_new_tokens=16))
+    results = engine.run_until_done()
+    assert not engine.spec_disabled, engine.spec_stats
+    assert "guard_disabled" not in engine.spec_stats
+    _check_vs_reference(params, prompts, results, 16)
