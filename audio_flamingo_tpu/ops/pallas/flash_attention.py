@@ -94,38 +94,60 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         q = q_ref[0]                                               # [bq, D]
         inner = bks // bk
 
-        def body(t, carry):
-            m, l, acc = carry
-            k = k_ref[0, pl.ds(t * bk, bk), :]                     # [bk, D]
-            v = v_ref[0, pl.ds(t * bk, bk), :]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec) * scale        # [bq, bk]
-            k_ids = js * bks + t * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, bk), 1)
-            if causal:
-                q_ids = qi * bq + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, bk), 0) + q_offset
-                s = jnp.where(k_ids <= q_ids, s, NEG_INF)
-            if kv_len < num_super * bks:
-                s = jnp.where(k_ids < kv_len, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            return m_new, l, acc
+        def make_body(masked: bool):
+            def body(t, carry):
+                m, l, acc = carry
+                k = k_ref[0, pl.ds(t * bk, bk), :]                 # [bk, D]
+                v = v_ref[0, pl.ds(t * bk, bk), :]
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec) * scale    # [bq, bk]
+                if masked:
+                    k_ids = js * bks + t * bk + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, bk), 1)
+                    if causal:
+                        q_ids = qi * bq + jax.lax.broadcasted_iota(
+                            jnp.int32, (bq, bk), 0) + q_offset
+                        s = jnp.where(k_ids <= q_ids, s, NEG_INF)
+                    if kv_len < num_super * bks:
+                        s = jnp.where(k_ids < kv_len, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                return m_new, l, acc
 
+            return body
+
+        # The iota/compare/select mask work is pure VPU time on a kernel whose
+        # measured wall is ~half VPU (docs/TTFT_PERF.md): run MASK-FREE bodies for
+        # inner tiles that are fully visible (entirely below the causal frontier
+        # AND entirely within kv_len) and the masked body only for the O(1)
+        # boundary tiles per (q-block, super-tile). Numerically identical — the
+        # mask is removed exactly where it is all-true, and tiles entirely past
+        # the frontier/kv_len (which contributed p == 0) are skipped.
         if causal:
-            # inner tiles past the causal frontier contribute nothing: clamp trips
+            min_q_id = qi * bq + q_offset
             max_q_id = qi * bq + bq - 1 + q_offset
-            n_in = jnp.clip((max_q_id - js * bks) // bk + 1, 0, inner)
+            n_free_c = jnp.clip((min_q_id + 1 - js * bks) // bk, 0, inner)
+            n_in_c = jnp.clip((max_q_id - js * bks) // bk + 1, 0, inner)
         else:
-            n_in = inner
-        m, l, acc = jax.lax.fori_loop(
-            0, n_in, body, (m_scr[...], l_scr[...], acc_scr[...]))
+            n_free_c = inner
+            n_in_c = inner
+        if kv_len < num_super * bks:
+            n_free_k = jnp.clip((kv_len - js * bks) // bk, 0, inner)
+            n_in_k = jnp.clip(-(-(kv_len - js * bks) // bk), 0, inner)
+        else:
+            n_free_k = inner
+            n_in_k = inner
+        n_free = jnp.minimum(n_free_c, n_free_k)
+        n_in = jnp.minimum(n_in_c, n_in_k)
+        carry = (m_scr[...], l_scr[...], acc_scr[...])
+        carry = jax.lax.fori_loop(0, n_free, make_body(False), carry)
+        m, l, acc = jax.lax.fori_loop(n_free, n_in, make_body(True), carry)
         m_scr[...] = m
         l_scr[...] = l
         acc_scr[...] = acc
