@@ -60,6 +60,8 @@ class WhisperEncoderConfig:
     activation: str = "gelu"
     layerscale: bool = False
     use_flash: bool = False   # Pallas flash attention (TPU); XLA attention otherwise
+    # int8-QK flash attention (tolerance-band, ops/pallas/flash_attention_a8)
+    a8_attention: bool = False
     # pooling after the stack: AF3's adaptor downsamples 2x like Qwen2-Audio's AvgPool1d(2,2)
     # ([hf] models/qwen2_audio/modeling_qwen2_audio.py:329,434-437)
     pool_stride: int = 2
@@ -99,6 +101,10 @@ class Qwen2Config:
     # forwards only; decode stays w8a16. Accuracy is a tolerance band (~1e-2
     # logits), not bit-exact — a serving-latency knob, off by default.
     a8_prefill: bool = False
+    # int8-QK flash attention for prefill (ops/pallas/flash_attention_a8): halves
+    # the score-dot MXU time; tolerance-band accuracy like a8_prefill. Requires
+    # use_flash; multi-token fresh-prefill forwards only. Off by default.
+    a8_attention: bool = False
     # Activation recompute for training ("none" | "dots" | "full", ops/remat.py) —
     # the DeepSpeed-activation-checkpointing role (SURVEY.md §2.8); applies to the
     # cache-free forward and forward_sp (the backward-pass paths) only.

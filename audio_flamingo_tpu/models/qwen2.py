@@ -165,6 +165,18 @@ def _linear_shared_a8(xq_xs, x, p):
     return y
 
 
+def _prefill_flash(q, k, v, cfg):
+    """Fresh-prefill flash attention; cfg.a8_attention routes to the int8-QK kernel
+    (tolerance-band — ops/pallas/flash_attention_a8 docstring)."""
+    if cfg.a8_attention:
+        from audio_flamingo_tpu.ops.pallas.flash_attention_a8 import flash_attention_a8
+
+        return flash_attention_a8(q, k, v, causal=True)
+    from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, causal=True)
+
+
 def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache_index=None,
                    flash_ok: bool = False, stacked=None, layer_idx=None):
     """One decoder block. Returns (x, (new_k, new_v)) where new_k/v are this step's KV.
@@ -219,9 +231,7 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
         ks = jax.lax.dynamic_update_slice(ks, ksc, (0, cache_index, 0))
         vs = jax.lax.dynamic_update_slice(vs, vsc, (0, cache_index, 0))
         if use_flash_prefill:
-            from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
-
-            attn = flash_attention(q, k, v, causal=True)
+            attn = _prefill_flash(q, k, v, cfg)
         else:
             # scale-folded attention on the raw int8 cache — no dequantized
             # [B, C, nkv, hd] copy per layer (ops/attention.gqa_attention_q8)
@@ -236,17 +246,13 @@ def _layer_forward(x, lp, cfg: Qwen2Config, cos, sin, mask, cache_kv=None, cache
         if use_flash_prefill:
             # fresh-prefill fast path (flash_ok certifies cache.index == 0, so this
             # block's own KV is the whole attendable context)
-            from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
-
-            attn = flash_attention(q, k, v, causal=True)
+            attn = _prefill_flash(q, k, v, cfg)
         else:
             attn = gqa_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask)
         new_kv = (ck, cv)
     else:
         if use_flash_prefill:
-            from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
-
-            attn = flash_attention(q, k, v, causal=True)
+            attn = _prefill_flash(q, k, v, cfg)
         else:
             attn = gqa_attention(q, k, v, mask=mask)
         new_kv = None

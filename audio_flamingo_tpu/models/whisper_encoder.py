@@ -109,7 +109,12 @@ def _layer_forward(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.n
         q = (_linear(h, lp["q"]) * (hd ** -0.5)).reshape(b, s, nh, hd)
         k = _linear(h, lp["k"]).reshape(b, s, nh, hd)
         v = _linear(h, lp["v"]).reshape(b, s, nh, hd)
-    if cfg.use_flash:
+    if cfg.use_flash and getattr(cfg, "a8_attention", False):
+        from audio_flamingo_tpu.ops.pallas.flash_attention_a8 import flash_attention_a8
+
+        attn = flash_attention_a8(q, k, v, scale=1.0, block_q=512,
+                                  block_k=2048).reshape(b, s, d)
+    elif cfg.use_flash:
         from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
 
         # block_q=512, block_k=2048: one KV block per program (T=1500 pads to 1536)
