@@ -62,6 +62,12 @@ class WhisperEncoderConfig:
     use_flash: bool = False   # Pallas flash attention (TPU); XLA attention otherwise
     # int8-QK flash attention (tolerance-band, ops/pallas/flash_attention_a8)
     a8_attention: bool = False
+    # which layer stages use the fused quant-epilogue Pallas kernels when the
+    # params carry the fused layout (ops/pallas/enc_fused.py); the others run
+    # the XLA-composed w8a8 stages. Measured on-chip (round 4): the fused MLP
+    # wins ~1.4 ms/layer (in-VMEM GELU+requant), while XLA's cross-stage
+    # fusions beat the fused qkv/out kernels at this d_model.
+    fused_stages: tuple = ("mlp",)
     # pooling after the stack: AF3's adaptor downsamples 2x like Qwen2-Audio's AvgPool1d(2,2)
     # ([hf] models/qwen2_audio/modeling_qwen2_audio.py:329,434-437)
     pool_stride: int = 2

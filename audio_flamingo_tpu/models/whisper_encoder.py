@@ -91,7 +91,64 @@ def _linear(x, p):
     return y
 
 
+def _layer_forward_fused(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.ndarray:
+    """Fused quant-epilogue w8a8 layer (ops/pallas/enc_fused.py): three Pallas
+    calls keep every LN / activation-quant / GELU / dequant pass in VMEM — the
+    XLA-composed a8 path ran at ~21% of int8 peak because that glue round-trips
+    HBM (docs/TTFT_PERF.md). Layout from ops/quant.quantize_encoder_params_fused."""
+    from audio_flamingo_tpu.ops.pallas.enc_fused import enc_ln_qkv, enc_mlp, enc_out_ln
+
+    assert cfg.activation == "gelu", "fused a8 path bakes exact GELU in-kernel"
+    from audio_flamingo_tpu.ops.quant import q_matmul_a8q, quantize_act
+
+    b, s, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    xf = x.reshape(b * s, d)
+    if "qkv" in cfg.fused_stages:
+        qkv = enc_ln_qkv(xf, lp["ln1_w"], lp["ln1_b"], lp["qkv"]["w_q"],
+                         lp["qkv"]["scale"], lp["qkv"]["b"])
+    else:
+        h = layer_norm(xf, lp["ln1_w"], lp["ln1_b"])
+        hq3 = quantize_act(h)
+        qkv = q_matmul_a8q(*hq3, lp["qkv"], out_dtype=h.dtype) \
+            + lp["qkv"]["b"].astype(h.dtype)
+    q, k, v = (a.reshape(b, s, nh, hd) for a in jnp.split(qkv, 3, axis=-1))
+    if cfg.use_flash:
+        from audio_flamingo_tpu.ops.pallas.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v, scale=1.0, block_q=512, block_k=2048)
+    else:
+        attn = gqa_attention(q, k, v, scale=1.0)
+    if "out" in cfg.fused_stages:
+        x2, hq, hs = enc_out_ln(attn.reshape(b * s, d), xf, lp["o"]["w_q"],
+                                lp["o"]["scale"], lp["o"]["b"],
+                                lp["ln2_w"], lp["ln2_b"])
+    else:
+        ao = attn.reshape(b * s, d)
+        x2 = xf + q_matmul_a8q(*quantize_act(ao), lp["o"], out_dtype=ao.dtype) \
+            + lp["o"]["b"].astype(ao.dtype)
+        hq, hs = quantize_act(layer_norm(x2, lp["ln2_w"], lp["ln2_b"]))
+        hs = hs.astype(jnp.float32)
+    if "mlp" in cfg.fused_stages:
+        from audio_flamingo_tpu.ops.pallas import enc_fused as ef
+
+        x3 = enc_mlp(hq, hs, lp["fc1"]["w_q"], lp["fc1"]["scale"],
+                     lp["fc1"]["b"], lp["fc2"]["w_q"], lp["fc2"]["scale"],
+                     lp["fc2"]["b"], x2, block_m=ef.ENC_MLP_BLOCK_M,
+                     f_tile=min(ef.ENC_MLP_F_TILE, cfg.ffn_dim))
+    else:
+        g = q_matmul_a8q(hq, hs, lp["fc1"], out_dtype=x2.dtype) \
+            + lp["fc1"]["b"].astype(x2.dtype)
+        g = jax.nn.gelu(g.astype(jnp.float32), approximate=False)
+        gq, gs = quantize_act(g.astype(x2.dtype))
+        x3 = x2 + q_matmul_a8q(gq, gs, lp["fc2"], out_dtype=x2.dtype) \
+            + lp["fc2"]["b"].astype(x2.dtype)
+    return x3.reshape(b, s, d)
+
+
 def _layer_forward(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.ndarray:
+    if "qkv" in lp:
+        return _layer_forward_fused(x, lp, cfg)
     b, s, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])

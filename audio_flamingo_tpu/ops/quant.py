@@ -157,6 +157,52 @@ def quantize_encoder_params(params: dict) -> dict:
     return out
 
 
+def quantize_encoder_params_fused(params: dict, head_dim: int) -> dict:
+    """Fused-kernel encoder layout (ops/pallas/enc_fused.py).
+
+    Same int8 per-output-channel quantization as quantize_encoder_params, but
+    q|k|v are concatenated into one [L, d, 3d] matrix (one fused LN+quant+matmul
+    kernel serves all three) and the reference's q pre-scale (head_dim**-0.5,
+    [hf] modeling_whisper.py q_proj * scaling) is folded into the q columns'
+    scales and bias: (x@Wq + bq)*s == x@Wq with scale*s and bias bq*s.
+    models/whisper_encoder dispatches on the 'qkv' key.
+    """
+    layers = params["layers"]
+    d = layers["q"]["w"].shape[1]
+    qs = jnp.float32(head_dim) ** -0.5
+
+    def quant(w):  # stacked [L, in, out]
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)           # [L, out]
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[:, None, :]), -127, 127)
+        return w_q.astype(jnp.int8), scale
+
+    qw, qsc = quant(layers["q"]["w"])
+    kw, ksc = quant(layers["k"]["w"])
+    vw, vsc = quant(layers["v"]["w"])
+    ow, osc = quant(layers["o"]["w"])
+    f1w, f1sc = quant(layers["fc1"]["w"])
+    f2w, f2sc = quant(layers["fc2"]["w"])
+    zeros_d = jnp.zeros_like(layers["q"]["b"])
+    new_layers = {
+        "ln1_w": layers["ln1_w"], "ln1_b": layers["ln1_b"],
+        "ln2_w": layers["ln2_w"], "ln2_b": layers["ln2_b"],
+        "qkv": {
+            "w_q": jnp.concatenate([qw, kw, vw], axis=2),
+            "scale": jnp.concatenate([qsc * qs, ksc, vsc], axis=1),
+            "b": jnp.concatenate([layers["q"]["b"].astype(jnp.float32) * qs,
+                                  layers["k"].get("b", zeros_d),
+                                  layers["v"]["b"]], axis=1),
+        },
+        "o": {"w_q": ow, "scale": osc, "b": layers["o"]["b"]},
+        "fc1": {"w_q": f1w, "scale": f1sc, "b": layers["fc1"]["b"]},
+        "fc2": {"w_q": f2w, "scale": f2sc, "b": layers["fc2"]["b"]},
+    }
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def quantize_lm_params(params: dict, quantize_embed: bool = True) -> dict:
     """Quantize a models/qwen2.py param pytree's big linears (layers + lm_head [+embed]).
 
