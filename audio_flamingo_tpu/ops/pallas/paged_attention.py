@@ -42,9 +42,12 @@ def _dot_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
-def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
-                  q_ref, k_ref, v_ref, *rest,            # blocks (+scales if int8)
-                  block: int, max_pages: int, scale: float, quantized: bool):
+def _paged_kernel(*refs, block: int, max_pages: int, scale: float,
+                  quantized: bool, stacked: bool):
+    if stacked:
+        tables_ref, len_ref, _layer_ref, q_ref, k_ref, v_ref, *rest = refs
+    else:
+        tables_ref, len_ref, q_ref, k_ref, v_ref, *rest = refs
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref = rest
     else:
@@ -70,8 +73,8 @@ def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
         # Python unroll of plain 2D MXU dots — nkv is 4 for the AF3 LM, and decode
         # is HBM-bound on the page reads, not these small dots.
         q = q_ref[0]                                       # [nkv, g, hd]
-        k = k_ref[0]                                       # [block, nkv, hd]
-        v = v_ref[0]
+        k = k_ref[0, 0] if stacked else k_ref[0]           # [block, nkv, hd]
+        v = v_ref[0, 0] if stacked else v_ref[0]
         k_ids = j * block + jax.lax.broadcasted_iota(jnp.int32, (g, block), 1)
         for kv in range(nkv):
             kkv = k[:, kv, :]
@@ -87,7 +90,8 @@ def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
                 q[kv], kkv, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec) * scale  # [g, block]
             if quantized:
-                s = s * ks_ref[0, :, kv][None, :]
+                ks_row = ks_ref[0, 0, :, kv] if stacked else ks_ref[0, :, kv]
+                s = s * ks_row[None, :]
             s = jnp.where(k_ids < kv_len, s, NEG_INF)
 
             m_prev = m_ref[0, kv]                          # [g]
@@ -96,7 +100,11 @@ def _paged_kernel(tables_ref, len_ref,                   # scalar prefetch
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
             p = jnp.exp(s - m_new[:, None])
             alpha = jnp.exp(m_prev - m_new)
-            pv = p * vs_ref[0, :, kv][None, :] if quantized else p
+            if quantized:
+                vs_row = vs_ref[0, 0, :, kv] if stacked else vs_ref[0, :, kv]
+                pv = p * vs_row[None, :]
+            else:
+                pv = p
             upd = jax.lax.dot_general(
                 pv.astype(q_ref.dtype), vkv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)   # [g, hd]
@@ -117,9 +125,11 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
                   flat [H] layout maps to (h // g, h % g) — repeat_kv order).
     k/v_pool:     EITHER one layer's pool [num_blocks, block, nkv, hd] (layer_idx
                   unused), OR the stacked pool [L, num_blocks, block, nkv, hd] with
-                  `layer_idx` selecting the layer (sliced OUTSIDE the kernel — one
-                  dynamic-index per layer, cheaper than handing Mosaic the whole
-                  multi-layer operand).
+                  `layer_idx` resolved INSIDE the kernel: the index rides scalar
+                  prefetch and the BlockSpec maps select (layer, page), so the
+                  stacked pool is a loop-invariant operand and only the mapped
+                  pages are DMA'd — slicing the layer outside (scan xs or
+                  dynamic_index_in_dim) copies the layer's whole pool per call.
     block_tables: [B, max_pages] int32 physical page ids (-1 = unmapped).
     lengths:      [B] int32 tokens already in pages for each row (current token
                   excluded — merge it with merge_current_token).
@@ -130,17 +140,11 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
     Returns (o, m, l): o [B, nkv, g, hd] f32 UNNORMALIZED accumulator; m, l [B, nkv, g]
     f32 online-softmax stats — feed to merge_current_token, or normalize as o/l.
     """
-    if k_pool.ndim == 5:
-        assert layer_idx is not None
-        k_pool = jax.lax.dynamic_index_in_dim(k_pool, layer_idx, 0, keepdims=False)
-        v_pool = jax.lax.dynamic_index_in_dim(v_pool, layer_idx, 0, keepdims=False)
-        if k_scale is not None:
-            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
-            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)
+    stacked = k_pool.ndim == 5
     quantized = k_pool.dtype == jnp.int8
     assert not quantized or (k_scale is not None and v_scale is not None)
     bsz, nkv, g, hd = q.shape
-    _, block, _, _ = k_pool.shape
+    block = k_pool.shape[2] if stacked else k_pool.shape[1]
     max_pages = block_tables.shape[1]
     if scale is None:
         scale = hd ** -0.5
@@ -152,26 +156,48 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
     phys = jnp.maximum(jnp.take_along_axis(block_tables, page_pos, axis=1), 0)
 
     kernel = functools.partial(_paged_kernel, block=block, max_pages=max_pages,
-                               scale=scale, quantized=quantized)
-    page_spec = pl.BlockSpec((1, block, nkv, hd), lambda b, j, tr, nr: (tr[b, j], 0, 0, 0))
-    in_specs = [
-        pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
-        page_spec, page_spec,
-    ]
-    operands = [q, k_pool, v_pool]
-    if quantized:
+                               scale=scale, quantized=quantized, stacked=stacked)
+    scalars = [phys.astype(jnp.int32), lengths.astype(jnp.int32)]
+    if stacked:
+        # the layer index rides SCALAR PREFETCH and is resolved inside the
+        # BlockSpec index maps: the [L, ...] pool is a plain (loop-invariant)
+        # operand and only this layer's mapped pages are ever DMA'd. Slicing
+        # the layer OUTSIDE the kernel — whether by lax.scan over the pool or
+        # dynamic_index_in_dim — materializes a fresh copy of the layer's
+        # whole pool per layer per step (CLAUDE.md; measured ~0.65 GB/step at
+        # the 7B mixed-workload shape, the paged-vs-slot bf16 gap).
+        assert layer_idx is not None
+        scalars.append(jnp.asarray(layer_idx, jnp.int32).reshape(1))
+        page_spec = pl.BlockSpec((1, 1, block, nkv, hd),
+                                 lambda b, j, tr, nr, li: (li[0], tr[b, j], 0, 0, 0))
+        q_spec = pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr, li: (b, 0, 0, 0))
+        sc_spec = pl.BlockSpec((1, 1, block, nkv),
+                               lambda b, j, tr, nr, li: (li[0], tr[b, j], 0, 0))
+        out_specs = [
+            pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr, li: (b, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr, li: (b, 0, 0)),
+            pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr, li: (b, 0, 0)),
+        ]
+    else:
+        page_spec = pl.BlockSpec((1, block, nkv, hd),
+                                 lambda b, j, tr, nr: (tr[b, j], 0, 0, 0))
+        q_spec = pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0))
         sc_spec = pl.BlockSpec((1, block, nkv), lambda b, j, tr, nr: (tr[b, j], 0, 0))
-        in_specs += [sc_spec, sc_spec]
-        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(bsz, max_pages),
-        in_specs=in_specs,
-        out_specs=[
+        out_specs = [
             pl.BlockSpec((1, nkv, g, hd), lambda b, j, tr, nr: (b, 0, 0, 0)),
             pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr: (b, 0, 0)),
             pl.BlockSpec((1, nkv, g), lambda b, j, tr, nr: (b, 0, 0)),
-        ],
+        ]
+    in_specs = [q_spec, page_spec, page_spec]
+    operands = [q, k_pool, v_pool]
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(bsz, max_pages),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     o, m, l = pl.pallas_call(
         kernel,
@@ -182,7 +208,7 @@ def paged_attention(q: jnp.ndarray, k_pool: jnp.ndarray, v_pool: jnp.ndarray,
             jax.ShapeDtypeStruct((bsz, nkv, g), jnp.float32),
         ],
         interpret=_interpret(),
-    )(phys.astype(jnp.int32), lengths.astype(jnp.int32), *operands)
+    )(*scalars, *operands)
     return o, m, l
 
 

@@ -138,17 +138,19 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
         def body_sfx(carry, xs):
             h, y = carry
-            if quantized:
-                lp, idx, k_layer, v_layer, ks_layer, vs_layer = xs
-            else:
-                lp, idx, k_layer, v_layer = xs
-                ks_layer = vs_layer = None
+            lp, idx = xs
 
             def attend_paged(q, k, v):
                 qg = q[:, 0].reshape(b, nkv, g, hd)
-                o, m, l = attend(qg, k_layer, v_layer, cache.block_tables,
-                                 cache.lengths, k_scale=ks_layer,
-                                 v_scale=vs_layer)
+                # the WHOLE [L, ...] pool rides as a scan-invariant operand;
+                # the kernel resolves (layer, page) inside its BlockSpec index
+                # maps via scalar prefetch, so only this layer's mapped pages
+                # are DMA'd. Scanning the pool sliced a full layer copy per
+                # step (~0.65 GB/step at the 7B mixed shape) — the measured
+                # paged-vs-slot bf16 gap (VERDICT r3 #6).
+                o, m, l = attend(qg, cache.k, cache.v, cache.block_tables,
+                                 cache.lengths, layer_idx=idx,
+                                 k_scale=cache.k_scale, v_scale=cache.v_scale)
                 if quantized:
                     kq, ksc = qwen2._quantize_kv(k)
                     vq, vsc = qwen2._quantize_kv(v)
@@ -167,12 +169,11 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
                 qkv_bias=qkv_bias, cos=cos, sin=sin, attend=attend_paged)
 
         if quantized:
-            xs = (scan_layers, idxs, cache.k, cache.v, cache.k_scale,
-                  cache.v_scale)
-            (x, _), (ks, vs, kscs, vscs) = jax.lax.scan(body_sfx, (x, y0), xs)
+            (x, _), (ks, vs, kscs, vscs) = jax.lax.scan(body_sfx, (x, y0),
+                                                        (scan_layers, idxs))
         else:
-            (x, _), (ks, vs) = jax.lax.scan(
-                body_sfx, (x, y0), (scan_layers, idxs, cache.k, cache.v))
+            (x, _), (ks, vs) = jax.lax.scan(body_sfx, (x, y0),
+                                            (scan_layers, idxs))
         l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
         b_flat = jnp.tile(block_ids, cfg.num_layers)
         o_flat = jnp.tile(offs, cfg.num_layers)
@@ -191,22 +192,21 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
     def body(carry, xs):
         h = carry
-        # the layer's PAGE POOL rides the scan xs: lax.scan slices one
-        # [num_blocks, block, nkv, hd] layer per iteration, so the Pallas call's
-        # operand is exactly the pages it may read — handing it the whole
-        # [L, ...] pool made XLA materialize a fresh layout copy of the full
-        # pool per layer per step (~2x slower engine than the slot cache)
-        if quantized:
-            lp, idx, k_layer, v_layer, ks_layer, vs_layer = xs
-        else:
-            lp, idx, k_layer, v_layer = xs
-            ks_layer = vs_layer = None
+        # the [L, ...] pool is a scan-INVARIANT operand; the paged kernel
+        # resolves (layer, page) inside its BlockSpec index maps via scalar
+        # prefetch (ops/pallas/paged_attention.py stacked path), so only this
+        # layer's mapped pages are DMA'd. Earlier designs that sliced the
+        # layer outside the kernel — whether scan xs or dynamic_index_in_dim —
+        # materialized a full layer-pool copy per layer per step
+        # (~0.65 GB/step at the 7B mixed-workload shape; VERDICT r3 #6).
+        lp, idx = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
         q, k, v = qwen2.qkv_proj(hn, lp, cfg, stacked, idx)
         q, k = apply_rope(q, k, cos, sin)
         qg = q[:, 0].reshape(b, nkv, g, hd)
-        o, m, l = attend(qg, k_layer, v_layer, cache.block_tables, cache.lengths,
-                         k_scale=ks_layer, v_scale=vs_layer)
+        o, m, l = attend(qg, cache.k, cache.v, cache.block_tables, cache.lengths,
+                         layer_idx=idx, k_scale=cache.k_scale,
+                         v_scale=cache.v_scale)
         if quantized:
             # merge with the DEQUANTIZED current kv so paged-q8 decode matches the
             # dense Q8KVCache path bit-for-bit in what each position contributes
@@ -226,10 +226,9 @@ def paged_decode_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
         return h, new_kv
 
     if quantized:
-        xs = (scan_layers, idxs, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, xs)
+        x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, (scan_layers, idxs))
     else:
-        x, (ks, vs) = jax.lax.scan(body, x, (scan_layers, idxs, cache.k, cache.v))
+        x, (ks, vs) = jax.lax.scan(body, x, (scan_layers, idxs))
     # physical writes: ks [L, B, nkv, hd] at (layer, block_ids[B], offs[B])
     l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b)
     b_flat = jnp.tile(block_ids, cfg.num_layers)
@@ -290,11 +289,7 @@ def paged_verify_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
 
     def body(carry, xs):
         h = carry
-        if quantized:
-            lp, idx, k_layer, v_layer, ks_layer, vs_layer = xs
-        else:
-            lp, idx, k_layer, v_layer = xs
-            ks_layer = vs_layer = None
+        lp, idx = xs
         hn = rms_norm(h, lp["ln1_w"], cfg.rms_norm_eps)
         q, k, v = qwen2.qkv_proj(hn, lp, cfg, stacked, idx)
         q, k = apply_rope(q, k, cos, sin)
@@ -302,8 +297,11 @@ def paged_verify_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
         # query token i, group head gg
         qf = q.reshape(b, s, nkv, g, hd).transpose(0, 2, 1, 3, 4) \
               .reshape(b, nkv, s * g, hd)
-        o, m_, l_ = attend(qf, k_layer, v_layer, cache.block_tables,
-                           cache.lengths, k_scale=ks_layer, v_scale=vs_layer)
+        # scan-invariant [L, ...] pool + in-kernel layer prefetch (see
+        # paged_decode_step.body)
+        o, m_, l_ = attend(qf, cache.k, cache.v, cache.block_tables,
+                           cache.lengths, layer_idx=idx,
+                           k_scale=cache.k_scale, v_scale=cache.v_scale)
         o = o.reshape(b, nkv, s, g, hd).transpose(0, 2, 1, 3, 4)
         m_ = m_.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
         l_ = l_.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
@@ -327,10 +325,9 @@ def paged_verify_step(params, cfg: Qwen2Config, cache: PagedKV, tokens: jnp.ndar
         return h, new_kv
 
     if quantized:
-        xs = (scan_layers, idxs, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, xs)
+        x, (ks, vs, kscs, vscs) = jax.lax.scan(body, x, (scan_layers, idxs))
     else:
-        x, (ks, vs) = jax.lax.scan(body, x, (scan_layers, idxs, cache.k, cache.v))
+        x, (ks, vs) = jax.lax.scan(body, x, (scan_layers, idxs))
     # physical writes: [L, B, S, nkv, hd] at (layer, block_ids[B,S], offs[B,S])
     l_idx = jnp.repeat(jnp.arange(cfg.num_layers), b * s)
     b_flat = jnp.tile(block_ids.reshape(-1), cfg.num_layers)
