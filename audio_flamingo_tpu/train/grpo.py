@@ -59,6 +59,55 @@ def rollout(params, cfg: AF3Config, token_ids: np.ndarray, mels,
     return full, gen_mask, lengths
 
 
+def make_engine_rollout(engine):
+    """Rollouts through a serving engine (runtime.paged_engine.PagedEngine or
+    runtime.engine.BatchEngine): G samples of one prompt ride the engine as G
+    concurrently-batched requests — the batched decode loop is GRPO's hot path
+    for long-form music rollouts (SURVEY.md §3.5; VERDICT r3 #4). Per-row rngs
+    decorrelate the group; with prefix_cache=True the shared prompt (and its
+    encoder ride) prefills once and the other G-1 rows reuse the pages.
+
+    The engine holds a params REFERENCE: after each optimizer update, assign
+    `engine.params = new_params` (same shapes -> no recompile) so rollouts
+    sample from the current policy. Returned callable matches `rollout`'s
+    (full_ids, gen_mask, lengths) contract and plugs into
+    `grpo_step(rollout_fn=...)`."""
+    import itertools
+
+    from audio_flamingo_tpu.runtime.engine import Request
+
+    counter = itertools.count()
+
+    def fn(token_ids: np.ndarray, mels, gcfg: GRPOConfig, eos_token_id: int):
+        g = gcfg.group_size
+        sampling = SamplingParams(greedy=False, temperature=gcfg.temperature,
+                                  top_k=gcfg.top_k)
+        ids_np = np.asarray(token_ids)
+        rids = []
+        for _ in range(g):
+            rid = f"grpo{next(counter)}"
+            rids.append(rid)
+            engine.submit(Request(
+                request_id=rid, ids=ids_np,
+                mels=None if mels is None else np.asarray(mels),
+                max_new_tokens=gcfg.max_new_tokens, sampling=sampling))
+        results = engine.run_until_done()
+        t = ids_np.shape[1]
+        n = gcfg.max_new_tokens
+        full = np.tile(ids_np, (g, 1))
+        full = np.concatenate([full, np.full((g, n), eos_token_id, np.int32)], 1)
+        gen_mask = np.zeros((g, t + n), bool)
+        lengths = np.zeros((g,), np.int32)
+        for i, rid in enumerate(rids):
+            toks = results[rid][:n]
+            full[i, t: t + len(toks)] = toks
+            gen_mask[i, t: t + len(toks)] = True
+            lengths[i] = len(toks)
+        return jnp.asarray(full), jnp.asarray(gen_mask), jnp.asarray(lengths)
+
+    return fn
+
+
 def group_advantages(rewards: jnp.ndarray) -> jnp.ndarray:
     """[G] rewards -> group-relative advantages (r - mean) / (std + eps)."""
     mu = rewards.mean()
@@ -66,11 +115,42 @@ def group_advantages(rewards: jnp.ndarray) -> jnp.ndarray:
     return (rewards - mu) / (sd + 1e-4)
 
 
-def _token_logp(params, cfg: AF3Config, ids, mels, compute_dtype):
-    """log p(token_t | <t) for every position t>=1: [G, T-1]."""
-    logits = af3.logits(params, cfg, ids, mels, compute_dtype=compute_dtype)
-    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    return jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "chunk"))
+def _token_logp(params, cfg: AF3Config, ids, mels, compute_dtype,
+                chunk: int = 256):
+    """log p(token_t | <t) for every position t>=1: [G, T-1]. Jitted: it is
+    dispatched standalone for old_logp at rollout time (an eager full-sequence
+    forward would dispatch per-op through the device tunnel).
+
+    The unembed + log-softmax run `chunk` positions at a time inside a remat'd
+    scan (the af3 ce_chunk pattern): at GRPO shapes the full [G, T, 152k] f32
+    logits tensor is ~4.3 GB and is needed for BOTH the policy and the frozen
+    reference — materializing it HBM-OOMs the update step."""
+    b, t = ids.shape
+    x = af3.build_input_embeds(params, cfg, ids, mels, compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    h, _ = qwen2.forward(params["lm"], cfg.lm, x, pos)
+    hs = h[:, :-1]
+    tgt = ids[:, 1:]
+    n = t - 1
+    pad = (-n) % chunk
+    if pad:
+        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
+        tgt = jnp.pad(tgt, ((0, 0), (0, pad)))
+    nchunks = (n + pad) // chunk
+    hs = hs.reshape(b, nchunks, chunk, -1).transpose(1, 0, 2, 3)
+    tgt = tgt.reshape(b, nchunks, chunk).transpose(1, 0, 2)
+
+    from audio_flamingo_tpu.ops.remat import remat_wrap
+
+    def body(carry, xs):
+        hc, tc = xs
+        lg = qwen2.unembed(params["lm"], cfg.lm, hc)
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        return carry, jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+
+    _, out = jax.lax.scan(remat_wrap(body, "full"), jnp.zeros(()), (hs, tgt))
+    return out.transpose(1, 0, 2).reshape(b, n + pad)[:, :n]
 
 
 @partial(jax.jit, static_argnames=("cfg", "gcfg", "compute_dtype"))
@@ -103,10 +183,18 @@ def grpo_loss(params, ref_params, cfg: AF3Config, ids, mels, gen_mask, advantage
 def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Sequence[dict],
               reward_fn: Callable[[list[int]], float], gcfg: GRPOConfig,
               eos_token_id: int, rng: jax.Array, decode_fn: Callable[[list[int]], str],
-              compute_dtype=jnp.float32):
+              compute_dtype=jnp.float32, rollout_fn=None,
+              trainable: str | None = None):
     """One GRPO update over a list of prompts ({'ids': [1,T], 'mels': ...}).
 
     reward_fn scores decoded text (custom music rewards live in the caller).
+    rollout_fn: optional `make_engine_rollout(engine)` callable — long-form
+    rollouts then ride the batched serving engine instead of bare generate.
+    trainable="lm": differentiate ONLY params['lm'] (the MF GRPO stage freezes
+    encoder+adaptor, train/stages.py mf_3_grpo) — opt/opt_state then live on
+    the LM subtree. Besides matching the stage semantics, this lets XLA drop
+    the encoder backward entirely; with audio prompts at G=8 the un-remat'd
+    encoder backward alone exceeds one chip's HBM (measured 38.6 GB ask).
     Returns (params, opt_state, metrics).
     """
     import optax
@@ -115,8 +203,13 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
     total_loss, total_reward = 0.0, 0.0
     for prompt in prompts:
         rng, k = jax.random.split(rng)
-        full, gen_mask, lengths = rollout(params, cfg, prompt["ids"], prompt.get("mels"),
-                                          gcfg, eos_token_id, k, compute_dtype)
+        if rollout_fn is not None:
+            full, gen_mask, lengths = rollout_fn(prompt["ids"], prompt.get("mels"),
+                                                 gcfg, eos_token_id)
+        else:
+            full, gen_mask, lengths = rollout(params, cfg, prompt["ids"],
+                                              prompt.get("mels"), gcfg,
+                                              eos_token_id, k, compute_dtype)
         t = prompt["ids"].shape[1]
         texts = [decode_fn(np.asarray(full[i, t: t + int(lengths[i])]).tolist())
                  for i in range(gcfg.group_size)]
@@ -126,17 +219,29 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
                   if prompt.get("mels") is not None else None)
         old_logp = jax.lax.stop_gradient(
             _token_logp(params, cfg, full, mels_t, compute_dtype))
-        loss, grads = jax.value_and_grad(grpo_loss)(
-            params, ref_params, cfg, full, mels_t, gen_mask, adv, old_logp, gcfg,
-            compute_dtype)
+        if trainable == "lm":
+            def lm_loss(lm_p):
+                return grpo_loss({**params, "lm": lm_p}, ref_params, cfg, full,
+                                 mels_t, gen_mask, adv, old_logp, gcfg,
+                                 compute_dtype)
+
+            loss, grads = jax.value_and_grad(lm_loss)(params["lm"])
+        else:
+            loss, grads = jax.value_and_grad(grpo_loss)(
+                params, ref_params, cfg, full, mels_t, gen_mask, adv, old_logp,
+                gcfg, compute_dtype)
         all_grads = grads if all_grads is None else jax.tree.map(jnp.add, all_grads, grads)
         total_loss += float(loss)
         total_reward += float(rewards.mean())
 
     n = len(prompts)
     all_grads = jax.tree.map(lambda g: g / n, all_grads)
-    updates, opt_state = opt.update(all_grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    if trainable == "lm":
+        updates, opt_state = opt.update(all_grads, opt_state, params["lm"])
+        params = {**params, "lm": optax.apply_updates(params["lm"], updates)}
+    else:
+        updates, opt_state = opt.update(all_grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
     return params, opt_state, {"loss": total_loss / n, "mean_reward": total_reward / n}
 
 

@@ -93,3 +93,60 @@ def test_grpo_update_increases_rewarded_token_prob(params):
     after = p_of_7(params)
     assert np.isfinite(metrics["loss"])
     assert after > before, (before, after)
+
+
+def test_grpo_engine_rollout_update(params):
+    """VERDICT r3 #4: rollouts ride the PAGED serving engine. Same functional
+    gate as the bare-generate test (rewarded token's probability rises), with
+    the engine's params refreshed to the current policy between updates, and
+    the engine-rollout (full, gen_mask, lengths) contract checked."""
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+    from audio_flamingo_tpu.train.grpo import make_engine_rollout
+
+    params = jax.tree.map(jnp.copy, params)
+    ref_params = jax.tree.map(jnp.copy, params)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params["lm"])   # trainable="lm": the MF GRPO stage
+    prompt = {"ids": np.array([[1, 2, 3]]), "mels": None}
+    gcfg = GRPOConfig(group_size=8, max_new_tokens=4, temperature=1.5, kl_coef=0.0)
+
+    engine = PagedEngine(params=params, cfg=CFG, num_rows=4, num_blocks=24,
+                         block_size=8, max_blocks_per_seq=4, chunk=4,
+                         eos_token_id=EOS, sampling=SamplingParams(greedy=False))
+    roll = make_engine_rollout(engine)
+
+    full, gen_mask, lengths = roll(prompt["ids"], None, gcfg, EOS)
+    assert full.shape == (8, 3 + 4) and gen_mask.shape == full.shape
+    assert not bool(gen_mask[:, :3].any())
+    for i in range(8):
+        n = int(lengths[i])
+        assert bool(gen_mask[i, 3: 3 + n].all())
+        assert not bool(gen_mask[i, 3 + n:].any())
+    # sampled rows decorrelate (not all identical at temperature 1.5)
+    rows = {tuple(np.asarray(full[i])) for i in range(8)}
+    assert len(rows) > 1
+
+    def reward_fn(text_tokens):
+        return 1.0 if 7 in text_tokens else 0.0
+
+    def p_of_7(p):
+        lg = af3.logits(p, CFG, jnp.asarray(prompt["ids"]), None)
+        return float(jax.nn.softmax(lg[0, -1])[7])
+
+    before = p_of_7(params)
+    rng = jax.random.PRNGKey(2)
+    for _ in range(6):
+        rng, k = jax.random.split(rng)
+        before_enc = jax.tree.leaves(params["encoder"])[0]
+        params, opt_state, metrics = grpo_step(
+            params, ref_params, opt, opt_state, CFG, [prompt], reward_fn,
+            gcfg, EOS, k, lambda toks: toks, compute_dtype=jnp.float32,
+            rollout_fn=roll, trainable="lm")
+        # lm-only training: frozen subtrees bit-identical
+        np.testing.assert_array_equal(np.asarray(before_enc),
+                                      np.asarray(jax.tree.leaves(params["encoder"])[0]))
+        engine.params = params  # rollout from the CURRENT policy
+    after = p_of_7(params)
+    assert np.isfinite(metrics["loss"])
+    assert after > before, (before, after)
