@@ -94,6 +94,31 @@ def lora_delta(x: jnp.ndarray, p: dict) -> jnp.ndarray:
                                preferred_element_type=jnp.float32) * p["lora_s"]
 
 
+def partition_lora(params: dict):
+    """Split an adapter-carrying tree into (lora_leaves, base_leaves, rebuild).
+
+    For QLoRA training the differentiable argument must be ONLY the adapter
+    leaves: the frozen base may be int8 (non-differentiable dtype), and JAX's
+    value_and_grad over the whole tree would reject it. rebuild(lora_leaves,
+    base_leaves) reassembles the full tree; both leaf lists are pytrees meant
+    to be passed as jit ARGUMENTS (never closed over — compile-constant
+    ingestion of GB-scale trees hangs the remote compiler)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    lora_idx = [i for i, (path, _) in enumerate(flat)
+                if getattr(path[-1], "key", "") in ("lora_a", "lora_b")]
+    lora_set = set(lora_idx)
+    lora_leaves = [leaf for i, (_, leaf) in enumerate(flat) if i in lora_set]
+    base_leaves = [leaf for i, (_, leaf) in enumerate(flat) if i not in lora_set]
+
+    def rebuild(lora_vals, base_vals):
+        it_l, it_b = iter(lora_vals), iter(base_vals)
+        leaves = [next(it_l) if i in lora_set else next(it_b)
+                  for i in range(len(flat))]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return lora_leaves, base_leaves, rebuild
+
+
 def lora_mask(params: dict):
     """Pytree of bools: True ONLY on lora_a/lora_b leaves (lora_s is a fixed
     hyperparameter; base weights frozen)."""

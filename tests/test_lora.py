@@ -191,3 +191,51 @@ def test_lora_applies_on_a8_prefill_path(lm_params):
     diff = np.abs(np.asarray(got_a8) - np.asarray(ref)).max()
     band = np.abs(np.asarray(ref)).max() * 0.05 + 0.05
     assert diff < band, (diff, band)
+
+
+def test_partition_lora_qlora_training_step(lm_params):
+    """partition_lora: rebuild is lossless, and a QLoRA update step over ONLY
+    the adapter leaves (int8 base passed as a non-diff argument) decreases the
+    loss while the base stays bit-identical — the single-chip 7B training
+    recipe (int8 base + LoRA + remat) at test scale."""
+    import optax
+
+    from audio_flamingo_tpu.ops.lora import partition_lora
+    from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+    q = quantize_lm_params(lm_params)
+    adapted = add_lora(jax.random.PRNGKey(7), q, rank=4)
+    lora_leaves, base_leaves, rebuild = partition_lora(adapted)
+    # lossless rebuild
+    again = rebuild(lora_leaves, base_leaves)
+    for a, b in zip(jax.tree.leaves(adapted), jax.tree.leaves(again)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(l.shape[-1] in (4,) or l.shape[-2] == 4 for l in lora_leaves)
+
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, CFG.lm.vocab_size, (2, 12)), jnp.int32)
+    opt = optax.adamw(1e-2)
+    opt_state = opt.init(lora_leaves)
+
+    @jax.jit
+    def step(lora_vals, opt_state, base_vals, ids):
+        def loss_fn(lv):
+            params = rebuild(lv, base_vals)
+            logits = qwen2.logits_from_ids(params, CFG.lm, ids)
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            tgt = ids[:, 1:]
+            return -jnp.take_along_axis(logp, tgt[..., None], -1).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(lora_vals)
+        updates, opt_state = opt.update(g, opt_state, lora_vals)
+        return optax.apply_updates(lora_vals, updates), opt_state, loss
+
+    before_base = [np.asarray(b).copy() for b in base_leaves]
+    losses = []
+    for _ in range(6):
+        lora_leaves, opt_state, loss = step(lora_leaves, opt_state,
+                                            base_leaves, ids)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    for a, b in zip(before_base, base_leaves):
+        np.testing.assert_array_equal(a, np.asarray(b))
