@@ -40,7 +40,8 @@ def main():
     t0 = time.time()
     params, hist = nv.train(jax.random.PRNGKey(0), cfg, steps=args.steps,
                             batch=args.batch, seconds=args.seconds,
-                            num_speakers=args.num_speakers, log_every=100)
+                            num_speakers=args.num_speakers, log_every=100,
+                            corpus="mixed")
     dt = time.time() - t0
     ev = nv.evaluate(params, cfg)
     env_corr = nv.envelope_correlation(params, cfg,
