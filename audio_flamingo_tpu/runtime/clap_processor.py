@@ -46,19 +46,31 @@ class AF2Processor:
 
         Clips <= 10 s give one window; longer clips are sliced into consecutive 10 s
         windows (zero-padded tail), each processed like an independent clip.
-        """
+
+        Every window is at most 10 s, so per-window processing is the frontend's
+        short-clip branch (is_longer=False; fusion = 4 identical channels) — which
+        lets ALL windows ride ONE batched `_db_mel` device call instead of a
+        per-window host loop. Through the device tunnel the loop cost ~90 ms of
+        dispatch+transfer PER WINDOW (2.6 s for a 5-min clip, measured round 4);
+        batched it is one dispatch + one transfer."""
+        import jax.numpy as jnp
+
+        cfg = self.frontend.cfg
         max_s = self.frontend.max_samples
         n = max(1, -(-len(wav) // max_s))
         n = bucket_clap_windows(n)
-        mels, longer = [], []
+        chunks = []
         for i in range(n):
-            chunk = wav[i * max_s: (i + 1) * max_s]
+            chunk = np.asarray(wav[i * max_s: (i + 1) * max_s], np.float32)
             if len(chunk) == 0:
                 chunk = np.zeros(max_s, np.float32)
-            mel, is_longer = self.frontend(chunk)
-            mels.append(mel)
-            longer.append(is_longer)
-        return np.stack(mels), np.asarray(longer, bool)
+            chunks.append(self.frontend._pad_short(chunk))
+        use_htk = cfg.truncation == "fusion"
+        mel = np.asarray(self.frontend._db_mel(
+            jnp.asarray(np.stack(chunks)), self.frontend.num_frames_max, use_htk))
+        c = 4 if cfg.truncation == "fusion" else 1
+        mels = np.repeat(mel[:, None], c, axis=1)          # [n, C, T, n_mels]
+        return mels, np.zeros(n, bool)
 
     def __call__(self, text: str | None = None, audios: list[np.ndarray] | None = None,
                  messages: list[dict] | None = None):

@@ -81,3 +81,22 @@ def test_af2_chat_audio_carries_across_turns(model):
     out3 = model.generate(sound=wav, prompt="clip two", chat=True, max_new_tokens=3)
     assert isinstance(out3, str)
     model.reset_chat()
+
+
+def test_windows_for_batched_equals_per_window_frontend(model):
+    """windows_for's single batched _db_mel call must equal running the
+    frontend on each window independently (the pre-round-4 host loop)."""
+    rng = np.random.default_rng(3)
+    wav = (rng.normal(size=int(48_000 * 17.5)) * 0.1).astype(np.float32)
+    mels, longer = model.processor.windows_for(wav)
+
+    fe = model.processor.frontend
+    max_s = fe.max_samples
+    n = mels.shape[0]
+    for i in range(n):
+        chunk = wav[i * max_s: (i + 1) * max_s]
+        if len(chunk) == 0:
+            chunk = np.zeros(max_s, np.float32)
+        ref, is_longer = fe(chunk)
+        assert not is_longer and not longer[i]
+        np.testing.assert_allclose(mels[i], np.asarray(ref), rtol=1e-5, atol=1e-4)
