@@ -61,26 +61,37 @@ def _atl_forward(x, lp, num_heads):
 
 # ------------------------------------------------------------------------------- AF2 model
 
-def init(rng: jax.Array, cfg: AF2Config) -> dict:
-    """AF2 params: audio transform layers + xattn blocks + Qwen2 LM (CLAP tower separate)."""
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
+def init_fusion(rng: jax.Array, cfg: AF2Config) -> dict:
+    """Audio-transform + gated-xattn stacks only (no LM).
+
+    Lets callers pair the fusion stack with a pre-quantized LM tree
+    (`ops.quant.random_quantized_lm` / `quantize_lm_params`) without ever
+    materializing the full-precision LM — at serving scale (3B+) the f32 init
+    tree alone would not fit alongside the int8 weights in 16 GB HBM."""
+    k2, k3 = jax.random.split(rng)
     d_lm = cfg.lm.hidden_size
     d_a = cfg.audio_embed_dim
     n_x = cfg.lm.num_layers // cfg.xattn.cross_every_n_layers
     atl = [_atl_init(k, d_a, 8) for k in jax.random.split(k2, cfg.num_audio_transform_layers)]
     xa = [xattn_op.init(k, d_lm, d_a, cfg.xattn.num_heads, cfg.xattn.ffn_mult)
           for k in jax.random.split(k3, n_x)]
+    return {
+        "audio_transform": jax.tree.map(lambda *xs: jnp.stack(xs), *atl),
+        "xattn": jax.tree.map(lambda *xs: jnp.stack(xs), *xa),
+    }
+
+
+def init(rng: jax.Array, cfg: AF2Config) -> dict:
+    """AF2 params: audio transform layers + xattn blocks + Qwen2 LM (CLAP tower separate)."""
+    k1, k4 = jax.random.split(rng)
+    fusion = init_fusion(k1, cfg)
     if _is_opt(cfg):
         from audio_flamingo_tpu.models import opt as opt_mod
 
         lm_params = opt_mod.init(k4, cfg.lm)
     else:
         lm_params = qwen2.init(k4, cfg.lm)
-    return {
-        "audio_transform": jax.tree.map(lambda *xs: jnp.stack(xs), *atl),
-        "xattn": jax.tree.map(lambda *xs: jnp.stack(xs), *xa),
-        "lm": lm_params,
-    }
+    return {**fusion, "lm": lm_params}
 
 
 def transform_audio(params: dict, cfg: AF2Config, window_embeds: jnp.ndarray) -> jnp.ndarray:

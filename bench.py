@@ -574,7 +574,14 @@ def bench_spec_engine() -> dict:
     params = {"lm": lm_p}
 
     rng = np.random.default_rng(0)
-    k, rounds, max_new = 4, 6, 48
+    # max_new=256: the r3 sweep generated only 48 tokens/request, so workload
+    # numbers mostly measured prefill amortization (VERDICT r3 Weak #5) —
+    # at 256 the workload ratio should track the decode-phase ratio.
+    # spec_guard=False on every injected point: the acceptance GUARDRAIL would
+    # (correctly) trip on a Bernoulli(0.6) prefix fraction of ~0.33 and flip
+    # the engine to plain decode mid-run — here we measure what speculation
+    # itself does, guard behavior has its own test + bench section.
+    k, rounds, max_new = 4, 6, 256
 
     def run(kw):
         def make():
@@ -603,7 +610,7 @@ def bench_spec_engine() -> dict:
     out = {"plain_b8_tps": round(plain_tps, 1)}
 
     spec_kw = dict(draft_params=draft_p, draft_cfg=draft_cfg, spec_k=k,
-                   spec_rounds=rounds)
+                   spec_rounds=rounds, spec_guard=False)
     sweep = {}
     for a in (0.0, 0.6, 1.0):
         tps = run({**spec_kw, "spec_accept_sim": a})
@@ -628,7 +635,7 @@ def bench_spec_engine() -> dict:
                                                     shallow_cfg))()
     _ = float(shallow_p["ln_f_w"].astype(jnp.float32).sum())
     sh_kw = dict(draft_params=shallow_p, draft_cfg=shallow_cfg, spec_k=k,
-                 spec_rounds=rounds)
+                 spec_rounds=rounds, spec_guard=False)
     sh = {}
     for a in (0.6, 1.0):
         tps = run({**sh_kw, "spec_accept_sim": a})
@@ -640,15 +647,14 @@ def bench_spec_engine() -> dict:
 
     log("bench_spec_engine: target-as-draft (true a=1, 7B draft cost)...")
     tad = run(dict(draft_params=lm_p, draft_cfg=lm_cfg, spec_k=k,
-                   spec_rounds=rounds))
+                   spec_rounds=rounds, spec_guard=False))
     out["spec_b8_tps_target_as_draft"] = round(tad, 1)
     log(f"bench_spec_engine: target-as-draft {tad:.1f} tok/s "
         f"({tad/plain_tps:.2f}x plain)")
 
     # DECODE-PHASE rates (chunk-level, one dispatch chain, no prefill/admission):
-    # the workload numbers above amortize prefill over only 48 generated tokens —
-    # real requests generate far more, so the steady-state decode ratio is the
-    # honest speculative-gain number. Directly times decode_chunk vs
+    # chunk-level steady-state rates with no prefill/admission at all — the
+    # pure speculative-gain number to compare the 256-token workload against. Directly times decode_chunk vs
     # decode_spec_chunk (shallow draft) at batch 8.
     try:
         return {**out, **_spec_decode_phase(params, cfg, lm_cfg, shallow_p,
@@ -765,7 +771,7 @@ def bench_spec_paged() -> dict:
     _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
     params = {"lm": lm_p}
     rng = np.random.default_rng(0)
-    k, rounds, max_new = 4, 6, 48
+    k, rounds, max_new = 4, 6, 256   # >=256: workload ~ decode phase (r3 Weak #5)
 
     def run(kw):
         def make():
@@ -797,7 +803,8 @@ def bench_spec_paged() -> dict:
     sweep = {}
     for a in (0.6, 1.0):
         tps, acc = run(dict(draft_params=shallow_p, draft_cfg=shallow_cfg,
-                            spec_k=k, spec_rounds=rounds, spec_accept_sim=a))
+                            spec_k=k, spec_rounds=rounds, spec_accept_sim=a,
+                            spec_guard=False))
         sweep[f"a{a}"] = round(tps, 1)
         # injection self-check: acceptance_est is the PREFIX fraction E[m]/k;
         # per-token Bernoulli(a) gives E[m] = sum_{i=1..k} a^i (0.326 at
@@ -808,6 +815,228 @@ def bench_spec_paged() -> dict:
     out["paged_spec_b8_tps_sweep"] = sweep
     out["paged_spec_vs_plain_a1.0"] = round(sweep["a1.0"] / plain, 2)
     return out
+
+
+def bench_clap() -> dict:
+    """AF1/AF2 frontend on the TPU scoreboard (VERDICT r3 #2): CLAP dual-bank
+    fusion mel + full HTSAT tower over a 5-min clip (README.md:172 — AF2's
+    headline capability), 30 x 10 s windows, bf16; plus the end-to-end AF2 TTFT
+    (mel -> tower -> audio-transform -> 3B-int8 gated-xattn prefill -> token)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig, Qwen2Config
+    from audio_flamingo_tpu.models import flamingo
+    from audio_flamingo_tpu.models.clap import ClapAudioTower
+    from audio_flamingo_tpu.models.clap import init as clap_init
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+    from audio_flamingo_tpu.runtime.clap_processor import AF2Processor
+
+    clap_cfg = ClapAudioConfig()                      # HTSAT-base, fusion on
+    tower = ClapAudioTower(clap_cfg)
+    log("bench_clap: init HTSAT tower (bf16)...")
+    clap_p = jax.jit(lambda: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        clap_init(jax.random.PRNGKey(0), clap_cfg)))()
+    _ = jax.block_until_ready(jax.tree.leaves(clap_p)[0])
+
+    clip_s = 300
+    wav = (np.random.default_rng(0).normal(size=48_000 * clip_s) * 0.1
+           ).astype(np.float32)
+    proc = AF2Processor(tokenizer=None, cfg=AF2Config(clap=clap_cfg))
+
+    log("bench_clap: mel frontend (30 x 10 s windows, dual banks + fusion)...")
+    mels, longer = proc.windows_for(wav)              # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mels, longer = proc.windows_for(wav)
+        jax.block_until_ready(mels) if hasattr(mels, "block_until_ready") else None
+        times.append(time.perf_counter() - t0)
+    t_mel = float(np.median(times))
+    log(f"bench_clap: mel {t_mel*1e3:.0f} ms ({mels.shape})")
+
+    mels_j = jnp.asarray(mels, jnp.bfloat16)
+    longer_j = jnp.asarray(longer)
+    log("bench_clap: HTSAT encode (30 windows)...")
+    # block_until_ready returns EARLY through the tunnel (CLAUDE.md rule 6) —
+    # only a value fetch truly syncs
+    _ = float(tower.encode(clap_p, mels_j, longer_j)["embeds"][0, 0]
+              .astype(jnp.float32))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(tower.encode(clap_p, mels_j, longer_j)["embeds"][0, 0]
+                  .astype(jnp.float32))
+        times.append(time.perf_counter() - t0)
+    t_tower = float(np.median(times))
+    rtfx = clip_s / (t_mel + t_tower)
+    log(f"bench_clap: tower {t_tower*1e3:.0f} ms -> frontend RTFx {rtfx:.0f}x")
+    res = {"clap_mel_5min_s": round(t_mel, 3),
+           "clap_tower_5min_s": round(t_tower, 3),
+           "clap_frontend_rtfx_5min": round(rtfx, 1)}
+
+    # ---- AF2 end-to-end TTFT: frontend + 3B-int8 xattn prefill ----
+    lm_cfg = Qwen2Config.qwen25_3b()
+    af2_cfg = AF2Config(clap=clap_cfg, lm=lm_cfg)
+    log("bench_clap: init AF2-3B (int8 LM + bf16 fusion stacks)...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(1), lm_cfg))()
+    fus_p = jax.jit(lambda: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        flamingo.init_fusion(jax.random.PRNGKey(2), af2_cfg)))()
+    params = {**fus_p, "lm": lm_p}
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+
+    prompt = np.random.default_rng(1).integers(0, 150_000, (1, 64)).astype(np.int32)
+    prompt_j = jnp.asarray(prompt)
+
+    def af2_ttft(phases=None):
+        t0 = time.perf_counter()
+        m, lg = proc.windows_for(wav)
+        if phases is not None:
+            phases["mel"] = time.perf_counter() - t0
+        e = tower.encode(clap_p, jnp.asarray(m, jnp.bfloat16), jnp.asarray(lg))
+        wins = e["embeds"].reshape(1, 1, -1, af2_cfg.audio_embed_dim)
+        if phases is not None:
+            _ = float(wins[0, 0, 0, 0].astype(jnp.float32))
+            phases["tower"] = time.perf_counter() - t0 - phases["mel"]
+        cache, media, lg2 = flamingo.prefill(params, af2_cfg, prompt_j, wins,
+                                             capacity=1024,
+                                             compute_dtype=jnp.bfloat16)
+        return int(jnp.argmax(lg2[0]))
+
+    log("bench_clap: compile AF2 prefill...")
+    _ = af2_ttft()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = af2_ttft()
+        times.append(time.perf_counter() - t0)
+    phases = {}
+    _ = af2_ttft(phases)
+    res["af2_ttft_5min_s"] = round(float(np.median(times)), 3)
+    log(f"bench_clap: AF2 TTFT (5-min clip, 3B int8) "
+        f"{res['af2_ttft_5min_s']*1e3:.0f} ms (mel {phases['mel']*1e3:.0f}, "
+        f"tower {phases['tower']*1e3:.0f} ms)")
+    return res
+
+
+def bench_xattn_engines() -> dict:
+    """AF1/AF2 serving throughput (VERDICT r3 #2): slot vs paged xattn engines
+    at the AF2-3B class (int8 LM + bf16 fusion), mixed 400/1500-token prompts
+    each carrying a 30-window (5-min) media buffer; plus an AF1 OPT-1.3B
+    interleaved-ICL generate (4 media x 4 windows, Flamingo 'last' masking)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import (AF1Config, AF2Config, ClapAudioConfig,
+                                           GatedXAttnConfig, Qwen2Config)
+    from audio_flamingo_tpu.models import flamingo
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.flamingo_engine import (FlamingoEngine,
+                                                            FlamingoRequest)
+    from audio_flamingo_tpu.runtime.paged_flamingo_engine import PagedFlamingoEngine
+
+    lm_cfg = Qwen2Config.qwen25_3b()
+    cfg = AF2Config(clap=ClapAudioConfig(), lm=lm_cfg)
+    log("bench_xattn_engines: init AF2-3B (int8 LM + bf16 fusion)...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    fus_p = jax.jit(lambda: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        flamingo.init_fusion(jax.random.PRNGKey(1), cfg)))()
+    params = {**fus_p, "lm": lm_p}
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+
+    rng = np.random.default_rng(0)
+    wpm, max_new = 30, 64
+
+    def workload():
+        reqs = []
+        for i in range(3):
+            for tag, tlen in (("s", 400), ("l", 1500)):
+                wins = rng.normal(size=(1, 1, wpm, cfg.audio_embed_dim)
+                                  ).astype(np.float32) * 0.1
+                reqs.append(FlamingoRequest(
+                    request_id=f"{tag}{i}",
+                    ids=rng.integers(0, 150_000, (1, tlen)).astype(np.int32),
+                    window_embeds=wins, max_new_tokens=max_new))
+        return reqs
+
+    def run(engine_fn):
+        warm = engine_fn()
+        for r in workload()[:2]:
+            warm.submit(r)
+        warm.run_until_done()
+        eng = engine_fn()
+        reqs = workload()
+        for r in reqs:
+            eng.submit(r)
+        t0 = time.perf_counter()
+        results = eng.run_until_done()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in results.values())
+        return total / dt, total, dt
+
+    log("bench_xattn_engines: slot engine (4 x 2048 slots)...")
+    slot_tps, n1, t1 = run(lambda: FlamingoEngine(
+        params=params, cfg=cfg, num_slots=4, capacity=2048, chunk=16,
+        eos_token_id=151_645, sampling=SamplingParams(greedy=True),
+        compute_dtype=jnp.bfloat16, n_media=1, windows_per_media=wpm))
+    log(f"bench_xattn_engines: slot {slot_tps:.1f} tok/s ({n1} tok / {t1:.1f} s)")
+    log("bench_xattn_engines: paged xattn engine (56-block pool)...")
+    paged_tps, n2, t2 = run(lambda: PagedFlamingoEngine(
+        params=params, cfg=cfg, num_rows=4, num_blocks=56, block_size=128,
+        max_blocks_per_seq=16, chunk=16, eos_token_id=151_645,
+        sampling=SamplingParams(greedy=True), compute_dtype=jnp.bfloat16,
+        n_media=1, windows_per_media=wpm))
+    log(f"bench_xattn_engines: paged {paged_tps:.1f} tok/s ({n2} tok / {t2:.1f} s)")
+    res = {"xattn_slot_tps": round(slot_tps, 1),
+           "xattn_paged_tps": round(paged_tps, 1),
+           "xattn_paged_vs_slot": round(paged_tps / slot_tps, 3)}
+    del params, lm_p, fus_p
+    import gc
+
+    gc.collect()
+
+    # ---- AF1: OPT-IML-1.3B + interleaved few-shot ICL prompt ----
+    log("bench_xattn_engines: init AF1 (OPT-1.3B bf16 + fusion)...")
+    af1_cfg = AF1Config.make(xattn=GatedXAttnConfig(cross_every_n_layers=2,
+                                                    num_heads=32))
+    af1_p = jax.jit(lambda: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        flamingo.init(jax.random.PRNGKey(2), af1_cfg)))()
+    _ = jax.block_until_ready(jax.tree.leaves(af1_p)[0])
+
+    b, n_media, wpm1, tlen = 4, 4, 4, 256
+    ids = rng.integers(0, 50_000, (b, tlen)).astype(np.int32)
+    wins = rng.normal(size=(b, n_media, wpm1, af1_cfg.audio_embed_dim)
+                      ).astype(np.float32) * 0.1
+    # interleaved ICL: tokens partitioned into 4 segments, each attending its clip
+    media_idx = np.repeat(np.arange(n_media), tlen // n_media)[None].repeat(b, 0)
+
+    def af1_gen():
+        toks, lens = flamingo.generate(
+            af1_p, af1_cfg, jnp.asarray(ids), jnp.asarray(wins),
+            max_new_tokens=32, eos_token_id=-1,
+            sampling=SamplingParams(greedy=True), rng=jax.random.PRNGKey(0),
+            capacity=512, compute_dtype=jnp.bfloat16,
+            text_media_idx=jnp.asarray(media_idx), media_mode="last")
+        return jax.block_until_ready(toks), lens
+
+    log("bench_xattn_engines: compile AF1 ICL generate...")
+    toks, lens = af1_gen()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, lens = af1_gen()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    af1_tps = b * 32 / dt
+    res["af1_icl_tps"] = round(af1_tps, 1)
+    log(f"bench_xattn_engines: AF1 ICL {af1_tps:.1f} tok/s "
+        f"(b{b}, 4x4 interleaved media)")
+    return res
 
 
 def bench_train() -> dict:
@@ -999,6 +1228,262 @@ def bench_train() -> dict:
     return out
 
 
+def bench_train_mm() -> dict:
+    """Measured MULTIMODAL training steps (VERDICT r3 #3 — the round-3 training
+    numbers were LM-only):
+
+    - train_stage2_*: the AF3 stage-2 shape (static/af3_main_diagram-1.png) —
+      full 32-layer bf16 AF-Whisper HOT (flash fwd + fused bwd at the
+      3000-frame window shape) + adaptor, REAL mels in the batch, gradients
+      back through the frozen int8 7B LM, remat=full, adafactor.
+    - train_qlora7b_*: the single-chip 7B training recipe — int8 frozen base +
+      rank-16 LoRA adapters (ops.lora.partition_lora: adapters are the only
+      differentiable argument), remat=full, adamw on the adapter leaves.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.models import adaptor as adaptor_mod
+    from audio_flamingo_tpu.models import af3, qwen2, whisper_encoder
+    from audio_flamingo_tpu.ops.lora import add_lora, partition_lora
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+
+    out = {}
+    rng = np.random.default_rng(0)
+
+    # ---- stage-2: encoder-hot multimodal step ----
+    enc_cfg = WhisperEncoderConfig(use_flash=True, remat="full")
+    lm_cfg = dataclasses.replace(Qwen2Config.qwen25_7b(), use_flash=True,
+                                 remat="full")
+    cfg = AF3Config(encoder=enc_cfg, lm=lm_cfg)
+    log("bench_train_mm: init (bf16 encoder HOT + frozen int8 7B)...")
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    train = {
+        "encoder": jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                                whisper_encoder.init(jax.random.PRNGKey(1), enc_cfg)),
+        "adaptor": jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            adaptor_mod.init(jax.random.PRNGKey(2), enc_cfg.d_model,
+                             lm_cfg.hidden_size)),
+    }
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+    n_enc = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(train["encoder"]))
+
+    b, text = 4, 64
+    ntok = 750
+    t = ntok + text
+    ids = np.full((b, t), cfg.audio_token_id, np.int32)
+    ids[:, ntok:] = rng.integers(0, 150_000, (b, text))
+    labels = np.where(ids == cfg.audio_token_id, -100, ids).astype(np.int32)
+    mels = rng.normal(size=(b, 1, 3000, 128)).astype(np.float32) * 0.1
+    opt = optax.adafactor(2e-5)
+
+    @jax.jit
+    def stage2_step(train, opt_state, lm_p, ids, labels, mels):
+        def loss_fn(tr):
+            params = {"encoder": tr["encoder"], "adaptor": tr["adaptor"],
+                      "lm": lm_p}
+            return af3.loss(params, cfg, ids, labels, mels,
+                            compute_dtype=jnp.bfloat16, ce_chunk=256)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train)
+        updates, opt_state = opt.update(grads, opt_state, train)
+        return optax.apply_updates(train, updates), opt_state, loss
+
+    log("bench_train_mm: compile stage-2 step (encoder flash bwd)...")
+    opt_state = opt.init(train)
+    args = (jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mels))
+    train, opt_state, loss = stage2_step(train, opt_state, lm_p, *args)
+    _ = float(loss)
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        train, opt_state, loss = stage2_step(train, opt_state, lm_p, *args)
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    # encoder fwd+bwd (weight grads): ~3x fwd FLOPs at the window shape
+    enc_flops = 3.0 * (2 * n_enc * b * 1500 + 4 * b * 32 * 1500 * 1500 * 1280)
+    out["train_stage2_step_ms"] = round(dt * 1e3, 1)
+    out["train_stage2_tokens_per_s"] = round(b * t / dt, 1)
+    out["train_stage2_audio_s_per_s"] = round(b * 30.0 / dt, 1)
+    out["train_stage2_enc_mfu"] = round(enc_flops / dt / 197e12, 3)
+    log(f"bench_train_mm: stage-2 {dt*1e3:.0f} ms/step, {b*t/dt:.0f} tok/s, "
+        f"{b*30/dt:.1f} audio-s/s, enc-MFU~{enc_flops/dt/197e12:.1%}")
+    del train, opt_state
+
+    # ---- QLoRA 7B: adapters over the same frozen int8 base ----
+    log("bench_train_mm: QLoRA-7B init (rank-16 adapters on int8 base)...")
+    # EAGER add_lora: the adapters are small fresh arrays and the int8 base
+    # leaves pass through BY REFERENCE — jitting this returns a full copy of
+    # the 7 GB base (jit outputs are fresh buffers) and HBM-OOMs the step
+    adapted_lm = add_lora(jax.random.PRNGKey(3), lm_p, rank=16)
+    lora_leaves, base_leaves, rebuild = partition_lora(adapted_lm)
+    del adapted_lm, lm_p
+    q_opt = optax.adamw(1e-4)
+    b2, t2 = 4, 1024
+    q_ids = jnp.asarray(rng.integers(0, 150_000, (b2, t2)), jnp.int32)
+
+    # chunked CE via af3.loss (ce_chunk): the full-vocab f32 logits tensor at
+    # [4, 1024, 152k] is ~2.5 GB and its softmax backward doubles it — with
+    # the 7 GB int8 base resident that HBM-OOMs; the chunked CE never
+    # materializes it (same trick as every other training bench here)
+    q_tiny_enc = WhisperEncoderConfig(num_mel_bins=16, d_model=64, num_layers=2,
+                                      num_heads=4, ffn_dim=128)
+    q_cfg = AF3Config(encoder=q_tiny_enc, lm=lm_cfg)
+    q_aux = {
+        "encoder": jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                                whisper_encoder.init(jax.random.PRNGKey(9),
+                                                     q_tiny_enc)),
+        "adaptor": jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            adaptor_mod.init(jax.random.PRNGKey(10), q_tiny_enc.d_model,
+                             lm_cfg.hidden_size)),
+    }
+
+    @jax.jit
+    def qlora_step(lora_vals, opt_state, base_vals, aux, ids):
+        def loss_fn(lv):
+            params3 = {**aux, "lm": rebuild(lv, base_vals)}
+            return af3.loss(params3, q_cfg, ids, ids, None,
+                            compute_dtype=jnp.bfloat16, ce_chunk=256)
+
+        loss, g = jax.value_and_grad(loss_fn)(lora_vals)
+        updates, opt_state = q_opt.update(g, opt_state, lora_vals)
+        return optax.apply_updates(lora_vals, updates), opt_state, loss
+
+    log("bench_train_mm: compile QLoRA step...")
+    q_state = q_opt.init(lora_leaves)
+    lora_leaves, q_state, loss = qlora_step(lora_leaves, q_state, base_leaves,
+                                            q_aux, q_ids)
+    _ = float(loss)
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        lora_leaves, q_state, loss = qlora_step(lora_leaves, q_state,
+                                                base_leaves, q_aux, q_ids)
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    n_lm = 7_070_000_000
+    out["train_qlora7b_step_ms"] = round(dt * 1e3, 1)
+    out["train_qlora7b_tokens_per_s"] = round(b2 * t2 / dt, 1)
+    # fwd + input-grad backward sweeps the full base; weight grads only on
+    # adapters -> ~4*N*T of base FLOPs per token (vs 6*N*T full FT)
+    out["train_qlora7b_mfu"] = round(4.0 * n_lm * b2 * t2 / dt / 197e12, 3)
+    log(f"bench_train_mm: QLoRA-7B {dt*1e3:.0f} ms/step -> {b2*t2/dt:.0f} tok/s "
+        f"(base-MFU~{out['train_qlora7b_mfu']:.1%})")
+    return out
+
+
+def bench_grpo() -> dict:
+    """GRPO on the chip (VERDICT r3 #4 — Music Flamingo's training mode,
+    static/MF-architecture.png): one full iteration at 1.5B with rollouts
+    riding the PAGED serving engine (make_engine_rollout) — G=8 sampled
+    completions of an audio prompt (real mels through the full bf16 encoder,
+    prefix cache shares the prompt pages), rewards, group advantages, PPO-clip
+    + k3-KL update vs a frozen reference policy, adafactor."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config, WhisperEncoderConfig
+    from audio_flamingo_tpu.models import adaptor as adaptor_mod
+    from audio_flamingo_tpu.models import af3, qwen2, whisper_encoder
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+    from audio_flamingo_tpu.train.grpo import (GRPOConfig, grpo_step,
+                                               make_engine_rollout)
+
+    enc_cfg = WhisperEncoderConfig(use_flash=True)
+    lm_cfg = dataclasses.replace(Qwen2Config.qwen25_1_5b(), use_flash=True,
+                                 remat="full")
+    cfg = AF3Config(encoder=enc_cfg, lm=lm_cfg)
+    log("bench_grpo: init 1.5B bf16 policy + frozen reference...")
+    bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)  # noqa: E731
+    policy = {
+        "encoder": bf16(whisper_encoder.init(jax.random.PRNGKey(0), enc_cfg)),
+        "adaptor": bf16(adaptor_mod.init(jax.random.PRNGKey(1), enc_cfg.d_model,
+                                         lm_cfg.hidden_size)),
+        "lm": jax.jit(lambda: bf16(qwen2.init(jax.random.PRNGKey(2), lm_cfg)))(),
+    }
+    # frozen reference: share the (frozen) towers with the policy and hold the
+    # reference LM in int8 — a full bf16 copy next to policy + grads + engine
+    # pool runtime-OOMs one chip; an int8 frozen reference is the standard
+    # deployment choice and _token_logp dispatches on the weight layout
+    from audio_flamingo_tpu.ops.quant import quantize_lm_params
+
+    ref = {"encoder": policy["encoder"], "adaptor": policy["adaptor"],
+           "lm": jax.jit(quantize_lm_params)(policy["lm"])}
+    _ = float(policy["lm"]["ln_f_w"].astype(jnp.float32).sum())
+
+    rng = np.random.default_rng(0)
+    text = 64
+    ntok = 750
+    ids = np.full((1, ntok + text), cfg.audio_token_id, np.int32)
+    ids[0, ntok:] = rng.integers(0, 150_000, text)
+    mels = (rng.normal(size=(1, 1, 3000, 128)) * 0.1).astype(np.float32)
+    prompt = {"ids": ids, "mels": mels}
+    gcfg = GRPOConfig(group_size=8, max_new_tokens=128, temperature=1.0,
+                      top_k=50)
+
+    engine = PagedEngine(params=policy, cfg=cfg, num_rows=8, num_blocks=80,
+                         block_size=128, max_blocks_per_seq=8, chunk=16,
+                         eos_token_id=-1, compute_dtype=jnp.bfloat16,
+                         sampling=SamplingParams(greedy=False),
+                         prefix_cache=True)
+    roll = make_engine_rollout(engine)
+    log("bench_grpo: compile rollout path (paged engine, G=8)...")
+    _ = roll(prompt["ids"], prompt["mels"], gcfg, -1)   # warm every bucket
+    t0 = time.perf_counter()
+    full, gen_mask, lengths = roll(prompt["ids"], prompt["mels"], gcfg, -1)
+    dt_roll = time.perf_counter() - t0
+    gen_tok = int(np.asarray(lengths).sum())
+    rollout_tps = gen_tok / dt_roll
+    log(f"bench_grpo: rollout {gen_tok} tok / {dt_roll:.2f} s = "
+        f"{rollout_tps:.1f} tok/s (G=8 x 128, paged engine)")
+
+    opt = optax.adafactor(1e-6)
+    opt_state = opt.init(policy["lm"])   # mf_3_grpo: LM-only training
+
+    def reward_fn(text_out: str) -> float:
+        return len(set(text_out.split())) / max(len(text_out.split()), 1)
+
+    def decode_fn(toks) -> str:
+        return " ".join(str(t) for t in toks)
+
+    # the UPDATE runs at G=4: the PPO-clip backward + policy/ref chunked logp
+    # over [G, 1070] on top of policy+ref+grads is HBM-bound at G=8 on one
+    # chip (rollout throughput above IS G=8 — decode memory is paged);
+    # multi-chip shards the group axis (groups are data-parallel)
+    gcfg_step = dataclasses.replace(gcfg, group_size=4)
+
+    def one_step(policy, opt_state, k):
+        policy, opt_state, metrics = grpo_step(
+            policy, ref, opt, opt_state, cfg, [prompt], reward_fn, gcfg_step,
+            eos_token_id=-1, rng=k, decode_fn=decode_fn,
+            compute_dtype=jnp.bfloat16, rollout_fn=roll, trainable="lm")
+        engine.params = policy          # next rollouts use the updated policy
+        return policy, opt_state, metrics
+
+    log("bench_grpo: compile update path (policy+ref logp, PPO-clip bwd)...")
+    policy, opt_state, m = one_step(policy, opt_state, jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
+    policy, opt_state, m = one_step(policy, opt_state, jax.random.PRNGKey(2))
+    dt_step = time.perf_counter() - t0
+    log(f"bench_grpo: full GRPO iteration {dt_step*1e3:.0f} ms "
+        f"(loss {m['loss']:.3f}, mean reward {m['mean_reward']:.3f})")
+    return {"grpo_rollout_tps": round(rollout_tps, 1),
+            "grpo_step_ms": round(dt_step * 1e3, 1),
+            "grpo_mean_reward": round(m["mean_reward"], 3)}
+
+
 def bench_ttft() -> dict:
     """p50 TTFT on a 10-min clip: mel -> encode -> 15k-token 7B-int8 prefill -> 1st token."""
     import dataclasses
@@ -1177,6 +1662,46 @@ def bench_ttft() -> dict:
             f"{out['ttft_10min_a8e_s']*1e3:.0f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"bench_ttft: a8-encoder variant failed: {type(e).__name__}: {e}")
+
+    # fused quant-epilogue encoder kernels (ops/pallas/enc_fused.py, VERDICT r3
+    # #1): the measured-winning stage mix (cfg.fused_stages) replaces the
+    # XLA-composed w8a8 stages — the MLP keeps its GELU+requant in VMEM.
+    try:
+        from audio_flamingo_tpu.ops.quant import quantize_encoder_params_fused
+
+        log("bench_ttft: fused-kernel encoder (enc_fused) + a8 prefill...")
+        enc_pf = jax.jit(lambda p: quantize_encoder_params_fused(
+            p, enc_cfg.head_dim))(enc_p)
+        jax.block_until_ready(enc_pf["layers"]["qkv"]["w_q"])
+
+        @jax.jit
+        def fused_a8f_fn(enc_pf, ada_p, lm_p, wav, ids):
+            m = fe._window_mels(wav).astype(jnp.bfloat16)
+            h = whisper_encoder.apply(enc_pf, enc_cfg, m,
+                                      compute_dtype=jnp.bfloat16)
+            e = adaptor_mod.apply(ada_p, h)
+            embeds = qwen2.embed(lm_p, ids, dtype=jnp.bfloat16)
+            flat = e.reshape(1, -1, lm_cfg.hidden_size)
+            embeds = af3.scatter_audio_embeds(embeds, ids, flat, audio_id)
+            pos = jnp.arange(prompt_len)[None]
+            cache = qwen2.init_cache(lm_cfg_a8, 1, cap, dtype=jnp.bfloat16)
+            h2, cache = qwen2.forward(lm_p, lm_cfg_a8, embeds, pos, cache=cache,
+                                      is_prefill=True)
+            return jnp.argmax(qwen2.unembed(lm_p, lm_cfg_a8, h2[:, -1]),
+                              -1).astype(jnp.int32)
+
+        _ = int(fused_a8f_fn(enc_pf, ada_p, lm_p, wav, ids_j)[0])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = int(fused_a8f_fn(enc_pf, ada_p, lm_p, wav, ids_j)[0])
+            times.append(time.perf_counter() - t0)
+        out["ttft_10min_a8f_s"] = float(np.median(times))
+        log(f"bench_ttft: fused-kernel encoder + a8 prefill "
+            f"{out['ttft_10min_a8f_s']*1e3:.0f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_ttft: fused-kernel encoder variant failed: "
+            f"{type(e).__name__}: {e}")
     return out
 
 
@@ -1186,6 +1711,15 @@ def _safe(fn, fallback: dict) -> dict:
         return fn()
     except Exception as e:  # noqa: BLE001
         log(f"{fn.__name__} FAILED: {type(e).__name__}: {e}")
+        # drop the traceback's frame references NOW: they pin the failed
+        # section's device trees (GBs of HBM) and poison every later section
+        # with RESOURCE_EXHAUSTED (measured: a failed 7B section made a 1.5B
+        # section's INIT fail)
+        import gc
+
+        e.__traceback__ = None
+        del e
+        gc.collect()
         return fallback
 
 
@@ -1203,7 +1737,11 @@ def main():
     prefix = _safe(bench_prefix_cache, {})
     paged_matrix = _safe(bench_paged_matrix, {})
     longtail = _safe(bench_longtail, {})
+    clap = _safe(bench_clap, {})
+    xattn = _safe(bench_xattn_engines, {})
     train = _safe(bench_train, {})
+    train_mm = _safe(bench_train_mm, {})
+    grpo = _safe(bench_grpo, {})
     rtfx = enc["encode_rtfx_10min"]
     line = {
         "metric": "encode_rtfx_10min",
@@ -1222,6 +1760,8 @@ def main():
             if "ttft_10min_a8_s" in ttft else None,
             "p50_ttft_10min_a8e_s": round(ttft["ttft_10min_a8e_s"], 3)
             if "ttft_10min_a8e_s" in ttft else None,
+            "p50_ttft_10min_a8f_s": round(ttft["ttft_10min_a8f_s"], 3)
+            if "ttft_10min_a8f_s" in ttft else None,
             "decode_matrix_int8kv_tps": matrix,
             **w4,
             **engines,
@@ -1230,7 +1770,11 @@ def main():
             **prefix,
             **paged_matrix,
             **longtail,
+            **clap,
+            **xattn,
             **train,
+            **train_mm,
+            **grpo,
         },
     }
     print(json.dumps(line))

@@ -1,0 +1,132 @@
+"""Round-4 verify drive: public package surface on the real TPU chip."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+print("devices:", jax.devices(), flush=True)
+
+# 1. mel frontend: 440 Hz tone peaks stably in one bin
+from audio_flamingo_tpu.audio.mel import WhisperMelFrontend
+from audio_flamingo_tpu.config import AF3Config, MelConfig
+
+fe = WhisperMelFrontend(MelConfig(num_mel_bins=128))
+t = np.arange(16_000 * 30) / 16_000
+tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+mel = np.asarray(fe(fe.pad_or_trim(tone)))
+peak = mel[0, 100:2900].argmax(-1)
+assert peak.min() == peak.max(), peak
+print("mel OK: tone peak bin", int(peak[0]), flush=True)
+
+# 2. tiny AF3 wav -> answer end-to-end on TPU (greedy deterministic)
+from audio_flamingo_tpu.models import af3
+from audio_flamingo_tpu.runtime import generate as gen
+from audio_flamingo_tpu.ops.sampling import SamplingParams
+
+cfg = AF3Config.tiny()
+params = af3.init(jax.random.PRNGKey(0), cfg)
+ids = np.full((1, 28), cfg.audio_token_id, np.int32)
+ids[0, 25:] = 7
+mels = (np.random.default_rng(0).normal(size=(1, 1, 3000, 16)) * 0.1).astype(np.float32)
+toks1, l1 = gen.generate(params, cfg, jnp.asarray(ids), jnp.asarray(mels),
+                         max_new_tokens=8, eos_token_id=-1,
+                         sampling=SamplingParams(greedy=True), rng=jax.random.PRNGKey(0))
+toks2, _ = gen.generate(params, cfg, jnp.asarray(ids), jnp.asarray(mels),
+                        max_new_tokens=8, eos_token_id=-1,
+                        sampling=SamplingParams(greedy=True), rng=jax.random.PRNGKey(1))
+a, b = np.asarray(toks1)[0], np.asarray(toks2)[0]
+assert (a == b).all() and (a >= 0).all() and (a < cfg.lm.vocab_size).all(), (a, b)
+print("AF3 tiny generate OK:", a.tolist(), flush=True)
+
+# 3. graft entry forward compiles + runs on chip
+import importlib.util
+spec = importlib.util.spec_from_file_location("graft", "/root/repo/__graft_entry__.py")
+graft = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(graft)
+fn, args = graft.entry()
+out = jax.jit(fn)(*args)
+jax.block_until_ready(out)
+leaf = jax.tree.leaves(out)[0]
+val = float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+assert np.isfinite(val)
+print("graft entry OK:", getattr(leaf, "shape", None), val, flush=True)
+
+# 4. round-4 library additions on the REAL chip:
+#    (a) fused encoder kernels parity at a real-ish shape
+from audio_flamingo_tpu.config import WhisperEncoderConfig
+from audio_flamingo_tpu.models import whisper_encoder
+from audio_flamingo_tpu.ops.quant import (quantize_encoder_params,
+                                          quantize_encoder_params_fused)
+import dataclasses
+ecfg = WhisperEncoderConfig(use_flash=True, num_layers=2)
+ep = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                  whisper_encoder.init(jax.random.PRNGKey(1), ecfg))
+m2 = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3000, 128)) * 0.3, jnp.bfloat16)
+y8 = whisper_encoder.apply(jax.jit(quantize_encoder_params)(ep), ecfg, m2,
+                           compute_dtype=jnp.bfloat16)
+cfg_f = dataclasses.replace(ecfg, fused_stages=("qkv", "out", "mlp"))
+yf = whisper_encoder.apply(jax.jit(lambda p: quantize_encoder_params_fused(
+    p, ecfg.head_dim))(ep), cfg_f, m2, compute_dtype=jnp.bfloat16)
+ya = np.asarray(y8, np.float32); yb = np.asarray(yf, np.float32)
+rel = np.abs(ya - yb).max() / max(np.abs(ya).max(), 1e-6)
+assert rel < 0.06, rel
+print(f"fused encoder kernels OK on chip: max rel {rel:.4f}", flush=True)
+
+#    (b) stacked-prefetch paged kernel == sliced, ON CHIP
+from audio_flamingo_tpu.ops.pallas.paged_attention import paged_attention
+rng = np.random.default_rng(7)
+L, nb, blk, nkv, hd = 3, 8, 128, 2, 128
+q = jnp.asarray(rng.normal(size=(2, nkv, 4, hd)), jnp.bfloat16)
+kp = jnp.asarray(rng.normal(size=(L, nb, blk, nkv, hd)), jnp.bfloat16)
+vp = jnp.asarray(rng.normal(size=(L, nb, blk, nkv, hd)), jnp.bfloat16)
+tables = jnp.asarray([[1, 2, -1], [3, -1, -1]], jnp.int32)
+lengths = jnp.asarray([200, 100], jnp.int32)
+o_s, m_s, l_s = paged_attention(q, kp, vp, tables, lengths, jnp.asarray(1))
+o_1, m_1, l_1 = paged_attention(q, kp[1], vp[1], tables, lengths)
+np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_1), atol=2e-2, rtol=2e-2)
+print("stacked paged kernel OK on chip", flush=True)
+
+#    (c) paged engine end-to-end decode on chip (tiny) — exercises the rewired scan
+from audio_flamingo_tpu.runtime.paged_engine import PagedEngine
+from audio_flamingo_tpu.runtime.engine import Request
+eng = PagedEngine(params=params, cfg=cfg, num_rows=2, num_blocks=12, block_size=16,
+                  max_blocks_per_seq=4, chunk=4, eos_token_id=-1,
+                  sampling=SamplingParams(greedy=True))
+for i in range(2):
+    eng.submit(Request(request_id=f"v{i}", ids=np.asarray(ids), mels=mels,
+                       max_new_tokens=6))
+res = eng.run_until_done()
+ref = a[:6].tolist()
+for rid, toks in res.items():
+    assert toks[:6] == ref, (rid, toks, ref)
+print("paged engine (rewired scan) token-exact vs generate on chip", flush=True)
+
+# 5. harmonic vocoder surface (CPU-ish math but via public API; tiny)
+from audio_flamingo_tpu.audio import neural_vocoder as nv
+tcfg = nv.VocoderConfig(channels=32)
+vp_ = nv.init(jax.random.PRNGKey(0), tcfg)
+mel_in = jax.random.normal(jax.random.PRNGKey(1), (1, 24, tcfg.n_mels))
+wav = nv.apply(vp_, tcfg, mel_in)
+assert wav.shape == (1, 24 * tcfg.hop) and bool(jnp.isfinite(wav).all())
+print("harmonic vocoder apply OK:", wav.shape, flush=True)
+
+# 6. AF2 processor batched mel windows (round-4: one device call for all
+#    windows) on the real chip: 23 s clip -> 4-window bucket, fusion channels
+from audio_flamingo_tpu.config import AF2Config, ClapAudioConfig
+from audio_flamingo_tpu.runtime.clap_processor import AF2Processor
+
+clap_cfg = ClapAudioConfig(num_mel_bins=64, spec_size=64, patch_size=4,
+                           patch_stride=4, patch_embed_dim=24, depths=(2, 2),
+                           num_heads=(2, 4), window_size=4, projection_dim=64)
+proc = AF2Processor(tokenizer=None, cfg=AF2Config(clap=clap_cfg))
+wav23 = (0.1 * np.sin(2 * np.pi * 220 * np.arange(48_000 * 23) / 48_000)
+         ).astype(np.float32)
+m_b, lg_b = proc.windows_for(wav23)
+assert m_b.shape[:2] == (4, 4) and not lg_b.any(), (m_b.shape, lg_b)
+ref0, _ = proc.frontend(wav23[: proc.frontend.max_samples])
+np.testing.assert_allclose(m_b[0], np.asarray(ref0), rtol=1e-5, atol=1e-4)
+print("AF2 batched mel windows OK:", m_b.shape, flush=True)
+
+print("VERIFY ALL OK", flush=True)
