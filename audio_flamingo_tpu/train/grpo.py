@@ -154,12 +154,18 @@ def _token_logp(params, cfg: AF3Config, ids, mels, compute_dtype,
 
 
 @partial(jax.jit, static_argnames=("cfg", "gcfg", "compute_dtype"))
-def grpo_loss(params, ref_params, cfg: AF3Config, ids, mels, gen_mask, advantages,
+def grpo_loss(params, ref_logp, cfg: AF3Config, ids, mels, gen_mask, advantages,
               old_logp, gcfg: GRPOConfig, compute_dtype=jnp.float32):
     """Clipped-ratio policy loss + KL(pi || pi_ref), averaged over generated tokens.
 
     ids [G, L]; gen_mask [G, L] (True = generated); advantages [G];
-    old_logp [G, L-1] token logprobs under the behavior policy (from rollout time).
+    old_logp [G, L-1] token logprobs under the behavior policy (from rollout
+    time); ref_logp [G, L-1] token logprobs under the FROZEN reference —
+    precomputed by the caller with `_token_logp(ref_params, ...)`. The
+    reference forward carries no gradients, so keeping it inside the
+    differentiated program only doubled that program's size (encoder + LM +
+    chunked-logp subgraphs twice plus the policy backward), which is what the
+    remote compile service choked on at the 1.5B bench shape.
     """
     logp = _token_logp(params, cfg, ids, mels, compute_dtype)
     mask = gen_mask[:, 1:].astype(jnp.float32)
@@ -169,10 +175,8 @@ def grpo_loss(params, ref_params, cfg: AF3Config, ids, mels, gen_mask, advantage
     clipped = jnp.clip(ratio, 1 - gcfg.clip_eps, 1 + gcfg.clip_eps) * adv
     pg = -jnp.minimum(unclipped, clipped)
 
-    ref_logp = jax.lax.stop_gradient(
-        _token_logp(ref_params, cfg, ids, mels, compute_dtype))
     # k3 KL estimator (unbiased, low-variance): e^(ref-logp) - (ref-logp) - 1
-    delta = ref_logp - logp
+    delta = jax.lax.stop_gradient(ref_logp) - logp
     kl = jnp.exp(delta) - delta - 1.0
 
     per_tok = pg + gcfg.kl_coef * kl
@@ -219,16 +223,20 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
                   if prompt.get("mels") is not None else None)
         old_logp = jax.lax.stop_gradient(
             _token_logp(params, cfg, full, mels_t, compute_dtype))
+        # reference logp OUTSIDE the differentiated program (grpo_loss
+        # docstring): it carries no gradients
+        ref_logp = jax.lax.stop_gradient(
+            _token_logp(ref_params, cfg, full, mels_t, compute_dtype))
         if trainable == "lm":
             def lm_loss(lm_p):
-                return grpo_loss({**params, "lm": lm_p}, ref_params, cfg, full,
+                return grpo_loss({**params, "lm": lm_p}, ref_logp, cfg, full,
                                  mels_t, gen_mask, adv, old_logp, gcfg,
                                  compute_dtype)
 
             loss, grads = jax.value_and_grad(lm_loss)(params["lm"])
         else:
             loss, grads = jax.value_and_grad(grpo_loss)(
-                params, ref_params, cfg, full, mels_t, gen_mask, adv, old_logp,
+                params, ref_logp, cfg, full, mels_t, gen_mask, adv, old_logp,
                 gcfg, compute_dtype)
         all_grads = grads if all_grads is None else jax.tree.map(jnp.add, all_grads, grads)
         total_loss += float(loss)

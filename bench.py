@@ -1462,7 +1462,7 @@ def bench_grpo() -> dict:
     # over [G, 1070] on top of policy+ref+grads is HBM-bound at G=8 on one
     # chip (rollout throughput above IS G=8 — decode memory is paged);
     # multi-chip shards the group axis (groups are data-parallel)
-    gcfg_step = dataclasses.replace(gcfg, group_size=4)
+    gcfg_step = dataclasses.replace(gcfg, group_size=4, max_new_tokens=64)
 
     def one_step(policy, opt_state, k):
         policy, opt_state, metrics = grpo_step(
@@ -1472,16 +1472,23 @@ def bench_grpo() -> dict:
         engine.params = policy          # next rollouts use the updated policy
         return policy, opt_state, metrics
 
-    log("bench_grpo: compile update path (policy+ref logp, PPO-clip bwd)...")
-    policy, opt_state, m = one_step(policy, opt_state, jax.random.PRNGKey(1))
-    t0 = time.perf_counter()
-    policy, opt_state, m = one_step(policy, opt_state, jax.random.PRNGKey(2))
-    dt_step = time.perf_counter() - t0
-    log(f"bench_grpo: full GRPO iteration {dt_step*1e3:.0f} ms "
-        f"(loss {m['loss']:.3f}, mean reward {m['mean_reward']:.3f})")
-    return {"grpo_rollout_tps": round(rollout_tps, 1),
-            "grpo_step_ms": round(dt_step * 1e3, 1),
-            "grpo_mean_reward": round(m["mean_reward"], 3)}
+    out = {"grpo_rollout_tps": round(rollout_tps, 1)}
+    try:
+        log("bench_grpo: compile update path (policy+ref logp, PPO-clip bwd)...")
+        policy, opt_state, m = one_step(policy, opt_state, jax.random.PRNGKey(1))
+        t0 = time.perf_counter()
+        policy, opt_state, m = one_step(policy, opt_state, jax.random.PRNGKey(2))
+        dt_step = time.perf_counter() - t0
+        log(f"bench_grpo: full GRPO iteration {dt_step*1e3:.0f} ms "
+            f"(loss {m['loss']:.3f}, mean reward {m['mean_reward']:.3f})")
+        out["grpo_step_ms"] = round(dt_step * 1e3, 1)
+        out["grpo_mean_reward"] = round(m["mean_reward"], 3)
+    except Exception as e:  # noqa: BLE001 — keep the measured rollout number
+        log(f"bench_grpo: update phase failed ({type(e).__name__}) — "
+            "rollout throughput stands; see STATUS.md GRPO row")
+        e.__traceback__ = None
+        out["grpo_step_ms"] = None
+    return out
 
 
 def bench_ttft() -> dict:
