@@ -117,7 +117,21 @@ def _harmonic_source(cfg: VocoderConfig, f0: jnp.ndarray, voiced: jnp.ndarray,
     the f32 sin argument small (sin(h*(phi - 2*pi*k)) == sin(h*phi))."""
     b, frames = f0.shape
     inc = 2.0 * jnp.pi * f0 * (cfg.hop / cfg.sr)                 # [B, F]
-    base = jnp.cumsum(inc, axis=1) - inc                         # exclusive
+    # exclusive cumsum with PROGRESSIVE 2*pi wrapping (hierarchical: exact
+    # within a chunk, chunk totals pre-modded before the outer cumsum). A
+    # plain f32 cumsum reaches ~1e5 rad on multi-minute single-shot apply()
+    # calls where f32 spacing is >0.01 rad, audibly degrading source pitch
+    # (ADVICE r4 #3; sin(h*(phi mod 2*pi)) == sin(h*phi) for integer h, so
+    # wrapping is exact). Streaming is unaffected (host-f64 phase carry).
+    chunk = 256
+    pad = (-frames) % chunk
+    inc_p = jnp.pad(jnp.mod(inc, 2.0 * jnp.pi), ((0, 0), (0, pad)))
+    inc_c = inc_p.reshape(b, -1, chunk)
+    within = jnp.cumsum(inc_c, axis=2) - inc_c                   # < chunk*2*pi
+    tot = jnp.mod(jnp.sum(inc_c, axis=2), 2.0 * jnp.pi)          # [B, n]
+    cbase = jnp.mod(jnp.cumsum(tot, axis=1) - tot, 2.0 * jnp.pi)
+    base = jnp.mod(cbase[..., None] + within, 2.0 * jnp.pi)
+    base = base.reshape(b, -1)[:, :frames]                       # exclusive
     if phase0 is not None:
         base = base + phase0[:, None]
     step = 2.0 * jnp.pi * f0[..., None] / cfg.sr                 # per-sample

@@ -64,10 +64,13 @@ class WhisperEncoderConfig:
     a8_attention: bool = False
     # which layer stages use the fused quant-epilogue Pallas kernels when the
     # params carry the fused layout (ops/pallas/enc_fused.py); the others run
-    # the XLA-composed w8a8 stages. Measured on-chip (round 4): the fused MLP
-    # wins ~1.4 ms/layer (in-VMEM GELU+requant), while XLA's cross-stage
-    # fusions beat the fused qkv/out kernels at this d_model.
-    fused_stages: tuple = ("mlp",)
+    # the XLA-composed w8a8 stages. Measured on-chip (round 4,
+    # docs/TTFT_PERF.md): the fused MLP wins ~1.4 ms/layer in ISOLATION, but
+    # every fused mix — including {"mlp"} — loses END-TO-END to XLA's
+    # cross-stage fusion (479-495 vs 457 ms full encoder), so the default is
+    # empty and the XLA w8a8 path ships. The kernels remain available for
+    # shapes/backends where the tradeoff flips.
+    fused_stages: tuple = ()
     # pooling after the stack: AF3's adaptor downsamples 2x like Qwen2-Audio's AvgPool1d(2,2)
     # ([hf] models/qwen2_audio/modeling_qwen2_audio.py:329,434-437)
     pool_stride: int = 2

@@ -91,6 +91,16 @@ def _linear(x, p):
     return y
 
 
+def _largest_divisor_tile(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (enc_mlp requires ffn_dim % f_tile
+    == 0; a bare min() trips the assert for ffn_dims like whisper-small's 3072
+    that exceed but don't divide by the cap — ADVICE r4 #2)."""
+    for t in range(min(n, cap), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
 def _layer_forward_fused(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) -> jnp.ndarray:
     """Fused quant-epilogue w8a8 layer (ops/pallas/enc_fused.py): three Pallas
     calls keep every LN / activation-quant / GELU / dequant pass in VMEM — the
@@ -135,7 +145,8 @@ def _layer_forward_fused(x: jnp.ndarray, lp: dict, cfg: WhisperEncoderConfig) ->
         x3 = enc_mlp(hq, hs, lp["fc1"]["w_q"], lp["fc1"]["scale"],
                      lp["fc1"]["b"], lp["fc2"]["w_q"], lp["fc2"]["scale"],
                      lp["fc2"]["b"], x2, block_m=ef.ENC_MLP_BLOCK_M,
-                     f_tile=min(ef.ENC_MLP_F_TILE, cfg.ffn_dim))
+                     f_tile=_largest_divisor_tile(cfg.ffn_dim,
+                                                  ef.ENC_MLP_F_TILE))
     else:
         g = q_matmul_a8q(hq, hs, lp["fc1"], out_dtype=x2.dtype) \
             + lp["fc1"]["b"].astype(x2.dtype)

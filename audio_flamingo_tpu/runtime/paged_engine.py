@@ -217,6 +217,31 @@ class PagedEngine:
     def capacity(self) -> int:
         return self.max_blocks_per_seq * self.block_size
 
+    def offload_pool(self) -> None:
+        """Swap the page pool (+ scales/tables/lengths) to host RAM, freeing
+        its HBM between serving phases — e.g. a GRPO iteration's strictly
+        sequential rollout -> update on one chip (VERDICT r4 #5): the update's
+        policy grads and chunked logp must not co-reside with serving pages.
+        The engine must be idle (no active rows, no in-flight prefill);
+        restore_pool() re-uploads. Host scheduling state (allocator, tables_np,
+        prefix store) is untouched, so restored pages serve prefix-cache hits
+        exactly as before the swap."""
+        assert not self.active and self.prefilling is None, \
+            "offload_pool: engine has in-flight work"
+        assert self.cache is not None
+        self._host_pool = jax.device_get(self.cache)
+        self.cache = None
+        import gc
+
+        gc.collect()   # drop the device pool NOW, not at the next GC cycle
+
+    def restore_pool(self) -> None:
+        """Re-upload a pool swapped out by offload_pool()."""
+        assert self.cache is None and getattr(self, "_host_pool", None) is not None
+        host = self._host_pool
+        self._host_pool = None
+        self.cache = jax.device_put(host)
+
     def _speculating(self) -> bool:
         return (self.draft_params is not None and not self.spec_disabled
                 and self.sampling.greedy

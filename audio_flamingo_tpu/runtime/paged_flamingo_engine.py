@@ -95,10 +95,14 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
             q, k, v = qwen2.qkv_proj(h, lp, lcfg, stacked, idx)
             q, k = apply_rope(q, k, cos, sin)
         qg = q[:, 0].reshape(b, nkv, g, hd)
-        ks_layer = cache.k_scale[i] if quantized else None
-        vs_layer = cache.v_scale[i] if quantized else None
-        o, m, l = paged_attention(qg, cache.k[i], cache.v[i], cache.block_tables,
-                                  cache.lengths, k_scale=ks_layer, v_scale=vs_layer,
+        # stacked pool + in-kernel layer resolution: slicing cache.k[i] here
+        # (the unrolled-loop analogue of scan xs) materialized a copy of the
+        # layer's whole pool per layer per step — the measured 0.905
+        # xattn_paged_vs_slot gap (VERDICT r4 #4; paged_cache.py decode body
+        # is the reference pattern).
+        o, m, l = paged_attention(qg, cache.k, cache.v, cache.block_tables,
+                                  cache.lengths, layer_idx=idx,
+                                  k_scale=cache.k_scale, v_scale=cache.v_scale,
                                   scale=scale)
         if quantized:
             kq, ksc = qwen2._quantize_kv(k)
@@ -215,11 +219,11 @@ def _xattn_paged_verify(params, cfg: AF2Config, cache: PagedKV, media, tokens,
             q, k = apply_rope(q, k, cos, sin)
         qf = q.reshape(b, s, nkv, g, hd).transpose(0, 2, 1, 3, 4) \
               .reshape(b, nkv, s * g, hd)
-        ks_layer = cache.k_scale[i] if quantized else None
-        vs_layer = cache.v_scale[i] if quantized else None
-        o, m, l = paged_attention(qf, cache.k[i], cache.v[i], cache.block_tables,
-                                  cache.lengths, k_scale=ks_layer,
-                                  v_scale=vs_layer, scale=scale)
+        # stacked pool + in-kernel layer resolution (see decode body)
+        o, m, l = paged_attention(qf, cache.k, cache.v, cache.block_tables,
+                                  cache.lengths, layer_idx=idx,
+                                  k_scale=cache.k_scale,
+                                  v_scale=cache.v_scale, scale=scale)
         o = o.reshape(b, nkv, s, g, hd).transpose(0, 2, 1, 3, 4)
         m = m.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
         l = l.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)

@@ -13,7 +13,7 @@ SURVEY.md §7 hard-parts note); the update reuses the af3 full-sequence forward.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Sequence
 
 import jax
@@ -67,11 +67,12 @@ def make_engine_rollout(engine):
     decorrelate the group; with prefix_cache=True the shared prompt (and its
     encoder ride) prefills once and the other G-1 rows reuse the pages.
 
-    The engine holds a params REFERENCE: after each optimizer update, assign
-    `engine.params = new_params` (same shapes -> no recompile) so rollouts
-    sample from the current policy. Returned callable matches `rollout`'s
-    (full_ids, gen_mask, lengths) contract and plugs into
-    `grpo_step(rollout_fn=...)`."""
+    The engine holds a params REFERENCE; `grpo_step` keeps it on-policy
+    automatically (entry + post-update sync via `_sync_engine_policy` — same
+    shapes, leaf reassignment, no recompile). Callers driving the engine
+    outside grpo_step should still assign `engine.params = new_params` after
+    updates. Returned callable matches `rollout`'s (full_ids, gen_mask,
+    lengths) contract and plugs into `grpo_step(rollout_fn=...)`."""
     import itertools
 
     from audio_flamingo_tpu.runtime.engine import Request
@@ -105,7 +106,35 @@ def make_engine_rollout(engine):
             lengths[i] = len(toks)
         return jnp.asarray(full), jnp.asarray(gen_mask), jnp.asarray(lengths)
 
+    fn.engine = engine   # grpo_step syncs engine.params to the policy tree
     return fn
+
+
+def _sync_engine_policy(rollout_fn, policy) -> None:
+    """Keep an engine-backed rollout_fn sampling the CURRENT policy.
+
+    make_engine_rollout samples from engine.params while grpo_step computes
+    old_logp under the policy tree — a stale engine would silently treat
+    off-policy samples as on-policy (ratio pinned to 1, clipping never
+    engages; ADVICE r4 #4). Same-layout trees are refreshed in place (leaf
+    assignment, no recompile); a differently-structured engine tree (e.g. an
+    int8-quantized serving copy) cannot be refreshed here and raises — such
+    callers should requantize after each update and pass a plain callable
+    (without the .engine attribute) to opt out of the sync."""
+    eng = getattr(rollout_fn, "engine", None)
+    if eng is None:
+        return
+    e_leaves, e_def = jax.tree.flatten(eng.params)
+    p_leaves, p_def = jax.tree.flatten(policy)
+    if all(a is b for a, b in zip(e_leaves, p_leaves)) and e_def == p_def:
+        return
+    if e_def != p_def:
+        raise ValueError(
+            "make_engine_rollout: engine.params tree layout differs from the "
+            "policy (quantized serving copy?) — grpo_step cannot keep it "
+            "on-policy; requantize engine.params after each update and pass "
+            "a callable without an .engine attribute to opt out.")
+    eng.params = policy
 
 
 def group_advantages(rewards: jnp.ndarray) -> jnp.ndarray:
@@ -188,7 +217,7 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
               reward_fn: Callable[[list[int]], float], gcfg: GRPOConfig,
               eos_token_id: int, rng: jax.Array, decode_fn: Callable[[list[int]], str],
               compute_dtype=jnp.float32, rollout_fn=None,
-              trainable: str | None = None):
+              trainable: str | None = None, offload_pool: bool = False):
     """One GRPO update over a list of prompts ({'ids': [1,T], 'mels': ...}).
 
     reward_fn scores decoded text (custom music rewards live in the caller).
@@ -199,12 +228,17 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
     the LM subtree. Besides matching the stage semantics, this lets XLA drop
     the encoder backward entirely; with audio prompts at G=8 the un-remat'd
     encoder backward alone exceeds one chip's HBM (measured 38.6 GB ask).
+    offload_pool=True: rollout and update are strictly SEQUENTIAL, so with an
+    engine-backed rollout_fn the page pool is swapped to host RAM for the
+    update phase and restored after — on one 16 GB chip the G=8 update's
+    grads + chunked logp do not fit NEXT TO serving pages (VERDICT r4 #5).
+    All rollouts then run first (one engine phase), then all grads.
     Returns (params, opt_state, metrics).
     """
-    import optax
-
-    all_grads = None
-    total_loss, total_reward = 0.0, 0.0
+    # ---- phase 1: rollouts + rewards (engine pool resident) ----
+    if rollout_fn is not None:
+        _sync_engine_policy(rollout_fn, params)
+    rollouts = []
     for prompt in prompts:
         rng, k = jax.random.split(rng)
         if rollout_fn is not None:
@@ -214,6 +248,33 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
             full, gen_mask, lengths = rollout(params, cfg, prompt["ids"],
                                               prompt.get("mels"), gcfg,
                                               eos_token_id, k, compute_dtype)
+        rollouts.append((prompt, full, gen_mask, lengths))
+
+    eng = getattr(rollout_fn, "engine", None)
+    swapped = False
+    if offload_pool and eng is not None and hasattr(eng, "offload_pool"):
+        eng.offload_pool()
+        swapped = True
+    try:
+        params, opt_state, metrics = _grpo_update(
+            params, ref_params, opt, opt_state, cfg, rollouts, reward_fn,
+            gcfg, decode_fn, compute_dtype, trainable)
+    finally:
+        if swapped:
+            eng.restore_pool()
+    if rollout_fn is not None:
+        _sync_engine_policy(rollout_fn, params)   # next rollouts: new policy
+    return params, opt_state, metrics
+
+
+def _grpo_update(params, ref_params, opt, opt_state, cfg, rollouts, reward_fn,
+                 gcfg, decode_fn, compute_dtype, trainable):
+    """Phase 2 of grpo_step: rewards -> advantages -> PPO-clip grads -> apply."""
+    import optax
+
+    all_grads = None
+    total_loss, total_reward = 0.0, 0.0
+    for prompt, full, gen_mask, lengths in rollouts:
         t = prompt["ids"].shape[1]
         texts = [decode_fn(np.asarray(full[i, t: t + int(lengths[i])]).tolist())
                  for i in range(gcfg.group_size)]
@@ -242,15 +303,32 @@ def grpo_step(params, ref_params, opt, opt_state, cfg: AF3Config, prompts: Seque
         total_loss += float(loss)
         total_reward += float(rewards.mean())
 
-    n = len(prompts)
+    n = len(rollouts)
     all_grads = jax.tree.map(lambda g: g / n, all_grads)
+    # grads AND the updated subtree are donated: apply_updates otherwise holds
+    # old params + updates + new params live at once (~3x the LM bytes at the
+    # 1.5B bench shape). Callers must use the RETURNED params — the old lm
+    # leaves are invalidated by donation.
     if trainable == "lm":
-        updates, opt_state = opt.update(all_grads, opt_state, params["lm"])
-        params = {**params, "lm": optax.apply_updates(params["lm"], updates)}
+        new_lm, opt_state = _donating_apply(opt)(all_grads, opt_state, params["lm"])
+        params = {**params, "lm": new_lm}
     else:
-        updates, opt_state = opt.update(all_grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = _donating_apply(opt)(all_grads, opt_state, params)
     return params, opt_state, {"loss": total_loss / n, "mean_reward": total_reward / n}
+
+
+@lru_cache(maxsize=8)
+def _donating_apply(opt):
+    """jitted (grads, opt_state, params) -> (new_params, new_opt_state) with
+    grads+params donated (optax GradientTransformations are hashable
+    NamedTuples, so the jit caches per optimizer across grpo_step calls)."""
+    import optax
+
+    def apply(grads, opt_state, p):
+        updates, new_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), new_state
+
+    return jax.jit(apply, donate_argnums=(0, 2))
 
 
 # ------------------------------------------------------------------ example rewards

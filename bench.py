@@ -1458,19 +1458,20 @@ def bench_grpo() -> dict:
     def decode_fn(toks) -> str:
         return " ".join(str(t) for t in toks)
 
-    # the UPDATE runs at G=4: the PPO-clip backward + policy/ref chunked logp
-    # over [G, 1070] on top of policy+ref+grads is HBM-bound at G=8 on one
-    # chip (rollout throughput above IS G=8 — decode memory is paged);
-    # multi-chip shards the group axis (groups are data-parallel)
-    gcfg_step = dataclasses.replace(gcfg, group_size=4, max_new_tokens=64)
+    # the update runs at the rollout's G=8: rollout and update are strictly
+    # sequential, so grpo_step(offload_pool=True) swaps the engine's page pool
+    # to host RAM for the update phase (grads + chunked policy/ref logp over
+    # [8, ~880] do not fit NEXT TO serving pages on one 16 GB chip — VERDICT
+    # r4 #5) and restores it after; grads+params are donated into the apply
+    gcfg_step = dataclasses.replace(gcfg, group_size=8, max_new_tokens=64)
 
     def one_step(policy, opt_state, k):
-        policy, opt_state, metrics = grpo_step(
+        # grpo_step re-syncs engine.params to the updated policy internally
+        return grpo_step(
             policy, ref, opt, opt_state, cfg, [prompt], reward_fn, gcfg_step,
             eos_token_id=-1, rng=k, decode_fn=decode_fn,
-            compute_dtype=jnp.bfloat16, rollout_fn=roll, trainable="lm")
-        engine.params = policy          # next rollouts use the updated policy
-        return policy, opt_state, metrics
+            compute_dtype=jnp.bfloat16, rollout_fn=roll, trainable="lm",
+            offload_pool=True)
 
     out = {"grpo_rollout_tps": round(rollout_tps, 1)}
     try:
@@ -1712,6 +1713,18 @@ def bench_ttft() -> dict:
     return out
 
 
+def bench_spec_real() -> dict:
+    """Speculation with a REAL (distilled) draft — true accept-compare path,
+    guardrail ACTIVE (no Bernoulli injection). VERDICT r4 #6."""
+    from scripts.distill_draft import ensure_draft_asset, run_real_spec_bench
+
+    path = ensure_draft_asset()
+    if path is None:
+        log("bench_spec_real: no draft asset and distillation unavailable")
+        return {}
+    return run_real_spec_bench(path, log)
+
+
 def _safe(fn, fallback: dict) -> dict:
     """A failed secondary section must not cost the whole BENCH artifact."""
     try:
@@ -1730,61 +1743,102 @@ def _safe(fn, fallback: dict) -> dict:
         return fallback
 
 
-def main():
-    _start_watchdog()
-    enc = _safe(bench_encoder, {"encode_rtfx_10min": 0.0, "encode_s_10min": 0.0})
-    dec = _safe(bench_decode, {"decode_tps_7b_int8_b1": 0.0,
-                               "decode_ms_per_tok": 0.0, "decode_capacity": 0})
-    ttft = _safe(bench_ttft, {"ttft_10min_s": 0.0})
-    matrix = _safe(bench_decode_matrix, {})
-    w4 = _safe(bench_decode_w4, {})
-    engines = _safe(bench_engines_mixed, {})
-    spec = _safe(bench_spec_engine, {})
-    spec_paged = _safe(bench_spec_paged, {})
-    prefix = _safe(bench_prefix_cache, {})
-    paged_matrix = _safe(bench_paged_matrix, {})
-    longtail = _safe(bench_longtail, {})
-    clap = _safe(bench_clap, {})
-    xattn = _safe(bench_xattn_engines, {})
-    train = _safe(bench_train, {})
-    train_mm = _safe(bench_train_mm, {})
-    grpo = _safe(bench_grpo, {})
-    rtfx = enc["encode_rtfx_10min"]
-    line = {
+# (name, fn, fallback). Ordered headline-first, then the current round's gated
+# sections, then the stable re-measures: with cumulative emission + the internal
+# wall-clock budget, whatever completes before the driver's (or our own) budget
+# expires IS the artifact — round 4 lost its whole scoreboard to an all-at-the-
+# end print (BENCH_r04.json rc:124, parsed:null).
+def _sections():
+    return [
+        ("encoder", bench_encoder,
+         {"encode_rtfx_10min": 0.0, "encode_s_10min": 0.0}),
+        ("decode", bench_decode,
+         {"decode_tps_7b_int8_b1": 0.0, "decode_ms_per_tok": 0.0,
+          "decode_capacity": 0}),
+        ("ttft", bench_ttft, {"ttft_10min_s": 0.0}),
+        ("clap", bench_clap, {}),
+        ("xattn_engines", bench_xattn_engines, {}),
+        ("grpo", bench_grpo, {}),
+        ("spec_real", bench_spec_real, {}),
+        ("decode_matrix", bench_decode_matrix, {}),
+        ("decode_w4", bench_decode_w4, {}),
+        ("engines_mixed", bench_engines_mixed, {}),
+        ("spec_engine", bench_spec_engine, {}),
+        ("spec_paged", bench_spec_paged, {}),
+        ("prefix_cache", bench_prefix_cache, {}),
+        ("paged_matrix", bench_paged_matrix, {}),
+        ("longtail", bench_longtail, {}),
+        ("train", bench_train, {}),
+        ("train_mm", bench_train_mm, {}),
+    ]
+
+
+def _build_line(results: dict, done: list, skipped: list,
+                elapsed_s: float) -> dict:
+    """Assemble the cumulative scoreboard line from completed sections."""
+    enc = results.get("encoder", {})
+    dec = results.get("decode", {})
+    ttft = results.get("ttft", {})
+    rtfx = float(enc.get("encode_rtfx_10min", 0.0))
+    secondary = {
+        "decode_tps_af3_7b_int8_b1_1chip":
+            round(float(dec.get("decode_tps_7b_int8_b1", 0.0)), 2),
+        "decode_ms_per_tok": round(float(dec.get("decode_ms_per_tok", 0.0)), 3),
+        "decode_vs_target_30tps":
+            round(float(dec.get("decode_tps_7b_int8_b1", 0.0)) / 30.0, 2),
+        "encode_s_10min": round(float(enc.get("encode_s_10min", 0.0)), 4),
+    }
+    for key in ("ttft_10min_s", "ttft_10min_fused_s", "ttft_10min_a8_s",
+                "ttft_10min_a8e_s", "ttft_10min_a8f_s"):
+        if key in ttft:
+            secondary[f"p50_{key}"] = round(float(ttft[key]), 3)
+    if "decode_matrix" in results:
+        secondary["decode_matrix_int8kv_tps"] = results["decode_matrix"]
+    for name, _, _ in _sections():
+        if name in ("encoder", "decode", "ttft", "decode_matrix"):
+            continue
+        secondary.update(results.get(name, {}))
+    secondary["sections_done"] = done
+    if skipped:
+        secondary["skipped_budget"] = skipped
+    secondary["bench_elapsed_s"] = round(elapsed_s, 1)
+    return {
         "metric": "encode_rtfx_10min",
         "value": round(rtfx, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(rtfx / 100.0, 3),  # target: >=100x realtime
-        "secondary": {
-            "decode_tps_af3_7b_int8_b1_1chip": round(dec["decode_tps_7b_int8_b1"], 2),
-            "decode_ms_per_tok": round(dec["decode_ms_per_tok"], 3),
-            "decode_vs_target_30tps": round(dec["decode_tps_7b_int8_b1"] / 30.0, 2),
-            "encode_s_10min": round(enc["encode_s_10min"], 4),
-            "p50_ttft_10min_s": round(ttft["ttft_10min_s"], 3),
-            "p50_ttft_10min_fused_s": round(ttft["ttft_10min_fused_s"], 3)
-            if "ttft_10min_fused_s" in ttft else None,
-            "p50_ttft_10min_a8_s": round(ttft["ttft_10min_a8_s"], 3)
-            if "ttft_10min_a8_s" in ttft else None,
-            "p50_ttft_10min_a8e_s": round(ttft["ttft_10min_a8e_s"], 3)
-            if "ttft_10min_a8e_s" in ttft else None,
-            "p50_ttft_10min_a8f_s": round(ttft["ttft_10min_a8f_s"], 3)
-            if "ttft_10min_a8f_s" in ttft else None,
-            "decode_matrix_int8kv_tps": matrix,
-            **w4,
-            **engines,
-            **spec,
-            **spec_paged,
-            **prefix,
-            **paged_matrix,
-            **longtail,
-            **clap,
-            **xattn,
-            **train,
-            **train_mm,
-            **grpo,
-        },
+        "secondary": secondary,
     }
-    print(json.dumps(line))
+
+
+def main():
+    import os
+
+    _start_watchdog()
+    # Internal wall-clock budget: stop LAUNCHING sections once exceeded and
+    # emit what we have — being timeout-killed mid-compile both loses the
+    # scoreboard and wedges the remote compile service (CLAUDE.md rule 2).
+    budget_s = float(os.environ.get("BENCH_BUDGET_MIN", "25")) * 60.0
+    t_start = time.time()
+    results: dict = {}
+    done: list = []
+    sections = _sections()
+    for i, (name, fn, fallback) in enumerate(sections):
+        elapsed = time.time() - t_start
+        if elapsed > budget_s:
+            skipped = [n for n, _, _ in sections[i:]]
+            log(f"bench: {elapsed/60:.1f} min elapsed > {budget_s/60:.0f} min "
+                f"budget — skipping {skipped}")
+            print(json.dumps(_build_line(results, done, skipped,
+                                         time.time() - t_start)), flush=True)
+            return
+        results[name] = _safe(fn, fallback)
+        done.append(name)
+        # cumulative scoreboard after EVERY section: the driver's parser takes
+        # the last parseable stdout line, so a partial scoreboard survives any
+        # external kill.
+        print(json.dumps(_build_line(results, done, [],
+                                     time.time() - t_start)), flush=True)
 
 
 def _main_only(names: list[str]) -> None:

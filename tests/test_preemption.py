@@ -87,3 +87,26 @@ def test_preemption_with_prefix_cache(params):
     owned = {e[0] for e in eng.store.entries.values()}
     assert owned.isdisjoint(eng.allocator.free)
     assert len(owned) + len(eng.allocator.free) == eng.num_blocks - 1
+
+
+def test_pool_offload_restore_token_exact(params):
+    """offload_pool()/restore_pool() (GRPO rollout->update HBM handoff): pages
+    swap to host between serving phases and the engine resumes with prefix
+    hits intact and token-exact output."""
+    rng = np.random.default_rng(23)
+    shared = rng.integers(0, 120, (1, 64)).astype(np.int32)
+    prompts = [shared, rng.integers(0, 120, (1, 73)).astype(np.int32)]
+    _, plain = _run(params, 64, prompts, prefix_cache=True)
+
+    eng, first = _run(params, 64, prompts, prefix_cache=True)
+    assert first == plain
+    eng.offload_pool()
+    assert eng.cache is None                    # HBM pool actually released
+    eng.restore_pool()
+    # phase 2: the shared prompt must hit the prefix store pages that lived
+    # through the host round-trip
+    hits0 = eng.store.hits
+    eng.submit(Request(request_id="again", ids=shared.copy(), max_new_tokens=48))
+    out = eng.run_until_done()
+    assert out["again"] == plain["r0"]
+    assert eng.store.hits > hits0
