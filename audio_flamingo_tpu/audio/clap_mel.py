@@ -87,6 +87,41 @@ class ClapMelFrontend:
         mel = jnp.einsum("nfk,km->nfm", power, bank, precision=hi)
         return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
+    def window_chunks_device(self, wav: jnp.ndarray, n: int,
+                             padding: str) -> jnp.ndarray:
+        """Device-resident window split: [true_len] waveform already on device
+        -> [n, max_samples] chunks, tail `_pad_short` tiling included — a
+        handful of EAGER static-shape ops (the true length is host-known), so
+        no traced gather (a [n, max_s] take_along_axis measured 166 ms on TPU
+        vs ~6 ms of eager slice/tile/concat dispatches) and no host round-trip.
+
+        Tail replication matches `_pad_short` ('repeat' tiles n_rep+1 times
+        then truncates; 'repeatpad' tiles n_rep times then zero-pads; 'pad'
+        zero-pads — [hf] feature_extraction_clap.py:208-233). Bucket-pad rows
+        beyond the audio are zeros."""
+        max_s = self.max_samples
+        true_len = int(wav.shape[0])
+        n_full = min(true_len // max_s, n)
+        parts = []
+        if n_full:
+            parts.append(wav[: n_full * max_s].reshape(n_full, max_s))
+        tail_len = min(true_len, n * max_s) - n_full * max_s
+        if tail_len > 0:
+            tail = wav[n_full * max_s: n_full * max_s + tail_len]
+            n_rep = max_s // tail_len
+            if padding == "repeat":
+                tiled = jnp.tile(tail, n_rep + 1)[:max_s]
+            elif padding == "repeatpad":
+                tiled = jnp.pad(jnp.tile(tail, max(n_rep, 1)),
+                                (0, max_s - max(n_rep, 1) * tail_len))
+            else:
+                tiled = jnp.pad(tail, (0, max_s - tail_len))
+            parts.append(tiled[None])
+        n_zero = n - n_full - (1 if tail_len > 0 else 0)
+        if n_zero:
+            parts.append(jnp.zeros((n_zero, max_s), wav.dtype))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
     def _pad_short(self, wav: np.ndarray) -> np.ndarray:
         cfg = self.cfg
         if len(wav) < self.max_samples:

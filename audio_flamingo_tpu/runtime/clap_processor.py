@@ -72,6 +72,39 @@ class AF2Processor:
         mels = np.repeat(mel[:, None], c, axis=1)          # [n, C, T, n_mels]
         return mels, np.zeros(n, bool)
 
+    def windows_for_device(self, wav, out_dtype=None):
+        """Device-resident `windows_for`: ONE host->device upload (the raw
+        waveform), zero downloads — mels stay on device for the tower
+        (VERDICT r4 #3: the host round-trip + re-upload was ~75% of AF2 TTFT,
+        and the tunnel moves ~44 MB/s, so upload BYTES are the frontend floor).
+
+        Accepts f32 waveforms, or int16 PCM (WAV's native sample format —
+        half the upload bytes; dequantized x/32768 on device, bit-identical to
+        a host `astype(f32)/32768`). Returns (mels [n, C, T, M] device,
+        is_longer [n] device) matching `windows_for` numerically (same
+        `_db_mel`, same `_pad_short` tiling — equality-tested)."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.frontend.cfg
+        max_s = self.frontend.max_samples
+        true_len = int(wav.shape[0])
+        n = bucket_clap_windows(max(1, -(-true_len // max_s)))
+        if not isinstance(wav, jax.Array):
+            wav = jax.device_put(np.ascontiguousarray(wav))  # the one upload
+        if wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
+        use_htk = cfg.truncation == "fusion"
+        chunks = self.frontend.window_chunks_device(
+            wav.astype(jnp.float32), n, cfg.padding)
+        mel = self.frontend._db_mel(chunks, self.frontend.num_frames_max,
+                                    use_htk)
+        if out_dtype is not None:
+            mel = mel.astype(out_dtype)
+        c = 4 if cfg.truncation == "fusion" else 1
+        mels = jnp.broadcast_to(mel[:, None], (n, c) + mel.shape[1:])
+        return mels, jnp.zeros(n, bool)
+
     def __call__(self, text: str | None = None, audios: list[np.ndarray] | None = None,
                  messages: list[dict] | None = None):
         """Returns {'ids': [1, T], 'mels': [n_media, n_windows, C, T, M] | None,

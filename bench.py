@@ -15,10 +15,24 @@ line is the last stdout line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent executable cache: repeat bench runs (and `--only` re-measures)
+# skip recompilation where the backend supports serialization. Harmless no-op
+# if the axon backend declines to serialize; transparently correct otherwise.
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    ".jax_cache_tpu"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 _LAST_PROGRESS = [time.time()]
@@ -845,19 +859,19 @@ def bench_clap() -> dict:
            ).astype(np.float32)
     proc = AF2Processor(tokenizer=None, cfg=AF2Config(clap=clap_cfg))
 
-    log("bench_clap: mel frontend (30 x 10 s windows, dual banks + fusion)...")
-    mels, longer = proc.windows_for(wav)              # compile + warm
+    log("bench_clap: mel frontend (30 x 10 s windows, dual banks + fusion, "
+        "device-resident)...")
+    mels_j, longer_j = proc.windows_for_device(wav, out_dtype=jnp.bfloat16)
+    _ = float(mels_j[0, 0, 0, 0].astype(jnp.float32))  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        mels, longer = proc.windows_for(wav)
-        jax.block_until_ready(mels) if hasattr(mels, "block_until_ready") else None
+        m, lg = proc.windows_for_device(wav, out_dtype=jnp.bfloat16)
+        _ = float(m[0, 0, 0, 0].astype(jnp.float32))   # value fetch = true sync
         times.append(time.perf_counter() - t0)
     t_mel = float(np.median(times))
-    log(f"bench_clap: mel {t_mel*1e3:.0f} ms ({mels.shape})")
-
-    mels_j = jnp.asarray(mels, jnp.bfloat16)
-    longer_j = jnp.asarray(longer)
+    log(f"bench_clap: mel {t_mel*1e3:.0f} ms ({mels_j.shape}, wav upload + "
+        f"device chain, zero downloads)")
     log("bench_clap: HTSAT encode (30 windows)...")
     # block_until_ready returns EARLY through the tunnel (CLAUDE.md rule 6) —
     # only a value fetch truly syncs
@@ -890,12 +904,21 @@ def bench_clap() -> dict:
     prompt = np.random.default_rng(1).integers(0, 150_000, (1, 64)).astype(np.int32)
     prompt_j = jnp.asarray(prompt)
 
-    def af2_ttft(phases=None):
+    wav16 = (np.clip(wav, -1, 1) * 32768).astype(np.int16)
+
+    def af2_ttft(wav_in, phases=None):
+        # device-resident chain (VERDICT r4 #3): the raw wav is the ONE
+        # host->device transfer (~44 MB/s tunnel — upload bytes set the
+        # floor); window split + _pad_short tiling + mel + fusion stack +
+        # tower + xattn prefill all chain on device, and only the final
+        # argmax token comes back. (The old path downloaded 30 MB of mels
+        # from windows_for and re-uploaded them — ~75% of TTFT.)
         t0 = time.perf_counter()
-        m, lg = proc.windows_for(wav)
+        m, lg = proc.windows_for_device(wav_in, out_dtype=jnp.bfloat16)
         if phases is not None:
+            _ = float(m[0, 0, 0, 0].astype(jnp.float32))
             phases["mel"] = time.perf_counter() - t0
-        e = tower.encode(clap_p, jnp.asarray(m, jnp.bfloat16), jnp.asarray(lg))
+        e = tower.encode(clap_p, m, lg)
         wins = e["embeds"].reshape(1, 1, -1, af2_cfg.audio_embed_dim)
         if phases is not None:
             _ = float(wins[0, 0, 0, 0].astype(jnp.float32))
@@ -906,18 +929,21 @@ def bench_clap() -> dict:
         return int(jnp.argmax(lg2[0]))
 
     log("bench_clap: compile AF2 prefill...")
-    _ = af2_ttft()
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = af2_ttft()
-        times.append(time.perf_counter() - t0)
-    phases = {}
-    _ = af2_ttft(phases)
-    res["af2_ttft_5min_s"] = round(float(np.median(times)), 3)
-    log(f"bench_clap: AF2 TTFT (5-min clip, 3B int8) "
-        f"{res['af2_ttft_5min_s']*1e3:.0f} ms (mel {phases['mel']*1e3:.0f}, "
-        f"tower {phases['tower']*1e3:.0f} ms)")
+    for key, wav_in in (("af2_ttft_5min_s", wav),
+                        ("af2_ttft_5min_pcm16_s", wav16)):
+        _ = af2_ttft(wav_in)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = af2_ttft(wav_in)
+            times.append(time.perf_counter() - t0)
+        phases = {}
+        _ = af2_ttft(wav_in, phases)
+        res[key] = round(float(np.median(times)), 3)
+        log(f"bench_clap: AF2 TTFT (5-min clip, 3B int8, "
+            f"{'int16 PCM' if wav_in.dtype == np.int16 else 'f32'} upload) "
+            f"{res[key]*1e3:.0f} ms (mel+upload {phases['mel']*1e3:.0f}, "
+            f"tower {phases['tower']*1e3:.0f} ms)")
     return res
 
 

@@ -3,23 +3,288 @@ measure REAL speculation — true accept-compare, guardrail active.
 
 Every speculation number to date injects Bernoulli acceptance; a random draft
 has ~zero top-1 agreement with a random target, so the true accept path never
-produced a nonzero acceptance on chip (VERDICT r4 #6). The fix: a few hundred
-optax distillation steps give a 2-layer draft >0.5 on-distribution top-1
-agreement with the target — enough for the real accept-compare machinery and
-the live guardrail to be exercised for real.
+produced a nonzero acceptance on chip (VERDICT r4 #6). A random-init target is
+still a deterministic next-token map, and its greedy continuations rapidly
+enter attractor dynamics that a 2-layer student CAN fit: distill on the
+target's own rollouts (hard-label CE on generated positions — exactly the
+positions speculation verifies), then run the workload bench with the REAL
+accept-compare path and the live guardrail.
 
-Implemented in this module (filled in during round 5):
-- ensure_draft_asset() -> path | None: load assets/draft_distilled.safetensors
-  if present, else distill and save it.
-- run_real_spec_bench(path, log) -> dict: spec_real_accept_rate, spec_real_tps.
+Reference semantics matched: [hf] generation/utils.py:2790 (assisted decoding
+verifies draft proposals against the target's own argmax — the distilled draft
+exercises that comparison for real, unlike the Bernoulli harness).
+
+Usage (one-off, writes assets/draft_distilled.safetensors):
+    python scripts/distill_draft.py            # distill + eval + save
+bench.py's `spec_real` section then loads the asset via ensure_draft_asset()
+and measures spec_real_accept_rate / spec_real_tps with run_real_spec_bench().
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+
+DRAFT_ASSET = os.path.join(_REPO, "assets", "draft_distilled.safetensors")
+PROMPT_LEN, GEN_LEN = 500, 256          # the bench_spec_engine workload shape
+TRAIN_BATCHES, EVAL_BATCHES = 6, 2      # x8 rollouts each
+TRAIN_SEED, EVAL_SEED, WORKLOAD_SEED = 100, 200, 0
+
+
+def draft_config():
+    from audio_flamingo_tpu.config import Qwen2Config
+
+    # 2-layer student; vocab matches the 7B target so no proposal clamping.
+    return Qwen2Config(vocab_size=152_064, hidden_size=512,
+                       intermediate_size=1536, num_layers=2, num_heads=8,
+                       num_kv_heads=2, head_dim=64, tie_word_embeddings=True,
+                       max_window_layers=0, sliding_window=None)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, name + "/"))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for name, arr in flat.items():
+        parts = name.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
 
 def ensure_draft_asset():
-    return None
+    """Path to the distilled draft, or None (bench section then skips — the
+    distillation is a one-off script run, never part of the bench budget)."""
+    return DRAFT_ASSET if os.path.exists(DRAFT_ASSET) else None
 
 
-def run_real_spec_bench(path, log) -> dict:
-    return {}
+def load_draft(path):
+    """-> (params bf16 jnp tree, Qwen2Config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.io.safetensors import load_safetensors
+
+    flat = load_safetensors(path)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                          _unflatten(flat))
+    return params, draft_config()
+
+
+# ------------------------------------------------------------------ rollouts
+
+def _make_target():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.config import AF3Config, Qwen2Config
+    from audio_flamingo_tpu.ops.quant import random_quantized_lm
+
+    lm_cfg = Qwen2Config.qwen25_7b()
+    lm_p = jax.jit(lambda: random_quantized_lm(jax.random.PRNGKey(0), lm_cfg))()
+    _ = float(lm_p["ln_f_w"].astype(jnp.float32).sum())
+    return {"lm": lm_p}, AF3Config(lm=lm_cfg)
+
+
+def collect_rollouts(params, cfg, seed: int, n_batches: int, log=print,
+                     prompt_len: int = PROMPT_LEN, gen_len: int = GEN_LEN,
+                     vocab_hi: int = 150_000):
+    """Greedy target rollouts from random prompts -> [n_batches*8, P+G] int32."""
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+
+    rng = np.random.default_rng(seed)
+    seqs = []
+    for b in range(n_batches):
+        eng = BatchEngine(params=params, cfg=cfg, num_slots=8, capacity=1024,
+                          chunk=16, eos_token_id=-1,
+                          sampling=SamplingParams(greedy=True))
+        prompts = [rng.integers(0, vocab_hi, (1, prompt_len)).astype(np.int32)
+                   for _ in range(8)]
+        for i, p in enumerate(prompts):
+            eng.submit(Request(request_id=f"r{i}", ids=p,
+                               max_new_tokens=gen_len))
+        t0 = time.perf_counter()
+        out = eng.run_until_done()
+        log(f"  rollout batch {b}: {time.perf_counter()-t0:.1f} s")
+        for i, p in enumerate(prompts):
+            gen = out[f"r{i}"]
+            assert len(gen) == gen_len
+            seqs.append(np.concatenate([p[0], np.asarray(gen, np.int32)]))
+    return np.stack(seqs)                       # [N, P+G]
+
+
+# ------------------------------------------------------------------ training
+
+def _gen_logits(draft_p, cfg, ids, prompt_len: int = PROMPT_LEN):
+    """ids [B, P+G] -> draft logits at the G generated positions [B, G, V]."""
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.models import qwen2
+
+    x = qwen2.embed(draft_p, ids[:, :-1], dtype=jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1] - 1)[None], x.shape[:2])
+    h, _ = qwen2.forward(draft_p, cfg, x, pos)
+    return qwen2.unembed(draft_p, cfg, h[:, prompt_len - 1:])
+
+
+def distill(log=print, steps: int = 600, lr: float = 1e-3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_flamingo_tpu.io.safetensors import save_safetensors
+    from audio_flamingo_tpu.models import qwen2
+
+    log("distill: init 7B int8 target...")
+    params, cfg = _make_target()
+    log("distill: collecting target rollouts (train)...")
+    train = collect_rollouts(params, cfg, TRAIN_SEED, TRAIN_BATCHES, log)
+    log("distill: collecting target rollouts (held-out)...")
+    held = collect_rollouts(params, cfg, EVAL_SEED, EVAL_BATCHES, log)
+
+    # free the 7B before training — draft train state is small but logits
+    # chunks + the int8 tree need not co-reside (CLAUDE.md HBM note)
+    del params
+    import gc
+
+    gc.collect()
+
+    dcfg = draft_config()
+    draft_p = qwen2.init(jax.random.PRNGKey(7), dcfg)
+    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps, alpha=0.1),
+                      weight_decay=0.01)
+    opt_state = opt.init(draft_p)
+
+    def loss_fn(p, ids):
+        logits = _gen_logits(p, dcfg, ids)              # [B, G, V] f32
+        labels = ids[:, PROMPT_LEN:]
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+        return (lse - tgt).mean()
+
+    @jax.jit
+    def train_step(p, s, ids):
+        loss, grads = jax.value_and_grad(loss_fn)(p, ids)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    @jax.jit
+    def agree_fn(p, ids):
+        logits = _gen_logits(p, dcfg, ids)
+        return (jnp.argmax(logits, -1) == ids[:, PROMPT_LEN:]).mean()
+
+    ids_all = jnp.asarray(train)
+    n = ids_all.shape[0]
+    rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    for step in range(steps):
+        rows = rng.choice(n, size=8, replace=False)
+        draft_p, opt_state, loss = train_step(draft_p, opt_state,
+                                              ids_all[jnp.asarray(rows)])
+        if step % 50 == 0 or step == steps - 1:
+            log(f"  step {step}: loss {float(loss):.4f} "
+                f"({time.perf_counter()-t0:.0f} s)")
+
+    held_j = jnp.asarray(held)
+    agree = float(np.mean([float(agree_fn(draft_p, held_j[i:i + 8]))
+                           for i in range(0, held_j.shape[0], 8)]))
+    log(f"distill: held-out top-1 agreement {agree:.3f} (target > 0.5)")
+
+    os.makedirs(os.path.dirname(DRAFT_ASSET), exist_ok=True)
+    flat = _flatten(jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                                 draft_p))
+    save_safetensors(DRAFT_ASSET, flat,
+                     metadata={"held_out_agreement": f"{agree:.4f}",
+                               "steps": steps, "target": "qwen25_7b seed 0"})
+    log(f"distill: saved {DRAFT_ASSET} "
+        f"({os.path.getsize(DRAFT_ASSET)/1e6:.0f} MB)")
+    return agree
+
+
+# ------------------------------------------------------------------ real-spec bench
+
+def run_real_spec_bench(path, log=print) -> dict:
+    """Plain vs REAL-speculation workload (no Bernoulli injection, guardrail
+    ACTIVE): 8 x 500-token prompts, 256 new tokens each, greedy 7B int8 target
+    + the distilled bf16 draft. Token-exactness vs plain is guaranteed by the
+    greedy accept rule; what's measured here is the real acceptance rate and
+    its end-to-end tok/s consequence."""
+    import jax.numpy as jnp
+
+    from audio_flamingo_tpu.ops.sampling import SamplingParams
+    from audio_flamingo_tpu.runtime.engine import BatchEngine, Request
+
+    draft_p, dcfg = load_draft(path)
+    params, cfg = _make_target()
+    rng = np.random.default_rng(WORKLOAD_SEED)
+    prompts = [rng.integers(0, 150_000, (1, PROMPT_LEN)).astype(np.int32)
+               for _ in range(8)]
+
+    def run(with_draft: bool):
+        kw = dict(draft_params=draft_p, draft_cfg=dcfg, spec_k=4,
+                  spec_rounds=6) if with_draft else {}
+        def make():
+            return BatchEngine(params=params, cfg=cfg, num_slots=8,
+                               capacity=1024, chunk=16, eos_token_id=-1,
+                               sampling=SamplingParams(greedy=True), **kw)
+        warm = make()
+        warm.submit(Request(request_id="w", ids=prompts[0][:, :PROMPT_LEN],
+                            max_new_tokens=8))
+        warm.run_until_done()
+        eng = make()
+        for i, p in enumerate(prompts):
+            eng.submit(Request(request_id=f"r{i}", ids=p,
+                               max_new_tokens=GEN_LEN))
+        t0 = time.perf_counter()
+        out = eng.run_until_done()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in out.values())
+        return out, total / dt, eng
+
+    log("spec_real: plain workload...")
+    plain_out, plain_tps, _ = run(False)
+    log(f"spec_real: plain {plain_tps:.1f} tok/s")
+    log("spec_real: REAL speculation workload (guardrail active)...")
+    spec_out, spec_tps, eng = run(True)
+    accept = float(eng.spec_stats.get("acceptance_est", 0.0)) \
+        if getattr(eng, "spec_stats", None) else 0.0
+    exact = all(plain_out[k] == spec_out[k] for k in plain_out)
+    log(f"spec_real: {spec_tps:.1f} tok/s, measured acceptance {accept:.3f}, "
+        f"guard_disabled={eng.spec_disabled}, token_exact={exact}")
+    return {"spec_real_accept_rate": round(accept, 3),
+            "spec_real_tps": round(spec_tps, 1),
+            "spec_real_vs_plain": round(spec_tps / plain_tps, 3),
+            "spec_real_guard_disabled": bool(eng.spec_disabled),
+            "spec_real_token_exact": bool(exact)}
+
+
+if __name__ == "__main__":
+    import jax  # noqa: F401  (attach TPU before anything else)
+
+    if "--bench-only" in sys.argv:
+        p = ensure_draft_asset()
+        assert p, "no draft asset — run without --bench-only first"
+        print(json.dumps(run_real_spec_bench(p)))
+    else:
+        distill()
+        print(json.dumps(run_real_spec_bench(DRAFT_ASSET)))

@@ -100,3 +100,40 @@ def test_windows_for_batched_equals_per_window_frontend(model):
         ref, is_longer = fe(chunk)
         assert not is_longer and not longer[i]
         np.testing.assert_allclose(mels[i], np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("padding", ["repeatpad", "repeat", "pad"])
+@pytest.mark.parametrize("seconds", [17.5, 20.0, 7.0, 33.3])
+def test_windows_for_device_equals_host(model, padding, seconds):
+    """windows_for_device (one wav upload, mels stay on device — the AF2 TTFT
+    device-resident chain) must match the host windows_for numerically, for
+    every _pad_short tiling mode and tail shape (partial tail, exact-multiple
+    tail, single short window, partial past a bucket boundary)."""
+    import dataclasses
+
+    from audio_flamingo_tpu.runtime.clap_processor import AF2Processor
+
+    cfg = dataclasses.replace(model.cfg, mel=dataclasses.replace(
+        model.cfg.mel, padding=padding))
+    proc = AF2Processor(tokenizer=None, cfg=cfg)
+    rng = np.random.default_rng(int(seconds * 10))
+    wav = (rng.normal(size=int(48_000 * seconds)) * 0.1).astype(np.float32)
+
+    host_mels, host_longer = proc.windows_for(wav)
+    dev_mels, dev_longer = proc.windows_for_device(wav)
+    assert dev_mels.shape == host_mels.shape
+    np.testing.assert_array_equal(np.asarray(dev_longer), host_longer)
+    np.testing.assert_allclose(np.asarray(dev_mels), host_mels,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_windows_for_device_int16_pcm(model):
+    """int16 PCM input (WAV native; half the upload bytes) must equal the host
+    path on the dequantized f32 waveform."""
+    rng = np.random.default_rng(11)
+    wav16 = (rng.normal(size=int(48_000 * 12.3)) * 4000).astype(np.int16)
+    host_mels, _ = model.processor.windows_for(
+        wav16.astype(np.float32) / 32768.0)
+    dev_mels, _ = model.processor.windows_for_device(wav16)
+    np.testing.assert_allclose(np.asarray(dev_mels), host_mels,
+                               rtol=1e-5, atol=1e-4)
