@@ -71,6 +71,7 @@ def train_setup():
     return cfg, params, batch
 
 
+@pytest.mark.full
 def test_lora_training_freezes_base_and_learns(train_setup):
     """lora_only training: loss decreases, adapter leaves move, EVERY base
     leaf (LM weights, embed, encoder, adaptor) stays bit-identical."""

@@ -83,6 +83,7 @@ def test_estimate_f0_on_known_tone():
         assert abs(nv.estimate_f0(wav) - f) < 5.0
 
 
+@pytest.mark.full
 def test_training_improves_objective_eval():
     """A short training run must cut the loss and beat the untrained net on the
     held-out mel-MSE + F0 corpus (the VERDICT #9 objective eval)."""
@@ -108,6 +109,7 @@ def test_multi_speaker_corpus_speaker_stability():
     assert abs(f_a1 - f_b) > 3 * abs(f_a1 - f_a2) or abs(f_a1 - f_b) > 20.0
 
 
+@pytest.mark.full
 def test_training_improves_envelope_correlation():
     """Intelligibility proxy (round-3 gate): training on the multi-speaker formant
     corpus must raise the held-out spectral-envelope correlation well above the
@@ -158,6 +160,7 @@ def test_shipped_vocoder_asset_if_present():
     assert corr > 0.5, corr
 
 
+@pytest.mark.full
 def test_f0_head_learns_pitch():
     """The supervised F0 head converges fast: after a short harmonic-layout
     training run, per-frame predictions on held-out voiced frames sit within

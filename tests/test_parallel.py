@@ -44,7 +44,9 @@ def test_specs_cover_all_params(setup):
     assert lm["mlp"]["down"] == P(None, "model", "fsdp")
 
 
-@pytest.mark.parametrize("plan", [MeshPlan(1, 2, 4), MeshPlan(2, 2, 2), MeshPlan(1, 8, 1)])
+@pytest.mark.parametrize("plan", [MeshPlan(1, 2, 4), MeshPlan(2, 2, 2),
+                                  pytest.param(MeshPlan(1, 8, 1),
+                                               marks=pytest.mark.full)])
 def test_sharded_forward_matches_single_device(setup, plan):
     cfg, params, ids, mels = setup
     ref = np.asarray(af3.logits(params, cfg, jnp.asarray(ids), jnp.asarray(mels)))
@@ -57,6 +59,7 @@ def test_sharded_forward_matches_single_device(setup, plan):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.full
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")

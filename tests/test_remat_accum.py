@@ -63,6 +63,7 @@ def _loss_and_grads(cfg, params, batch):
     return jax.value_and_grad(fn)(params)
 
 
+@pytest.mark.full
 def test_remat_policies_match_dense(tiny):
     cfg, params, batch = tiny
     base_loss, base_grads = _loss_and_grads(_with_remat(cfg, "none"), params, batch)

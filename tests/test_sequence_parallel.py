@@ -66,6 +66,7 @@ def test_ring_grad_flows(mesh):
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_full), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.full
 def test_qwen2_forward_sp_matches_dense(mesh):
     """Sequence-parallel LM forward (ring attention) == dense forward, fwd and bwd."""
     from audio_flamingo_tpu.config import Qwen2Config
@@ -157,6 +158,7 @@ def _tiny_af3_32l():
     )
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("attn_impl", ["ring", "ulysses"])
 def test_af3_loss_sp_matches_dense_32_layers(attn_impl):
     """VERDICT r1 #3 'done' gate: loss AND grads of the sequence-parallel AF3 training

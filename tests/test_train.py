@@ -62,6 +62,7 @@ def test_mixture_weights():
     assert 0.65 < frac < 0.85
 
 
+@pytest.mark.full
 def test_loss_decreases_and_freeze_mask(setup):
     cfg, params, sampler, builder = setup
     stage = AF3_STAGES["1_pretrain"]  # only adaptor trains
