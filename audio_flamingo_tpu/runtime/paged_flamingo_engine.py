@@ -45,15 +45,43 @@ from audio_flamingo_tpu.runtime.paged_cache import (BlockAllocator, PagedKV,
 from audio_flamingo_tpu.runtime.paged_engine import PrefixStore, _block_keys
 
 
+def _paged_attn_fn(cache: PagedKV, attn_impl: str = "auto"):
+    """Pick the paged-attention implementation for this pool geometry.
+
+    A pallas_call costs ~27 us FIXED on this backend (CLAUDE.md perf facts):
+    a 36-layer 3B decode step pays ~1 ms of pure kernel dispatch — MORE than
+    the dense-gather traffic the kernel saves when the pool is small (a
+    56-block x 128 bf16 layer slice is ~3.7 MB; measured xattn_paged_vs_slot
+    0.958 with the kernel everywhere). Small non-quantized pools therefore run
+    the XLA dense-gather path (`paged_attention_reference` — the kernel's own
+    equality-test oracle, so the two are interchangeable by construction);
+    large or int8 pools keep the Pallas kernel, whose per-page DMA is the
+    whole point at 16k-token 7B pools. "kernel" / "dense" pin either path
+    (tests cover both)."""
+    from audio_flamingo_tpu.ops.pallas.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    if attn_impl == "kernel":
+        return paged_attention
+    if attn_impl == "dense":
+        return paged_attention_reference
+    if cache.quantized:
+        return paged_attention
+    nb, blk, nkv, hd = cache.k.shape[1:]
+    layer_bytes = nb * blk * nkv * hd * cache.k.dtype.itemsize
+    return paged_attention_reference if layer_bytes <= (8 << 20) \
+        else paged_attention
+
+
 def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
-                      compute_dtype):
+                      compute_dtype, attn_impl: str = "auto"):
     """One decode step for ALL rows through their pages + gated xattn.
 
     tokens [B] at positions cache.lengths; media [B, S, d_audio] per-row features.
     Returns (cache-with-writes, logits [B, vocab] fp32)."""
-    from audio_flamingo_tpu.ops.pallas.paged_attention import (merge_current_token,
-                                                               paged_attention)
+    from audio_flamingo_tpu.ops.pallas.paged_attention import merge_current_token
 
+    attn_fn = _paged_attn_fn(cache, attn_impl)
     lm = params["lm"]
     lcfg = cfg.lm
     b = tokens.shape[0]
@@ -99,11 +127,12 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
         # (the unrolled-loop analogue of scan xs) materialized a copy of the
         # layer's whole pool per layer per step — the measured 0.905
         # xattn_paged_vs_slot gap (VERDICT r4 #4; paged_cache.py decode body
-        # is the reference pattern).
-        o, m, l = paged_attention(qg, cache.k, cache.v, cache.block_tables,
-                                  cache.lengths, layer_idx=idx,
-                                  k_scale=cache.k_scale, v_scale=cache.v_scale,
-                                  scale=scale)
+        # is the reference pattern). attn resolves kernel-vs-dense per pool
+        # geometry (_paged_attn_fn).
+        o, m, l = attn_fn(qg, cache.k, cache.v, cache.block_tables,
+                          cache.lengths, layer_idx=idx,
+                          k_scale=cache.k_scale, v_scale=cache.v_scale,
+                          scale=scale)
         if quantized:
             kq, ksc = qwen2._quantize_kv(k)
             vq, vsc = qwen2._quantize_kv(v)
@@ -164,7 +193,7 @@ def _xattn_paged_step(params, cfg: AF2Config, cache: PagedKV, media, tokens,
 
 
 def _xattn_paged_verify(params, cfg: AF2Config, cache: PagedKV, media, tokens,
-                        compute_dtype):
+                        compute_dtype, attn_impl: str = "auto"):
     """S-token speculative VERIFY through pages + gated xattn.
 
     tokens [B, S] occupy positions lengths..lengths+S-1 per row. Per layer the
@@ -174,9 +203,9 @@ def _xattn_paged_verify(params, cfg: AF2Config, cache: PagedKV, media, tokens,
     All S KV entries are written to their pages; `lengths` returns UNCHANGED
     (the caller advances by the accepted count; rejected slots are overwritten
     before attended). Returns (cache, logits [B, S, vocab])."""
-    from audio_flamingo_tpu.ops.pallas.paged_attention import (
-        merge_block_tokens, paged_attention)
+    from audio_flamingo_tpu.ops.pallas.paged_attention import merge_block_tokens
 
+    attn_fn = _paged_attn_fn(cache, attn_impl)
     lm = params["lm"]
     lcfg = cfg.lm
     b, s = tokens.shape
@@ -220,10 +249,10 @@ def _xattn_paged_verify(params, cfg: AF2Config, cache: PagedKV, media, tokens,
         qf = q.reshape(b, s, nkv, g, hd).transpose(0, 2, 1, 3, 4) \
               .reshape(b, nkv, s * g, hd)
         # stacked pool + in-kernel layer resolution (see decode body)
-        o, m, l = paged_attention(qf, cache.k, cache.v, cache.block_tables,
-                                  cache.lengths, layer_idx=idx,
-                                  k_scale=cache.k_scale,
-                                  v_scale=cache.v_scale, scale=scale)
+        o, m, l = attn_fn(qf, cache.k, cache.v, cache.block_tables,
+                          cache.lengths, layer_idx=idx,
+                          k_scale=cache.k_scale,
+                          v_scale=cache.v_scale, scale=scale)
         o = o.reshape(b, nkv, s, g, hd).transpose(0, 2, 1, 3, 4)
         m = m.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
         l = l.reshape(b, nkv, s, g).transpose(0, 2, 1, 3)
@@ -289,13 +318,15 @@ def _xattn_paged_verify(params, cfg: AF2Config, cache: PagedKV, media, tokens,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "draft_cfg", "k", "rounds",
                                              "eos_token_id", "sampling",
-                                             "compute_dtype", "accept_sim"),
+                                             "compute_dtype", "accept_sim",
+                                             "attn_impl"),
                    donate_argnames=("cache", "d_k", "d_v"))
 def paged_decode_spec_chunk_xattn(params, draft_params, cfg: AF2Config, draft_cfg,
                                   cache: PagedKV, media, d_k, d_v, tokens, done,
                                   rng, *, k: int, rounds: int, eos_token_id: int,
                                   sampling=None, compute_dtype=jnp.float32,
-                                  accept_sim: float | None = None):
+                                  accept_sim: float | None = None,
+                                  attn_impl: str = "auto"):
     """Speculative decoding for the PAGED xattn engine: the shared spec round
     (engine.spec_chunk_rounds) with a text-only Qwen2 draft and the k+1-block
     verify through pages (_xattn_paged_verify). sampling=None -> greedy rule;
@@ -307,7 +338,7 @@ def paged_decode_spec_chunk_xattn(params, draft_params, cfg: AF2Config, draft_cf
         k=k, rounds=rounds, eos_token_id=eos_token_id,
         compute_dtype=compute_dtype, nv=cfg.lm.vocab_size,
         verify=lambda c, seq: _xattn_paged_verify(params, cfg, c, media, seq,
-                                                  compute_dtype),
+                                                  compute_dtype, attn_impl),
         set_lengths=lambda c, nl: c._replace(lengths=nl),
         sampling=sampling, accept_sim=accept_sim)
 
@@ -315,14 +346,16 @@ def paged_decode_spec_chunk_xattn(params, draft_params, cfg: AF2Config, draft_cf
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "eos_token_id",
                                              "compute_dtype", "mixed_sampling",
                                              "want_logprobs", "use_min_new",
-                                             "use_penalty", "ngram_ns"),
+                                             "use_penalty", "ngram_ns",
+                                             "attn_impl"),
                    donate_argnames=("cache", "hist"))
 def paged_decode_chunk_xattn(params, cfg: AF2Config, cache: PagedKV, media, tokens,
                              done, rng, rows, min_left, hist=None, *, chunk: int,
                              eos_token_id: int, compute_dtype=jnp.float32,
                              mixed_sampling: bool = False,
                              want_logprobs: bool = False, use_min_new: bool = False,
-                             use_penalty: bool = False, ngram_ns: tuple = ()):
+                             use_penalty: bool = False, ngram_ns: tuple = (),
+                             attn_impl: str = "auto"):
     """Advance all rows `chunk` steps through their pages (one host sync).
 
     Same contract as paged_cache.paged_decode_chunk, plus per-row media."""
@@ -335,7 +368,7 @@ def paged_decode_chunk_xattn(params, cfg: AF2Config, cache: PagedKV, media, toke
     def body(i, carry):
         cache, tok, done, rng, out, lp, hist = carry
         cache2, logits = _xattn_paged_step(params, cfg, cache, media, tok,
-                                           compute_dtype)
+                                           compute_dtype, attn_impl)
         rng, k = jax.random.split(rng)
         nxt, lp_val, hist = engine_row_step(
             k, logits, hist, cache.lengths + 1, rows, done, min_left, i,
@@ -481,6 +514,11 @@ class PagedFlamingoEngine:
     spec_guard_min_accept: float = 0.5
     spec_guard_warmup: int = 64
     spec_disabled: bool = False
+    # paged-attention implementation: "auto" picks dense-gather XLA for small
+    # bf16 pools (a pallas_call costs ~27 us FIXED; 36 calls/step outweigh the
+    # dense reads they save at 3B/2048-ctx pools) and the Pallas kernel for
+    # large or int8 pools; "kernel"/"dense" pin either (_paged_attn_fn)
+    attn_impl: str = "auto"
 
     def __post_init__(self):
         lcfg = self.cfg.lm
@@ -943,7 +981,8 @@ class PagedFlamingoEngine:
                 sampling=None if self._speculating() else self.sampling,
                 compute_dtype=self.compute_dtype,
                 accept_sim=(self.spec_accept_sim if self._speculating()
-                            else None))
+                            else None),
+                attn_impl=self.attn_impl)
             self.d_cache = self.d_cache._replace(k=d_k, v=d_v)
             out = np.asarray(out)
             valid = np.asarray(valid)
@@ -981,7 +1020,7 @@ class PagedFlamingoEngine:
             chunk=self.chunk, eos_token_id=self.eos_token_id,
             compute_dtype=self.compute_dtype, mixed_sampling=mixed,
             want_logprobs=want_lp, use_min_new=use_min, use_penalty=use_pen,
-            ngram_ns=ngram_ns)
+            ngram_ns=ngram_ns, attn_impl=self.attn_impl)
         out = np.asarray(out)
         lp = np.asarray(lp)
         done = np.asarray(self.done).copy()

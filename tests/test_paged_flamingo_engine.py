@@ -52,7 +52,8 @@ def _reference(params, cfg, ids, wins, max_new, sampling=None):
     return [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]]
 
 
-def _run_equality(cfg, kv_dtype=None, num_blocks=24, sampling_list=None):
+def _run_equality(cfg, kv_dtype=None, num_blocks=24, sampling_list=None,
+                  attn_impl="auto"):
     params = _params(cfg)
     rng = np.random.default_rng(0)
     n_req = 4
@@ -66,7 +67,8 @@ def _run_equality(cfg, kv_dtype=None, num_blocks=24, sampling_list=None):
         params=params, cfg=cfg, num_rows=2, num_blocks=num_blocks, block_size=16,
         max_blocks_per_seq=8, chunk=4, eos_token_id=EOS,
         sampling=SamplingParams(greedy=True), compute_dtype=jnp.float32,
-        kv_dtype=kv_dtype, n_media=N_MEDIA, windows_per_media=WPM)
+        kv_dtype=kv_dtype, n_media=N_MEDIA, windows_per_media=WPM,
+        attn_impl=attn_impl)
     for i, ((ids, wins), s) in enumerate(zip(reqs, samplings)):
         engine.submit(FlamingoRequest(request_id=f"r{i}", ids=ids, max_new_tokens=10,
                                       window_embeds=wins, sampling=s))
@@ -272,3 +274,12 @@ def test_paged_engine_fused_w4():
         got = results[f"r{i}"]
         n = min(len(ref), len(got))
         assert got[:n] == ref[:n], (i, got, ref)
+
+
+@pytest.mark.parametrize("attn_impl", ["kernel", "dense"])
+def test_paged_engine_attn_impl_pins(attn_impl):
+    """Both paged-attention implementations (Pallas kernel / XLA dense gather
+    — _paged_attn_fn picks per pool geometry in "auto") must be token-exact
+    vs single-request generate; pinning keeps BOTH covered regardless of what
+    "auto" resolves to at test pool sizes."""
+    _run_equality(AF2_CFG, attn_impl=attn_impl)
