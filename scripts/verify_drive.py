@@ -129,4 +129,27 @@ ref0, _ = proc.frontend(wav23[: proc.frontend.max_samples])
 np.testing.assert_allclose(m_b[0], np.asarray(ref0), rtol=1e-5, atol=1e-4)
 print("AF2 batched mel windows OK:", m_b.shape, flush=True)
 
+# 7. round-5: device-resident windows (one upload, int16 PCM path) must match
+#    the host path on the real chip
+m_d, _lg_d = proc.windows_for_device(wav23)
+np.testing.assert_allclose(np.asarray(m_d), m_b, rtol=1e-5, atol=1e-4)
+wav16 = (np.clip(wav23, -1, 1) * 32768).astype(np.int16)
+m_16, _ = proc.windows_for_device(wav16)
+ref16, _ = proc.windows_for(wav16.astype(np.float32) / 32768.0)
+np.testing.assert_allclose(np.asarray(m_16), ref16, rtol=1e-5, atol=1e-4)
+print("AF2 device-resident windows (f32 + int16 PCM) OK on chip", flush=True)
+
+# 8. round-5: distilled draft asset loads and drives the REAL accept path
+#    structurally (tiny target here — just the load + engine wiring)
+import os as _os
+
+_asset = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), "assets", "draft_distilled.safetensors")
+if _os.path.exists(_asset):
+    from scripts.distill_draft import load_draft
+
+    dp, dcfg_ = load_draft(_asset)
+    assert dp["embed"].shape == (dcfg_.vocab_size, dcfg_.hidden_size)
+    print("distilled draft asset loads OK:", dp["embed"].shape, flush=True)
+
 print("VERIFY ALL OK", flush=True)
