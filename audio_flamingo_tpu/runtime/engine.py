@@ -312,6 +312,23 @@ def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
         d_cache, _, props, p_d = jax.lax.fori_loop(
             0, k, draft_step, (d_cache, tok, props0, pd0))
 
+        # 1b) write the LAST proposal's KV into the draft cache. The k draft
+        # steps fed seq[0..k-1] = (tok, props[:-1]) — props[k-1] was produced
+        # but never processed, so its slot (lengths+k) stayed unwritten. After
+        # a FULL accept that token becomes permanent context and the draft
+        # would attend a garbage slot FOREVER (measured: target-as-draft
+        # REAL-compare acceptance 0.77-0.85 at f32 / 0.36 on the bf16 7B,
+        # where exact arithmetic says 1.0; greedy OUTPUT was never wrong — the
+        # verify corrects everything — which is why no exactness test saw it).
+        # For partial accepts the slot lies beyond new_lengths, is never
+        # attended, and is overwritten later — the write is always safe.
+        from audio_flamingo_tpu.runtime.speculative import clamp_draft_tokens
+
+        last = clamp_draft_tokens(props[:, k - 1], draft_cfg)
+        x_last = qwen2.embed(draft_params, last[:, None], dtype=compute_dtype)
+        _, d_cache = _rows_forward(draft_params, draft_cfg, x_last,
+                                   d_cache.lengths + k, d_cache)
+
         # 2) target verifies the k+1 block per row at its own offset
         seq = jnp.concatenate([tok[:, None], props], axis=1)         # [B, k+1]
         cache, logits = verify(cache, seq)                           # [B, k+1, V]

@@ -166,6 +166,13 @@ def generate_speculative_sampled(params, draft_params, cfg: AF3Config,
         pd0 = jnp.zeros((k, nv), jnp.float32)
         d_cache, _, props, p_d = jax.lax.fori_loop(
             0, k, draft_step, (s.d_cache, s.cur_token, props0, pd0))
+        # write the LAST proposal's KV (never fed back by the k draft steps):
+        # after a full accept it is permanent context and its slot would stay
+        # garbage forever (see engine.spec_chunk_rounds 1b; same hole).
+        d_cache, _ = _forward_tokens(
+            draft_params, draft_cfg, d_cache,
+            clamp_draft_tokens(props[k - 1][None], draft_cfg)[:, None],
+            s.position + k, compute_dtype)
 
         # 2) target verifies [cur, p0..p_{k-1}] in one forward
         seq = jnp.concatenate([s.cur_token, props])[None]               # [1, k+1]
@@ -299,6 +306,11 @@ def generate_speculative(params, draft_params, cfg: AF3Config, draft_cfg: Qwen2C
         props0 = jnp.zeros((k,), jnp.int32)
         d_cache, _, props = jax.lax.fori_loop(
             0, k, draft_step, (s.d_cache, s.cur_token, props0))
+        # write the LAST proposal's KV (see engine.spec_chunk_rounds 1b)
+        d_cache, _ = _forward_tokens(
+            draft_params, draft_cfg, d_cache,
+            clamp_draft_tokens(props[k - 1][None], draft_cfg)[:, None],
+            s.position + k, compute_dtype)
 
         # 2) target verifies: forward [cur, p0..p_{k-1}] at positions position-? ...
         # tokens fed: cur_token + proposals[:-1]? We need target logits FOR positions

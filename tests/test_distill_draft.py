@@ -142,3 +142,27 @@ def test_real_spec_token_exact_with_trained_draft(target, rollouts):
                     spec_rounds=2, spec_guard=False)
     assert spec == plain
     assert eng.spec_stats["acceptance_est"] > 0.1
+
+
+def test_target_as_draft_real_acceptance_near_one(target):
+    """With the target as its own draft and the REAL accept-compare, measured
+    acceptance must be ~1.0 at f32-highest (exact-arithmetic value is 1.0;
+    the only depressors are the documented end-of-request round bias). This
+    pins the accept machinery itself: the measured 0.36 on a bf16 random 7B
+    is then attributable to near-tie argmax flips between the multi-token
+    verify forward and single-token decode (scripts/diag_verify_drift.py),
+    not to a draft-path or accept-rule bug."""
+    params, cfg = target
+    rng = np.random.default_rng(5)
+    eng = BatchEngine(params=params, cfg=cfg, num_slots=4, capacity=256,
+                      chunk=8, eos_token_id=-1,
+                      sampling=SamplingParams(greedy=True),
+                      draft_params=params["lm"], draft_cfg=TGT_CFG,
+                      spec_k=3, spec_rounds=2, spec_guard=False,
+                      compute_dtype=jnp.float32)
+    for i in range(4):
+        eng.submit(Request(request_id=f"r{i}",
+                           ids=rng.integers(0, 120, (1, P)).astype(np.int32),
+                           max_new_tokens=2 * G))
+    eng.run_until_done()
+    assert eng.spec_stats["acceptance_est"] > 0.9, eng.spec_stats
