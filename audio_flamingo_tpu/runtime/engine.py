@@ -265,6 +265,9 @@ def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
 
     Returns (cache, d_k, d_v, tokens, done, rng, out [B, rounds*(k+1)], valid).
     """
+    # lazy import: speculative.py imports from this module (cycle)
+    from audio_flamingo_tpu.runtime.speculative import clamp_draft_tokens
+
     sampled = sampling is not None and not sampling.greedy
     assert accept_sim is None or not sampled, \
         "accept_sim is a greedy-rule measurement knob (sampled acceptance is exact)"
@@ -288,7 +291,6 @@ def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
             d_cache, tok_i, props, p_rows = dc
             # target may emit ids >= draft vocab (151936 vs 152064 real pair):
             # clamp explicitly instead of relying on JAX's clamped OOB gather
-            from audio_flamingo_tpu.runtime.speculative import clamp_draft_tokens
             tok_i = clamp_draft_tokens(tok_i, draft_cfg)
             x = qwen2.embed(draft_params, tok_i[:, None], dtype=compute_dtype)
             h, d_cache = _rows_forward(draft_params, draft_cfg, x,
@@ -322,8 +324,6 @@ def spec_chunk_rounds(draft_params, draft_cfg, cache, d_k, d_v, tokens, done,
         # verify corrects everything — which is why no exactness test saw it).
         # For partial accepts the slot lies beyond new_lengths, is never
         # attended, and is overwritten later — the write is always safe.
-        from audio_flamingo_tpu.runtime.speculative import clamp_draft_tokens
-
         last = clamp_draft_tokens(props[:, k - 1], draft_cfg)
         x_last = qwen2.embed(draft_params, last[:, None], dtype=compute_dtype)
         _, d_cache = _rows_forward(draft_params, draft_cfg, x_last,

@@ -308,12 +308,19 @@ def _grpo_update(params, ref_params, opt, opt_state, cfg, rollouts, reward_fn,
     # grads AND the updated subtree are donated: apply_updates otherwise holds
     # old params + updates + new params live at once (~3x the LM bytes at the
     # 1.5B bench shape). Callers must use the RETURNED params — the old lm
-    # leaves are invalidated by donation.
-    if trainable == "lm":
-        new_lm, opt_state = _donating_apply(opt)(all_grads, opt_state, params["lm"])
-        params = {**params, "lm": new_lm}
+    # leaves are invalidated by donation. If ref_params ALIASES any leaf of
+    # the donated subtree (e.g. a frozen-reference tree built by sharing the
+    # policy's own leaves), donation would delete the reference's buffers out
+    # from under the next iteration — detect that and fall back to the
+    # non-donating eager apply (pays the 3x transient, stays correct).
+    donated = params["lm"] if trainable == "lm" else params
+    ref_ids = {id(l) for l in jax.tree.leaves(ref_params)}
+    if any(id(l) in ref_ids for l in jax.tree.leaves(donated)):
+        updates, opt_state = opt.update(all_grads, opt_state, donated)
+        new_sub = optax.apply_updates(donated, updates)
     else:
-        params, opt_state = _donating_apply(opt)(all_grads, opt_state, params)
+        new_sub, opt_state = _donating_apply(opt)(all_grads, opt_state, donated)
+    params = ({**params, "lm": new_sub} if trainable == "lm" else new_sub)
     return params, opt_state, {"loss": total_loss / n, "mean_reward": total_reward / n}
 
 

@@ -904,7 +904,9 @@ def bench_clap() -> dict:
     prompt = np.random.default_rng(1).integers(0, 150_000, (1, 64)).astype(np.int32)
     prompt_j = jnp.asarray(prompt)
 
-    wav16 = (np.clip(wav, -1, 1) * 32768).astype(np.int16)
+    # scale by 32767 (not 32768): a full-scale +1.0 sample would wrap to
+    # -32768 under astype(int16); decode stays the standard /32768.
+    wav16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
 
     def af2_ttft(wav_in, phases=None):
         # device-resident chain (VERDICT r4 #3): the raw wav is the ONE
@@ -1838,8 +1840,6 @@ def _build_line(results: dict, done: list, skipped: list,
 
 
 def main():
-    import os
-
     _start_watchdog()
     # Internal wall-clock budget: stop LAUNCHING sections once exceeded and
     # emit what we have — being timeout-killed mid-compile both loses the

@@ -22,6 +22,7 @@ and measures spec_real_accept_rate / spec_real_tps with run_real_spec_bench().
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -242,8 +243,6 @@ def distill(log=print, steps: int = 600, lr: float = 1e-3):
 
     # free the 7B before the final full-set evals (CLAUDE.md HBM note)
     del params
-    import gc
-
     gc.collect()
 
     held_j = jnp.asarray(held)
@@ -297,6 +296,11 @@ def run_real_spec_bench(path, log=print) -> dict:
         warm.submit(Request(request_id="w", ids=prompts[0][:, :PROMPT_LEN],
                             max_new_tokens=8))
         warm.run_until_done()
+        # free the warm engine's ~1 GB of KV pools BEFORE the timed engine
+        # allocates — on the one 16 GB chip next to the 8 GB int8 7B tree
+        # that headroom is exactly what HBM-OOM poisoning eats (CLAUDE.md).
+        del warm
+        gc.collect()
         eng = make()
         for i, p in enumerate(prompts):
             eng.submit(Request(request_id=f"r{i}", ids=p,
@@ -308,8 +312,10 @@ def run_real_spec_bench(path, log=print) -> dict:
         return out, total / dt, eng
 
     log("spec_real: plain workload...")
-    plain_out, plain_tps, _ = run(False)
+    plain_out, plain_tps, plain_eng = run(False)
     log(f"spec_real: plain {plain_tps:.1f} tok/s")
+    del plain_eng
+    gc.collect()
     log("spec_real: REAL speculation workload (guardrail active)...")
     spec_out, spec_tps, eng = run(True)
     accept = float(eng.spec_stats.get("acceptance_est", 0.0)) \

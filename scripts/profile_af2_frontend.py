@@ -26,7 +26,6 @@ def t(fn, reps=3, warm=1):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from audio_flamingo_tpu.config import AF2Config
     from audio_flamingo_tpu.runtime.clap_processor import AF2Processor
@@ -48,13 +47,23 @@ def main():
     print(f"upload 57.6MB f32: {t(upload)*1e3:.0f} ms", flush=True)
     wav_dev = upload()
 
-    # 2. full jitted windows_mel_device (tiling gather + mel) on resident wav
+    # 2. device-resident window split + mel on the resident wav (the shipped
+    #    path: window_chunks_device eager tiling + jitted _db_mel)
     def dev_chain():
-        m = fe.windows_mel_device(wav_dev, jnp.int32(len(wav)), n, True,
-                                  "repeatpad")
+        chunks_d = fe.window_chunks_device(wav_dev, n, fe.cfg.padding)
+        m = fe._db_mel(chunks_d, fe.num_frames_max,
+                       fe.cfg.truncation == "fusion")
         _ = float(m[0, 0, 0])
 
-    print(f"windows_mel_device (resident wav): {t(dev_chain)*1e3:.0f} ms",
+    print(f"window_chunks_device + _db_mel (resident wav): "
+          f"{t(dev_chain)*1e3:.0f} ms", flush=True)
+
+    # 2b. the full shipped surface end-to-end (upload included)
+    def e2e():
+        mels, _ = proc.windows_for_device(wav)
+        _ = float(mels[0, 0, 0, 0])
+
+    print(f"windows_for_device e2e (f32 upload): {t(e2e)*1e3:.0f} ms",
           flush=True)
 
     # 3. _db_mel alone on resident pre-chunked [30, 480000]

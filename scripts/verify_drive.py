@@ -133,7 +133,7 @@ print("AF2 batched mel windows OK:", m_b.shape, flush=True)
 #    the host path on the real chip
 m_d, _lg_d = proc.windows_for_device(wav23)
 np.testing.assert_allclose(np.asarray(m_d), m_b, rtol=1e-5, atol=1e-4)
-wav16 = (np.clip(wav23, -1, 1) * 32768).astype(np.int16)
+wav16 = (np.clip(wav23, -1, 1) * 32767).astype(np.int16)
 m_16, _ = proc.windows_for_device(wav16)
 ref16, _ = proc.windows_for(wav16.astype(np.float32) / 32768.0)
 np.testing.assert_allclose(np.asarray(m_16), ref16, rtol=1e-5, atol=1e-4)
