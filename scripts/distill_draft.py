@@ -286,8 +286,12 @@ def run_real_spec_bench(path, log=print) -> dict:
                for _ in range(8)]
 
     def run(with_draft: bool):
-        kw = dict(draft_params=draft_p, draft_cfg=dcfg, spec_k=4,
-                  spec_rounds=6) if with_draft else {}
+        # depth swept on-chip post draft-KV fix (scripts/sweep_spec_k.py):
+        # k4_r6 845 tok/s (acc .945), k6_r6 980 (.869), k6_r8 941-1077 (.912),
+        # k4_r8 902 (.911); k=8 collapses to .2-.3 acceptance — the DAgger
+        # draft was trained on k=4 streams and drifts past its training depth.
+        kw = dict(draft_params=draft_p, draft_cfg=dcfg, spec_k=6,
+                  spec_rounds=8) if with_draft else {}
         def make():
             return BatchEngine(params=params, cfg=cfg, num_slots=8,
                                capacity=1024, chunk=16, eos_token_id=-1,
