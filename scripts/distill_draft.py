@@ -266,6 +266,98 @@ def distill(log=print, steps: int = 600, lr: float = 1e-3):
     return agree_wl
 
 
+def deepen(log=print, depths=((6, 8), (8, 8)), iters=2, steps=400,
+           lr: float = 3e-4):
+    """Continue DAgger training of the SHIPPED draft at DEEPER speculation
+    depths.
+
+    The k-sweep (scripts/sweep_spec_k.py) measured that the asset distilled on
+    k=4 engine streams holds acceptance 0.91 at k=6 but collapses to 0.2-0.3
+    at k=8 — 8-deep autoregression leaves its training distribution (and the
+    k=8 verify forward's bf16 numerics differ from k=4's, so even the emitted
+    target-greedy stream shifts slightly). Classic DAgger answer: collect the
+    spec engine's OWN emitted streams at the depths we want to serve (k=6/r=8
+    and k=8/r=8) with the current draft, and keep training on the union.
+    Overwrites assets/draft_distilled.safetensors; re-sweep afterwards.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_flamingo_tpu.io.safetensors import save_safetensors
+
+    path = ensure_draft_asset()
+    assert path, "no draft asset — run scripts/distill_draft.py first"
+    draft_bf16, dcfg = load_draft(path)
+    # train in f32 (the asset is stored bf16; adamw on bf16 leaves stale bits)
+    draft_p = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), draft_bf16)
+    del draft_bf16
+    log("deepen: init 7B int8 target...")
+    params, cfg = _make_target()
+
+    opt = optax.adamw(optax.cosine_decay_schedule(lr, iters * steps,
+                                                  alpha=0.1),
+                      weight_decay=0.01)
+    opt_state = opt.init(draft_p)
+
+    def loss_fn(p, ids):
+        logits = _gen_logits(p, dcfg, ids)
+        labels = ids[:, PROMPT_LEN:]
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+        return (lse - tgt).mean()
+
+    @jax.jit
+    def train_step(p, s, ids):
+        loss, grads = jax.value_and_grad(loss_fn)(p, ids)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    @jax.jit
+    def agree_fn(p, ids):
+        logits = _gen_logits(p, dcfg, ids)
+        return (jnp.argmax(logits, -1) == ids[:, PROMPT_LEN:]).mean()
+
+    rng = np.random.default_rng(11)
+    t0 = time.perf_counter()
+    train: list[np.ndarray] = []
+    for it in range(iters):
+        d_bf16 = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), draft_p)
+        for (k, r) in depths:
+            ekw = dict(draft_params=d_bf16, draft_cfg=dcfg, spec_k=k,
+                       spec_rounds=r, spec_guard=False)
+            log(f"deepen iter {it}: spec-emitted streams at k={k}/r={r}...")
+            train.append(collect_rollouts(params, cfg, WORKLOAD_SEED, 1, log,
+                                          engine_kw=ekw))
+            train.append(collect_rollouts(params, cfg, TRAIN_SEED + it, 1,
+                                          log, engine_kw=ekw))
+        data = jnp.asarray(np.concatenate(train))
+        n = data.shape[0]
+        for step in range(steps):
+            rows = rng.choice(n, size=8, replace=False)
+            draft_p, opt_state, loss = train_step(draft_p, opt_state,
+                                                  data[jnp.asarray(rows)])
+            if step % 100 == 0 or step == steps - 1:
+                log(f"  deepen{it} step {step}: loss {float(loss):.4f} "
+                    f"({time.perf_counter()-t0:.0f} s)")
+
+    del params
+    gc.collect()
+    agree_wl = float(np.mean([float(agree_fn(draft_p, jnp.asarray(t)))
+                              for t in train[:1]]))
+    log(f"deepen: workload-stream agreement {agree_wl:.3f}")
+    flat = _flatten(jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                                 draft_p))
+    save_safetensors(DRAFT_ASSET, flat,
+                     metadata={"workload_agreement": f"{agree_wl:.4f}",
+                               "deepened": str(list(depths)),
+                               "target": "qwen25_7b seed 0",
+                               "trained_on": "k4 DAgger + deep-k DAgger"})
+    log(f"deepen: saved {DRAFT_ASSET} "
+        f"({os.path.getsize(DRAFT_ASSET)/1e6:.0f} MB)")
+    return agree_wl
+
+
 # ------------------------------------------------------------------ real-spec bench
 
 def run_real_spec_bench(path, log=print) -> dict:
@@ -353,6 +445,8 @@ if __name__ == "__main__":
         p = ensure_draft_asset()
         assert p, "no draft asset — run without --bench-only first"
         print(json.dumps(run_real_spec_bench(p)))
+    elif "--deepen" in sys.argv:
+        deepen()
     else:
         distill()
         print(json.dumps(run_real_spec_bench(DRAFT_ASSET)))

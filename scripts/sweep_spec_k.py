@@ -76,8 +76,11 @@ def main():
         gc.collect()
         return total / dt, acc
 
+    configs = [(4, 6), (4, 8), (6, 6), (6, 8), (8, 6)]
+    if len(sys.argv) > 1:  # e.g. `sweep_spec_k.py 6,8 8,8 8,10`
+        configs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
     results = {}
-    for k, rounds in [(4, 6), (4, 8), (6, 6), (6, 8), (8, 6)]:
+    for k, rounds in configs:
         tps, acc = run(k, rounds)
         results[f"k{k}_r{rounds}"] = {"tps": round(tps, 1),
                                       "accept": round(acc, 3)}
