@@ -378,11 +378,13 @@ def run_real_spec_bench(path, log=print) -> dict:
                for _ in range(8)]
 
     def run(with_draft: bool):
-        # depth swept on-chip post draft-KV fix (scripts/sweep_spec_k.py):
-        # k4_r6 845 tok/s (acc .945), k6_r6 980 (.869), k6_r8 941-1077 (.912),
-        # k4_r8 902 (.911); k=8 collapses to .2-.3 acceptance — the DAgger
-        # draft was trained on k=4 streams and drifts past its training depth.
-        kw = dict(draft_params=draft_p, draft_cfg=dcfg, spec_k=6,
+        # depth swept on-chip (scripts/sweep_spec_k.py). With the k=4-trained
+        # draft: k6_r8 941-1077 tok/s (.912) won and k=8 COLLAPSED to .2-.3
+        # acceptance. After deepen() (DAgger on k=6/8 engine streams) the
+        # collapse is gone and deeper keeps paying: k8_r10 1246 (.946),
+        # k10_r8 1315 (.967) — the k=8-trained draft generalizes past its
+        # training depth once the covariate shift is closed.
+        kw = dict(draft_params=draft_p, draft_cfg=dcfg, spec_k=10,
                   spec_rounds=8) if with_draft else {}
         def make():
             return BatchEngine(params=params, cfg=cfg, num_slots=8,

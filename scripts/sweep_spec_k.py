@@ -5,16 +5,31 @@ chains hold across rounds, so the pre-fix sweet spot (k=4, rounds=6) may be
 leaving tok/s on the table: with per-token acceptance ~0.94 a deeper k spends
 more draft steps per verify and fewer ~40 ms host syncs per emitted token.
 
-Measured on chip (best of 2 reps per config, 8 x 500-prompt / 256-new):
+Measured on chip (best of 2 reps per config, 8 x 500-prompt / 256-new),
+with the ORIGINAL k=4-DAgger draft asset:
 
     k4_r6  845 tok/s  acceptance 0.945   (pre-sweep default)
     k4_r8  902 tok/s  acceptance 0.911
     k6_r6  980 tok/s  acceptance 0.869
-    k6_r8  941-1077   acceptance 0.912   <- shipped (run_real_spec_bench)
+    k6_r8  941-1077   acceptance 0.912   <- round-5 mid-round ship
     k8_*   335-345    acceptance 0.2-0.3 <- COLLAPSE: the DAgger draft was
            trained on k=4 engine streams; 8-deep autoregression leaves its
-           training distribution (retrain distill_draft.py at k=6+ to push
-           deeper).
+           training distribution.
+
+Re-swept after distill_draft.deepen() (DAgger on k=6/r=8 + k=8/r=8 engine
+streams — the prescribed "retrain deeper before sweeping deeper"):
+
+    k6_r8  1062 tok/s  acceptance 0.912
+    k8_r8  1152        acceptance 0.887
+    k8_r10 1246        acceptance 0.946   (k=8 collapse GONE)
+    k8_r12 1146        acceptance 0.789
+    k8_r16 1219        acceptance 0.887
+    k10_r8 1315        acceptance 0.967   <- shipped (run_real_spec_bench):
+           the k=8-trained draft generalizes PAST its training depth once
+           DAgger closes the covariate shift.
+    k10_r10 1276       acceptance 0.775   }
+    k12_r8   999       acceptance 0.820   } past the peak: deeper k or more
+    k12_r10 1254       acceptance 0.926   } rounds lose acceptance to drift
 
 Run on TPU: python scripts/sweep_spec_k.py
 """
